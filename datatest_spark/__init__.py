@@ -1,0 +1,30 @@
+"""datatest_spark — a from-scratch, PySpark-native data-validation engine.
+
+Re-expresses the reference library's validate()/requirement/acceptance
+semantics (see SURVEY.md) as distributed DataFrame operators: checks
+compile to lazy Catalyst plans that emit difference rows
+(Missing/Extra/Invalid/Deviation); acceptances filter them; a suite
+runner fuses checks into few jobs, produces per-partition verdicts, and
+is resumable from a per-partition lineage/metrics ledger.
+"""
+
+from .plans.differences import (  # noqa: F401
+    DIFF_SCHEMA,
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    NOVALUE,
+    canonical_sort,
+    decode_differences,
+    union_differences,
+)
+from .plans.predicate import PredicateSpec, compile_predicate  # noqa: F401
+from .operators.validation import (  # noqa: F401
+    ValidationError,
+    raise_if_invalid,
+    valid,
+    validate,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,115 @@
+"""validate() / valid() / ValidationError — the reference's entry points.
+
+Mirrors ``datatest/validation.py`` (SURVEY.md §3.1): ``validate(data,
+requirement)`` dispatches on the requirement's type; named methods force
+one requirement class.  Here ``data`` is a DataFrame + column selection
+and every call returns the **lazy difference DataFrame** — the engine's
+replacement for the reference's eager loop.  ``raise_if_invalid``
+triggers the plan and raises ``ValidationError`` at the driver iff
+unaccepted differences remain (reference step 5, moved after
+aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence, Set
+from typing import Any, Optional, Union
+
+from pyspark.sql import DataFrame
+
+from ..plans.differences import decode_differences
+from . import requirements as R
+
+
+class ValidationError(AssertionError):
+    """Carries .differences (decoded reference-style objects) and
+    .description, mirroring the reference's ValidationError."""
+
+    MAX_SHOWN = 10
+
+    def __init__(self, differences, description: str = "validation failed"):
+        self.differences = list(differences)
+        self.description = description
+        super().__init__(self._format())
+
+    def _format(self) -> str:
+        shown = self.differences[: self.MAX_SHOWN]
+        lines = [f"{self.description} ({len(self.differences)} differences): ["]
+        lines += [f"    {d!r}," for d in shown]
+        if len(self.differences) > self.MAX_SHOWN:
+            lines.append(f"    ... ({len(self.differences) - self.MAX_SHOWN} more)")
+        lines.append("]")
+        return "\n".join(lines)
+
+
+class _Validate:
+    """Callable dispatcher mirroring reference validate() with its named
+    method variants (validate.predicate / .regex / .set / ... ).
+
+    Auto-dispatch (reference get_requirement): set → set membership;
+    mapping → keyed mapping; list → order; everything else → predicate.
+    """
+
+    def __call__(
+        self,
+        df: DataFrame,
+        columns: Union[str, Sequence[str]],
+        requirement: Any,
+        **kw,
+    ) -> DataFrame:
+        if isinstance(requirement, (Set, set, frozenset)) and not isinstance(
+            requirement, (str, bytes)
+        ):
+            col = columns if isinstance(columns, str) else columns[0]
+            return R.check_set(df, col, requirement, **kw)
+        if isinstance(requirement, Mapping):
+            key_cols = kw.pop("key_columns", None)
+            value_col = kw.pop("value_column", None)
+            if key_cols is None or value_col is None:
+                raise ValueError(
+                    "mapping requirement needs key_columns= and value_column="
+                )
+            return R.check_mapping(df, key_cols, requirement, value_col, **kw)
+        if isinstance(requirement, list):
+            order_by = kw.pop("order_by", None)
+            if order_by is None:
+                raise ValueError("sequence requirement needs order_by=")
+            col = columns if isinstance(columns, str) else columns[0]
+            return R.check_order(df, col, requirement, order_by=order_by, **kw)
+        return R.check_predicate(df, columns, requirement, **kw)
+
+    # named variants (each forces one requirement class, reference-style)
+    predicate = staticmethod(R.check_predicate)
+    regex = staticmethod(R.check_regex)
+    set = staticmethod(R.check_set)
+    subset = staticmethod(R.check_subset)
+    superset = staticmethod(R.check_superset)
+    unique = staticmethod(R.check_unique)
+    interval = staticmethod(R.check_interval)
+    approx = staticmethod(R.check_approx)
+    fuzzy = staticmethod(R.check_fuzzy)
+    mapping = staticmethod(R.check_mapping)
+    order = staticmethod(R.check_order)
+    order_exact = staticmethod(R.check_order_exact)
+
+
+validate = _Validate()
+
+
+def valid(diff_df: DataFrame) -> bool:
+    """True iff the difference plan yields no rows (reference valid())."""
+    return diff_df.isEmpty()
+
+
+def raise_if_invalid(
+    diff_df: DataFrame, description: str = "validation failed", limit: Optional[int] = 10_000
+) -> None:
+    """Trigger the plan; raise ValidationError with decoded differences.
+
+    ``limit`` bounds what is pulled to the driver for the error payload —
+    the full difference set belongs in the sink, not the exception.
+    """
+    sample = diff_df.limit(limit) if limit else diff_df
+    diffs = decode_differences(sample)
+    if diffs:
+        raise ValidationError(diffs, description)

@@ -1,0 +1,296 @@
+"""Difference model: the engine's central output "tuple".
+
+Re-expresses the reference's difference vocabulary
+(``datatest/differences.py``: BaseDifference, Missing, Extra, Invalid,
+Deviation — see SURVEY.md §2.1) as a fixed Spark StructType.  Every check
+in the engine emits a DataFrame of this shape; acceptances are filters
+over it; the deterministic sink sorts it canonically so violation output
+is byte-identical across parallelism levels (north_rule).
+
+Python-side dataclasses mirror the reference classes for test-side
+decoding and parity assertions only — the engine itself never builds
+them row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Spark schema
+# ---------------------------------------------------------------------------
+
+KIND_MISSING = "missing"
+KIND_EXTRA = "extra"
+KIND_INVALID = "invalid"
+KIND_DEVIATION = "deviation"
+
+ALL_KINDS = (KIND_MISSING, KIND_EXTRA, KIND_INVALID, KIND_DEVIATION)
+
+#: Fixed schema of every difference DataFrame (SURVEY.md §2.1).
+DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("check_id", T.StringType(), False),
+        T.StructField("diff_kind", T.StringType(), False),
+        # group key (canonical-encoded tuple) or null for element-level diffs
+        T.StructField("key", T.StringType(), True),
+        # canonical string encodings of the offending / expected values
+        T.StructField("value", T.StringType(), True),
+        T.StructField("expected", T.StringType(), True),
+        # numeric deviation (actual - expected); null unless kind='deviation'
+        T.StructField("deviation", T.DoubleType(), True),
+        # row provenance (input_hint columns); null for group-level diffs
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        # ledger partition (e.g. repo bucket / lang); used for verdicts+resume
+        T.StructField("partition_id", T.StringType(), True),
+    ]
+)
+
+DIFF_COLUMNS = [f.name for f in DIFF_SCHEMA.fields]
+
+#: Canonical deterministic ordering before any sink (SURVEY.md §2.1).
+CANONICAL_ORDER = [
+    "check_id",
+    "diff_kind",
+    "key",
+    "value",
+    "expected",
+    "deviation",
+    "repo",
+    "path",
+    "commit",
+    "partition_id",
+]
+
+
+def canon_col(col: Column) -> Column:
+    """Canonical string encoding of an arbitrary column.
+
+    Deterministic across runs and parallelism levels (Java string
+    rendering is stable); NULL stays NULL, NaN becomes the literal
+    string 'NaN'.
+    """
+    return col.cast("string")
+
+
+def empty_differences(spark) -> DataFrame:
+    return spark.createDataFrame([], DIFF_SCHEMA)
+
+
+def make_differences(
+    df: DataFrame,
+    *,
+    check_id: str,
+    kind: Optional[str] = None,
+    kind_col: Optional[Column] = None,
+    key: Optional[Column] = None,
+    value: Optional[Column] = None,
+    expected: Optional[Column] = None,
+    deviation: Optional[Column] = None,
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """Project ``df`` (rows = violations) onto DIFF_SCHEMA.
+
+    ``provenance`` maps any of {'repo','path','commit'} to Columns in
+    ``df``; unspecified provenance columns are NULL.
+    """
+    prov = provenance or {}
+
+    def _p(name: str) -> Column:
+        c = prov.get(name)
+        if c is None:
+            return F.lit(None).cast("string")
+        if isinstance(c, str):
+            c = F.col(c)
+        return canon_col(c)
+
+    null_str = F.lit(None).cast("string")
+    return df.select(
+        F.lit(check_id).alias("check_id"),
+        (kind_col if kind_col is not None else F.lit(kind)).alias("diff_kind"),
+        (canon_col(key) if key is not None else null_str).alias("key"),
+        (canon_col(value) if value is not None else null_str).alias("value"),
+        (canon_col(expected) if expected is not None else null_str).alias("expected"),
+        (
+            deviation.cast("double")
+            if deviation is not None
+            else F.lit(None).cast("double")
+        ).alias("deviation"),
+        _p("repo").alias("repo"),
+        _p("path").alias("path"),
+        _p("commit").alias("commit"),
+        (canon_col(partition_id) if partition_id is not None else null_str).alias(
+            "partition_id"
+        ),
+    )
+
+
+def union_differences(*dfs: DataFrame) -> DataFrame:
+    """Union difference DataFrames into one plan (single job when acted on)."""
+    out = None
+    for d in dfs:
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        raise ValueError("no difference DataFrames given")
+    return out
+
+
+def canonical_sort(diff_df: DataFrame) -> DataFrame:
+    """Global deterministic order — required for byte-identical output."""
+    return diff_df.orderBy(*[F.col(c).asc_nulls_first() for c in CANONICAL_ORDER])
+
+
+# ---------------------------------------------------------------------------
+# Python-side mirror classes (test decoding / parity assertions)
+# ---------------------------------------------------------------------------
+
+
+class BaseDifference:
+    """Mirror of the reference's BaseDifference: equality = class + args."""
+
+    args: tuple
+
+    def __eq__(self, other: Any) -> bool:
+        if other.__class__ is not self.__class__:
+            return NotImplemented
+        return _args_eq(self.args, other.args)
+
+    def __hash__(self):
+        return hash((self.__class__.__name__, self.args))
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({', '.join(map(repr, self.args))})"
+
+
+def _args_eq(a: tuple, b: tuple) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if (
+            isinstance(x, float)
+            and isinstance(y, float)
+            and math.isnan(x)
+            and math.isnan(y)
+        ):
+            continue
+        if x != y:
+            return False
+    return True
+
+
+class _NoValueType:
+    """Sentinel mirroring the reference's NOVALUE."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "<no value>"
+
+    def __bool__(self):
+        return False
+
+
+NOVALUE = _NoValueType()
+
+
+@dataclass(frozen=True, repr=False, eq=False)
+class Missing(BaseDifference):
+    value: Any
+
+    @property
+    def args(self):
+        return (self.value,)
+
+
+@dataclass(frozen=True, repr=False, eq=False)
+class Extra(BaseDifference):
+    value: Any
+
+    @property
+    def args(self):
+        return (self.value,)
+
+
+class Invalid(BaseDifference):
+    def __init__(self, invalid: Any, expected: Any = NOVALUE):
+        self.invalid = invalid
+        self.expected = expected
+
+    @property
+    def args(self):
+        if self.expected is NOVALUE:
+            return (self.invalid,)
+        return (self.invalid, self.expected)
+
+
+class Deviation(BaseDifference):
+    def __init__(self, deviation: float, expected: Any):
+        # reference semantics: deviation must be numeric and non-zero
+        # (a zero deviation means "no difference" and is rejected),
+        # except NaN which is allowed as a deviation value.
+        if not _is_number(deviation):
+            raise ValueError(f"deviation must be numeric, got {deviation!r}")
+        if deviation == 0 and not _isnan_safe(deviation):
+            raise ValueError("deviation must be non-zero")
+        self.deviation = deviation
+        self.expected = expected
+
+    @property
+    def args(self):
+        return (self.deviation, self.expected)
+
+
+def _is_number(x) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def _isnan_safe(x) -> bool:
+    return isinstance(x, float) and math.isnan(x)
+
+
+def decode_differences(diff_df: DataFrame) -> list:
+    """Collect a difference DataFrame into reference-style objects.
+
+    Used by the parity test-suite only.  Value/expected come back as the
+    canonical strings (tests compare against canonical encodings or parse
+    as needed); deviations are numeric.
+    """
+    out = []
+    for row in diff_df.collect():
+        kind = row["diff_kind"]
+        if kind == KIND_MISSING:
+            out.append(Missing(row["value"]))
+        elif kind == KIND_EXTRA:
+            out.append(Extra(row["value"]))
+        elif kind == KIND_INVALID:
+            exp = row["expected"] if row["expected"] is not None else NOVALUE
+            out.append(Invalid(row["value"], exp))
+        elif kind == KIND_DEVIATION:
+            out.append(Deviation(row["deviation"], _maybe_num(row["expected"])))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown diff kind {kind!r}")
+    return out
+
+
+def _maybe_num(s):
+    if s is None:
+        return None
+    try:
+        f = float(s)
+        return int(f) if f.is_integer() and "." not in s and "e" not in s.lower() else f
+    except ValueError:
+        return s

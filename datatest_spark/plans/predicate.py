@@ -1,0 +1,234 @@
+"""Predicate sub-language → Column compiler.
+
+Re-expresses the reference's ``datatest/_predicate.py#Predicate`` matching
+rules (SURVEY.md §2.3) as Catalyst Column expressions, so predicate checks
+stay JVM-side (pushdown + whole-stage codegen).  The single escape hatch is
+an arbitrary Python callable, which compiles to a vectorized Arrow
+``pandas_udf`` — never a row-at-a-time Python UDF (input_hint requirement).
+
+Matching rules (one engine, reused by predicate / mapping / acceptance
+checks):
+
+=================  ==============================  ===========================
+predicate form     matches when                    compilation
+=================  ==============================  ===========================
+literal            v == obj (NaN matches NaN)      col == lit(x) / isnan(col)
+None               v is None                       col.isNull()
+set                v in obj                        col.isin(...) (+ null rules)
+type (int/str/..)  isinstance(v, obj)              schema/type check
+compiled regex     obj.search(v)                   col.rlike(pat)
+callable           truthy obj(v)                   vectorized pandas_udf
+True / False       truthiness of v                 type-aware truthiness expr
+Ellipsis           wildcard                        lit(True)
+tuple              element-wise on tuple rows      AND of per-column compiles
+~P(x)              negation                        ~compiled
+=================  ==============================  ===========================
+
+A compiled predicate always evaluates to a non-null boolean: SQL
+three-valued logic is collapsed with coalesce(.., False) so "NULL fails
+the predicate" matches the reference's Python semantics.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Callable, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_RE_TYPE = type(re.compile(""))
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+_PYTYPE_TO_SPARK = {
+    int: (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    float: (T.FloatType, T.DoubleType),
+    str: (T.StringType,),
+    bool: (T.BooleanType,),
+    bytes: (T.BinaryType,),
+}
+
+
+class PredicateSpec:
+    """Wrapper enabling ``~`` negation, mirroring ``~Predicate(x)``."""
+
+    def __init__(self, obj: Any, negated: bool = False):
+        self.obj = obj
+        self.negated = negated
+
+    def __invert__(self) -> "PredicateSpec":
+        return PredicateSpec(self.obj, not self.negated)
+
+    def __repr__(self):
+        return f"{'~' if self.negated else ''}PredicateSpec({self.obj!r})"
+
+
+def is_numeric_dtype(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def _truthy(col: Column, dt: T.DataType) -> Column:
+    """Python truthiness of a column value, by Spark type."""
+    if isinstance(dt, T.BooleanType):
+        return F.coalesce(col, F.lit(False))
+    if is_numeric_dtype(dt):
+        return F.coalesce(col != F.lit(0), F.lit(False))
+    if isinstance(dt, T.StringType):
+        return F.coalesce(F.length(col) > 0, F.lit(False))
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return F.coalesce(F.size(col) > 0, F.lit(False))
+    return col.isNotNull()
+
+
+def _callable_to_pandas_udf(fn: Callable, dt: T.DataType) -> Callable[[Column], Column]:
+    """Wrap an arbitrary Python callable predicate as a vectorized pandas_udf.
+
+    The reference applies the callable per element; we apply it per Arrow
+    batch via ``pandas.Series.map`` — semantics identical, transfer
+    vectorized (SURVEY.md §2.3: the only escape hatch).
+    """
+    import pandas as pd
+
+    def _apply(s):
+        return s.map(lambda v: bool(fn(v)) if v is not None else False)
+
+    # real annotation objects — `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf signature inference
+    _apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_apply, T.BooleanType())
+
+
+def compile_predicate(
+    obj: Any,
+    col: Column,
+    dt: Optional[T.DataType] = None,
+    *,
+    cols: Optional[Sequence[Column]] = None,
+    dts: Optional[Sequence[T.DataType]] = None,
+) -> Column:
+    """Compile predicate ``obj`` against ``col`` → non-null boolean Column.
+
+    ``cols``/``dts`` supply the per-field columns for tuple predicates
+    (tuple rows = struct of columns).
+    """
+    if isinstance(obj, PredicateSpec):
+        inner = compile_predicate(obj.obj, col, dt, cols=cols, dts=dts)
+        return ~inner if obj.negated else inner
+
+    if obj is Ellipsis:
+        return F.lit(True)
+
+    if obj is None:
+        return col.isNull()
+
+    if isinstance(obj, bool):
+        truth = _truthy(col, dt if dt is not None else T.StringType())
+        return truth if obj else ~truth
+
+    if isinstance(obj, type):
+        return _compile_type_check(obj, col, dt)
+
+    if isinstance(obj, _RE_TYPE):
+        pat = obj.pattern
+        if obj.flags & re.IGNORECASE:
+            pat = "(?i)" + pat
+        if obj.flags & re.DOTALL:
+            pat = "(?s)" + pat
+        if obj.flags & re.MULTILINE:
+            pat = "(?m)" + pat
+        return F.coalesce(col.rlike(pat), F.lit(False))
+
+    if isinstance(obj, (set, frozenset)):
+        vals = [v for v in obj if v is not None and not _is_nan(v)]
+        expr = F.lit(False)
+        if vals:
+            expr = F.coalesce(col.isin(list(vals)), F.lit(False))
+        if None in obj:
+            expr = expr | col.isNull()
+        if any(_is_nan(v) for v in obj):
+            expr = expr | _isnan_col(col, dt)
+        return expr
+
+    if isinstance(obj, tuple):
+        if cols is None:
+            raise ValueError(
+                "tuple predicate requires per-field columns (`cols=`/`dts=`)"
+            )
+        if len(obj) != len(cols):
+            raise ValueError(
+                f"tuple predicate arity {len(obj)} != {len(cols)} columns"
+            )
+        parts = [
+            compile_predicate(p, c, d)
+            for p, c, d in zip(obj, cols, dts or [None] * len(cols))
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
+
+    if callable(obj):
+        udf = _callable_to_pandas_udf(obj, dt or T.StringType())
+        return F.coalesce(udf(col), F.lit(False))
+
+    # literal equality; NaN special-cased to match NaN (reference parity)
+    if _is_nan(obj):
+        return _isnan_col(col, dt)
+    return F.coalesce(col == F.lit(obj), F.lit(False))
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _isnan_col(col: Column, dt: Optional[T.DataType]) -> Column:
+    if dt is not None and not isinstance(dt, (T.FloatType, T.DoubleType)):
+        return F.lit(False)
+    return F.coalesce(F.isnan(col), F.lit(False))
+
+
+def _compile_type_check(pytype: type, col: Column, dt: Optional[T.DataType]) -> Column:
+    """isinstance(v, pytype) — resolved at the schema level where possible.
+
+    If the Spark column type already guarantees (or rules out) the Python
+    type, this folds to a null-check (or False) — free under codegen.  A
+    string column checked against a non-string type becomes a parse check.
+    """
+    spark_types = _PYTYPE_TO_SPARK.get(pytype)
+    if spark_types is None:
+        raise ValueError(f"unsupported type predicate: {pytype!r}")
+    if dt is None:
+        dt_matches = None
+    else:
+        dt_matches = isinstance(dt, spark_types)
+    if dt_matches:
+        expr = col.isNotNull()
+        if pytype is int and isinstance(dt, (T.FloatType, T.DoubleType)):
+            expr = expr & ~F.isnan(col)
+        return expr
+    if dt is not None and isinstance(dt, T.StringType) and pytype is not str:
+        # parse check: can the string be read as the target type?
+        if pytype is int:
+            return col.rlike(r"^[+-]?[0-9]+$")
+        if pytype is float:
+            return F.coalesce(col.cast("double").isNotNull(), F.lit(False))
+        if pytype is bool:
+            return F.lower(col).isin(["true", "false"])
+        return F.lit(False)
+    if dt is not None and not dt_matches:
+        # float accepts int columns (Python isinstance does not, but the
+        # reference normalizes numerics; pin: int column vs float → False,
+        # matching strict isinstance)
+        return F.lit(False)
+    return col.isNotNull()

@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import pytest
+
+from datatest_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="datatest_spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s
+
+
+def diff_multiset(diff_df):
+    """Decode a difference DataFrame to a sortable multiset of tuples
+    (kind, key, value, expected, deviation) for parity assertions."""
+    rows = diff_df.collect()
+    out = []
+    for r in rows:
+        out.append((r["diff_kind"], r["key"], r["value"], r["expected"], r["deviation"]))
+    return sorted(out, key=lambda t: tuple("" if x is None else str(x) for x in t))

@@ -1,0 +1,302 @@
+"""Parity tests for requirement operators — reference test_requirements.py
+style: tiny literal fixtures, exact expected difference multisets
+(SURVEY.md §5 strategy 1; semantics pinned to the documented public
+datatest API since the reference mount was empty, SURVEY.md §0)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from datatest_spark import (
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    PredicateSpec,
+    decode_differences,
+    validate,
+)
+
+from .conftest import diff_multiset
+
+
+def sdf(spark, values, type_="string", name="v"):
+    return spark.createDataFrame([(v,) for v in values], f"{name} {type_}")
+
+
+# -------------------------------------------------------------- predicate
+
+
+def test_predicate_literal_str(spark):
+    df = sdf(spark, ["x", "x", "y"])
+    diffs = decode_differences(validate.predicate(df, "v", "x"))
+    assert sorted(diffs, key=repr) == [Invalid("y")]
+
+
+def test_predicate_numeric_literal_deviation(spark):
+    df = sdf(spark, [10.0, 12.0, 10.0], "double")
+    diffs = decode_differences(validate.predicate(df, "v", 10))
+    assert diffs == [Deviation(2.0, 10)]
+
+
+def test_predicate_callable(spark):
+    df = sdf(spark, [1.0, -2.0, 3.0], "double")
+    diffs = decode_differences(validate.predicate(df, "v", lambda x: x > 0))
+    assert diffs == [Invalid("-2.0")]
+
+
+def test_predicate_set(spark):
+    df = sdf(spark, ["a", "b", "c"])
+    got = diff_multiset(validate.predicate(df, "v", {"a", "b"}))
+    assert got == [("invalid", None, "c", None, None)]
+
+
+def test_predicate_none_matches_null(spark):
+    df = sdf(spark, [None, "x"])
+    got = diff_multiset(validate.predicate(df, "v", None))
+    assert got == [("invalid", None, "x", None, None)]
+
+
+def test_predicate_negation(spark):
+    df = sdf(spark, ["a", "b"])
+    got = diff_multiset(validate.predicate(df, "v", ~PredicateSpec("a")))
+    assert got == [("invalid", None, "a", None, None)]
+
+
+def test_predicate_truthiness(spark):
+    df = sdf(spark, [0, 1, 2], "long")
+    got = diff_multiset(validate.predicate(df, "v", True))
+    assert got == [("invalid", None, "0", None, None)]
+
+
+def test_predicate_nan_matches_nan(spark):
+    df = sdf(spark, [float("nan"), 1.0], "double")
+    got = diff_multiset(validate.predicate(df, "v", float("nan")))
+    assert got == [("invalid", None, "1.0", None, None)]
+
+
+def test_predicate_tuple_rows(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "a string, b long")
+    got = diff_multiset(validate.predicate(df, ["a", "b"], ("x", ...)))
+    assert got == [("invalid", None, '["y","2"]', None, None)]
+
+
+def test_predicate_type_check_parse(spark):
+    df = sdf(spark, ["12", "x3"])
+    got = diff_multiset(validate.predicate(df, "v", int))
+    assert got == [("invalid", None, "x3", None, None)]
+
+
+# -------------------------------------------------------------- regex
+
+
+def test_regex(spark):
+    df = sdf(spark, ["foo1", "bar", "foo2"])
+    got = diff_multiset(validate.regex(df, "v", r"^foo\d$"))
+    assert got == [("invalid", None, "bar", None, None)]
+
+
+def test_regex_search_semantics(spark):
+    # re.search: unanchored substring match
+    df = sdf(spark, ["xfoox", "bar"])
+    got = diff_multiset(validate.regex(df, "v", r"foo"))
+    assert got == [("invalid", None, "bar", None, None)]
+
+
+def test_regex_ignorecase(spark):
+    df = sdf(spark, ["FOO", "bar"])
+    got = diff_multiset(validate.predicate(df, "v", re.compile("foo", re.I)))
+    assert got == [("invalid", None, "bar", None, None)]
+
+
+# -------------------------------------------------------------- set family
+
+
+def test_set_missing_and_extra(spark):
+    df = sdf(spark, ["x", "x", "y", "q"])
+    diffs = decode_differences(validate.set(df, "v", {"x", "y", "z"}))
+    assert sorted(diffs, key=repr) == [Extra("q"), Missing("z")]
+
+
+def test_set_ok(spark):
+    df = sdf(spark, ["x", "y", "x"])
+    assert diff_multiset(validate.set(df, "v", {"x", "y"})) == []
+
+
+def test_subset(spark):
+    df = sdf(spark, ["a", "b", "c", "c"])
+    diffs = decode_differences(validate.subset(df, "v", {"a", "b"}))
+    assert diffs == [Extra("c")]
+
+
+def test_superset(spark):
+    df = sdf(spark, ["a", "b"])
+    diffs = decode_differences(validate.superset(df, "v", {"a", "b", "z"}))
+    assert diffs == [Missing("z")]
+
+
+def test_unique_per_occurrence(spark):
+    df = sdf(spark, ["a", "a", "b", "c", "c", "c"])
+    diffs = decode_differences(validate.unique(df, "v"))
+    assert sorted(diffs, key=repr) == [Extra("a"), Extra("c"), Extra("c")]
+
+
+def test_unique_salted_matches_plain(spark):
+    df = sdf(spark, ["a", "a", "b", "c", "c", "c"])
+    plain = diff_multiset(validate.unique(df, "v"))
+    salted = diff_multiset(validate.unique(df, "v", salted=True))
+    assert plain == salted != []
+
+
+def test_unique_multicolumn(spark):
+    df = spark.createDataFrame([("r", 1), ("r", 1), ("r", 2)], "a string, b long")
+    got = diff_multiset(validate.unique(df, ["a", "b"]))
+    assert got == [("extra", None, '["r","1"]', None, None)]
+
+
+def test_unique_compact_form(spark):
+    df = sdf(spark, ["a", "a", "a", "b"])
+    got = diff_multiset(validate.unique(df, "v", per_occurrence=False))
+    assert got == [("extra", None, "a", None, 2.0)]
+
+
+# -------------------------------------------------------------- interval
+
+
+def test_interval_deviation(spark):
+    df = sdf(spark, [5, 15, -3], "long")
+    diffs = decode_differences(validate.interval(df, "v", min=0, max=10))
+    assert sorted(diffs, key=lambda d: d.deviation) == [
+        Deviation(-3.0, 0),
+        Deviation(5.0, 10),
+    ]
+
+
+def test_interval_one_bound(spark):
+    df = sdf(spark, [5, 15], "long")
+    diffs = decode_differences(validate.interval(df, "v", max=10))
+    assert diffs == [Deviation(5.0, 10)]
+
+
+def test_interval_null_invalid(spark):
+    df = sdf(spark, [None, 5], "long")
+    got = diff_multiset(validate.interval(df, "v", min=0, max=10))
+    assert got == [("invalid", None, None, None, None)]
+
+
+def test_interval_strings(spark):
+    df = sdf(spark, ["aaa", "zzz"])
+    got = diff_multiset(validate.interval(df, "v", min="b", max="y"))
+    assert [g[0] for g in got] == ["invalid", "invalid"]
+
+
+# -------------------------------------------------------------- approx
+
+
+def test_approx_places(spark):
+    df = spark.createDataFrame(
+        [(1.00000001, 1.0), (1.5, 1.0)], "a double, e double"
+    )
+    diffs = decode_differences(validate.approx(df, "a", "e"))
+    assert diffs == [Deviation(0.5, 1.0)]
+
+
+def test_approx_delta(spark):
+    df = spark.createDataFrame([(1.3, 1.0), (1.1, 1.0)], "a double, e double")
+    diffs = decode_differences(validate.approx(df, "a", "e", delta=0.2))
+    assert len(diffs) == 1 and abs(diffs[0].deviation - 0.3) < 1e-9
+
+
+# -------------------------------------------------------------- fuzzy
+
+
+def test_fuzzy(spark):
+    df = spark.createDataFrame(
+        [("aaax", "aaaa"), ("abcd", "wxyz"), ("same", "same")], "a string, e string"
+    )
+    got = diff_multiset(validate.fuzzy(df, "a", "e", cutoff=0.6))
+    assert got == [("invalid", None, "abcd", "wxyz", None)]
+
+
+# -------------------------------------------------------------- mapping
+
+
+def test_mapping_scalar_numeric(spark):
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "k string, v long")
+    diffs = decode_differences(
+        validate(df, "v", {"A": 1, "B": 3}, key_columns="k", value_column="v")
+    )
+    assert diffs == [Deviation(-1.0, 3)]
+
+
+def test_mapping_missing_extra(spark):
+    df = spark.createDataFrame([("A", 1), ("X", 9)], "k string, v long")
+    got = diff_multiset(
+        validate(df, "v", {"A": 1, "B": 3}, key_columns="k", value_column="v")
+    )
+    assert got == [
+        ("extra", "X", "9", None, None),
+        ("missing", "B", "3", None, None),
+    ]
+
+
+def test_mapping_string_invalid(spark):
+    df = spark.createDataFrame([("A", "x"), ("B", "q")], "k string, v string")
+    got = diff_multiset(
+        validate(df, "v", {"A": "x", "B": "y"}, key_columns="k", value_column="v")
+    )
+    assert got == [("invalid", "B", "q", "y", None)]
+
+
+def test_mapping_lookup_dataframe(spark):
+    df = spark.createDataFrame([("A", 10.0), ("B", 20.0)], "k string, v double")
+    req = spark.createDataFrame([("A", 10.0), ("B", 25.0)], "k string, expected double")
+    got = diff_multiset(validate.mapping(df, "k", req, "v"))
+    assert got == [("deviation", "B", "20.0", "25.0", -5.0)]
+
+
+# -------------------------------------------------------------- order
+
+
+def test_order_positional(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "x"), (2, "c")], "i long, v string"
+    )
+    got = diff_multiset(validate.order(df, "v", ["a", "b", "c"], order_by="i"))
+    assert got == [
+        ("extra", None, '["1","x"]', None, None),
+        ("missing", None, '["1","b"]', None, None),
+    ]
+
+
+def test_order_length_mismatch(spark):
+    df = spark.createDataFrame([(0, "a")], "i long, v string")
+    got = diff_multiset(validate.order(df, "v", ["a", "b"], order_by="i"))
+    assert got == [("missing", None, '["1","b"]', None, None)]
+
+
+def test_order_exact_difflib(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "x"), (3, "c")], "i long, v string"
+    )
+    got = diff_multiset(
+        validate.order_exact(df, "v", ["a", "b", "c"], order_by="i")
+    )
+    assert got == [("extra", None, '[2,"x"]', None, None)]
+
+
+# -------------------------------------------------------------- dispatch
+
+
+def test_autodispatch_set(spark):
+    df = sdf(spark, ["x", "z"])
+    diffs = decode_differences(validate(df, "v", {"x"}))
+    assert diffs == [Extra("z")]
+
+
+def test_autodispatch_predicate(spark):
+    df = sdf(spark, ["x", "z"])
+    got = diff_multiset(validate(df, "v", "x"))
+    assert got == [("invalid", None, "z", None, None)]
