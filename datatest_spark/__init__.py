@@ -20,6 +20,11 @@ from .plans.differences import (  # noqa: F401
     union_differences,
 )
 from .plans.predicate import PredicateSpec, compile_predicate  # noqa: F401
+from .operators.acceptances import (  # noqa: F401
+    Acceptance,
+    accepted,
+    apply_acceptance,
+)
 from .operators.validation import (  # noqa: F401
     ValidationError,
     raise_if_invalid,

@@ -1,0 +1,331 @@
+"""Acceptances: declarative filters over difference rows.
+
+Re-expresses the reference's acceptance context-managers
+(``datatest/acceptances.py``: accepted / accepted.keys / .args /
+.tolerance / .percent / .fuzzy / .count and ``&``/``|`` composition —
+SURVEY.md §2.4) as compiled filters over the difference DataFrame.
+Where the reference intercepts a ``ValidationError`` and walks its
+differences in Python, this engine never materializes them: an
+acceptance *marks* rows accepted inside the same Catalyst plan and the
+survivors flow on to the verdict/sink stages.
+
+Semantics pinned (reference mount was empty — SURVEY.md §0):
+
+* a single difference instance / class accepts **all** equal/matching
+  differences (element scope);
+* a **list** accepts on a one-to-one basis — multiset consumption, each
+  listed difference admits one matching row (deterministic: rows are
+  consumed in canonical order via a window row_number);
+* a **dict** applies per-key lists/instances (group scope);
+* ``tolerance``/``percent`` accept Deviations within bounds (numeric
+  Missing/Extra are treated as full-value deviations);
+* ``count(n)`` accepts up to n differences (whole scope; per-group with
+  ``scope='group'``), choosing *which* n deterministically by canonical
+  order;
+* ``a & b`` = both accept (min scope), ``a | b`` = either accepts (max
+  scope).  Quota acceptances (list/dict/count) compute their quota
+  independently of the sibling branch — a documented deviation for
+  exotic compositions (reference applies element→group→whole in order).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.differences import (
+    CANONICAL_ORDER,
+    KIND_DEVIATION,
+    KIND_EXTRA,
+    KIND_INVALID,
+    KIND_MISSING,
+    BaseDifference,
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    NOVALUE,
+)
+from ..plans.predicate import compile_predicate
+
+_KIND_OF = {Missing: KIND_MISSING, Extra: KIND_EXTRA, Invalid: KIND_INVALID, Deviation: KIND_DEVIATION}
+
+def _order_cols():
+    return [F.col(c).asc_nulls_first() for c in CANONICAL_ORDER]
+
+
+def _canon_lit(v: Any) -> Column:
+    """Literal → canonical string form used in difference rows."""
+    if v is None:
+        return F.lit(None).cast("string")
+    if isinstance(v, bool):
+        return F.lit("true" if v else "false")
+    if isinstance(v, float) and v.is_integer():
+        return F.lit(repr(v))
+    return F.lit(str(v))
+
+
+def _instance_match(d: BaseDifference) -> Column:
+    """Boolean column: row equals the given difference instance."""
+    kind = _KIND_OF[type(d)]
+    cond = F.col("diff_kind") == F.lit(kind)
+    if isinstance(d, Deviation):
+        dev = float(d.deviation)
+        if math.isnan(dev):
+            cond = cond & F.isnan(F.col("deviation"))
+        else:
+            cond = cond & (F.col("deviation") == F.lit(dev))
+        cond = cond & F.col("expected").eqNullSafe(_canon_lit(d.expected))
+    elif isinstance(d, Invalid):
+        cond = cond & F.col("value").eqNullSafe(_canon_lit(d.invalid))
+        if d.expected is not NOVALUE:
+            cond = cond & F.col("expected").eqNullSafe(_canon_lit(d.expected))
+    else:
+        cond = cond & F.col("value").eqNullSafe(_canon_lit(d.value))
+    return cond
+
+
+class Acceptance:
+    """Base: compiles to an 'accepted' boolean over difference rows."""
+
+    scope = "element"
+
+    def mark(self, df: DataFrame) -> Column:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __and__(self, other: "Acceptance") -> "Acceptance":
+        return _Combined(self, other, how="and")
+
+    def __or__(self, other: "Acceptance") -> "Acceptance":
+        return _Combined(self, other, how="or")
+
+
+class _PredicateAcceptance(Acceptance):
+    def __init__(self, make_col, scope="element"):
+        self._make = make_col
+        self.scope = scope
+
+    def mark(self, df: DataFrame) -> Column:
+        return F.coalesce(self._make(df), F.lit(False))
+
+
+class _QuotaAcceptance(Acceptance):
+    """Accept up to n rows matching a filter, in canonical order.
+
+    Implements list/dict multiset consumption and count(): a window
+    row_number over the canonical sort picks *which* rows are accepted
+    deterministically — required for byte-identical output.
+    """
+
+    def __init__(self, inner: Optional[Column], n: int, group_cols: Sequence[str], scope: str):
+        self.inner = inner
+        self.n = n
+        self.group_cols = list(group_cols)
+        self.scope = scope
+
+    def mark(self, df: DataFrame) -> Column:
+        inner = self.inner if self.inner is not None else F.lit(True)
+        inner = F.coalesce(inner, F.lit(False))
+        if self.group_cols:
+            w = Window.partitionBy(*self.group_cols).orderBy(*_order_cols())
+        else:
+            w = Window.partitionBy().orderBy(*_order_cols())
+        # rows failing `inner` must not consume quota: rank only matches
+        rn = F.sum(F.when(inner, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return inner & (rn <= F.lit(self.n))
+
+
+class _MultisetAcceptance(Acceptance):
+    """A list of difference instances — one-to-one consumption."""
+
+    def __init__(self, diffs: Sequence[BaseDifference], key: Optional[str] = None):
+        self.diffs = list(diffs)
+        self.key = key
+        self.scope = "group" if key is not None else "element"
+
+    def mark(self, df: DataFrame) -> Column:
+        # group equal instances → quota per distinct difference shape
+        from collections import Counter
+
+        counts = Counter()
+        shapes = {}
+        for d in self.diffs:
+            k = repr(d)
+            counts[k] += 1
+            shapes[k] = d
+        out = F.lit(False)
+        part_cols = ["check_id", "diff_kind", "value", "expected", "deviation"]
+        if self.key is not None:
+            part_cols = ["key"] + part_cols
+        w = Window.partitionBy(*part_cols).orderBy(*_order_cols())
+        rn = F.row_number().over(w)
+        for k, n in counts.items():
+            d = shapes[k]
+            cond = _instance_match(d)
+            if self.key is not None:
+                cond = cond & F.col("key").eqNullSafe(_canon_lit(self.key))
+            out = out | (cond & (rn <= F.lit(n)))
+        return out
+
+
+class _Combined(Acceptance):
+    def __init__(self, a: Acceptance, b: Acceptance, how: str):
+        self.a, self.b, self.how = a, b, how
+        order = {"element": 0, "group": 1, "whole": 2}
+        self.scope = (
+            min(a.scope, b.scope, key=order.get)
+            if how == "and"
+            else max(a.scope, b.scope, key=order.get)
+        )
+
+    def mark(self, df: DataFrame) -> Column:
+        ma, mb = self.a.mark(df), self.b.mark(df)
+        return (ma & mb) if self.how == "and" else (ma | mb)
+
+
+# ---------------------------------------------------------------------------
+# factory — mirrors the reference's `accepted` callable + named methods
+# ---------------------------------------------------------------------------
+
+
+class _AcceptedFactory:
+    """accepted(...) and accepted.keys/.args/.tolerance/.percent/.fuzzy/.count."""
+
+    def __call__(self, obj: Any) -> Acceptance:
+        if isinstance(obj, BaseDifference):
+            # instance: accepts all equal differences
+            return _PredicateAcceptance(lambda df: _instance_match(obj))
+        if isinstance(obj, type) and issubclass(obj, BaseDifference):
+            kind = _KIND_OF[obj]
+            return _PredicateAcceptance(
+                lambda df: F.col("diff_kind") == F.lit(kind)
+            )
+        if isinstance(obj, (list, tuple)):
+            return _MultisetAcceptance(obj)
+        if isinstance(obj, Mapping):
+            accs = [
+                _MultisetAcceptance(
+                    v if isinstance(v, (list, tuple)) else [v], key=k
+                )
+                for k, v in obj.items()
+            ]
+            out = accs[0]
+            for a in accs[1:]:
+                out = out | a
+            return out
+        raise TypeError(f"cannot accept {obj!r}")
+
+    @staticmethod
+    def keys(predicate: Any) -> Acceptance:
+        """Accept diffs whose mapping key matches the predicate."""
+        return _PredicateAcceptance(
+            lambda df: compile_predicate(
+                _coerce_str_predicate(predicate), F.col("key")
+            )
+        )
+
+    @staticmethod
+    def args(predicate: Any) -> Acceptance:
+        """Accept diffs whose args match.  Deviation args=(deviation,
+        expected) → predicate applies to the numeric deviation; other
+        kinds → predicate applies to the canonical value string."""
+        def make(df):
+            is_dev = F.col("diff_kind") == F.lit(KIND_DEVIATION)
+            dev_match = compile_predicate(predicate, F.col("deviation"))
+            val_match = compile_predicate(
+                _coerce_str_predicate(predicate), F.col("value")
+            )
+            return F.when(is_dev, dev_match).otherwise(val_match)
+
+        return _PredicateAcceptance(make)
+
+    @staticmethod
+    def tolerance(lower, upper=None) -> Acceptance:
+        """Deviation (and numeric Missing/Extra) within [lower, upper];
+        single-arg form = symmetric ±tolerance."""
+        if upper is None:
+            lower, upper = -abs(lower), abs(lower)
+
+        def make(df):
+            dev = F.col("deviation")
+            is_dev = (F.col("diff_kind") == KIND_DEVIATION) & dev.between(lower, upper)
+            # try_cast: ANSI mode errors on non-numeric strings otherwise
+            num_val = F.col("value").try_cast("double")
+            is_numeric_me = (
+                F.col("diff_kind").isin([KIND_MISSING, KIND_EXTRA])
+                & num_val.isNotNull()
+                & num_val.between(lower, upper)
+            )
+            return is_dev | is_numeric_me
+
+        return _PredicateAcceptance(make)
+
+    @staticmethod
+    def percent(lower, upper=None) -> Acceptance:
+        """|deviation/expected| within bound (expected=0 → never)."""
+        if upper is None:
+            lower, upper = -abs(lower), abs(lower)
+
+        def make(df):
+            exp = F.col("expected").try_cast("double")
+            ratio = F.col("deviation") / exp
+            return (
+                (F.col("diff_kind") == KIND_DEVIATION)
+                & exp.isNotNull()
+                & (exp != 0)
+                & ratio.between(lower, upper)
+            )
+
+        return _PredicateAcceptance(make)
+
+    @staticmethod
+    def fuzzy(cutoff: float = 0.6) -> Acceptance:
+        """Invalid whose value fuzzy-matches its expected (difflib ratio)."""
+        from .requirements import _fuzzy_ratio_udf
+
+        def make(df):
+            ratio = _fuzzy_ratio_udf()(F.col("value"), F.col("expected"))
+            return (
+                (F.col("diff_kind") == KIND_INVALID)
+                & F.col("expected").isNotNull()
+                & (ratio >= F.lit(float(cutoff)))
+            )
+
+        return _PredicateAcceptance(make)
+
+    @staticmethod
+    def count(n: int, scope: str = "whole") -> Acceptance:
+        """Up to n differences total; scope='group' counts per mapping key."""
+        group = ["key"] if scope == "group" else []
+        return _QuotaAcceptance(None, n, group, scope)
+
+
+def _coerce_str_predicate(predicate: Any) -> Any:
+    """Keys/values live canonically encoded as strings in diff rows;
+    coerce scalar/set literals so 5 matches '5'."""
+    if isinstance(predicate, (int, float)) and not isinstance(predicate, bool):
+        return str(predicate)
+    if isinstance(predicate, (set, frozenset)):
+        return {
+            str(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else v
+            for v in predicate
+        }
+    return predicate
+
+
+accepted = _AcceptedFactory()
+
+
+def apply_acceptance(diff_df: DataFrame, acceptance: Acceptance) -> DataFrame:
+    """Filter: keep only differences NOT admitted by the acceptance."""
+    mark = acceptance.mark(diff_df)
+    return (
+        diff_df.withColumn("_accepted", F.coalesce(mark, F.lit(False)))
+        .filter(~F.col("_accepted"))
+        .drop("_accepted")
+    )

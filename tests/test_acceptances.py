@@ -1,0 +1,179 @@
+"""Acceptance parity tests — reference test_acceptances.py style:
+which differences survive each acceptance / composition (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datatest_spark import (
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    accepted,
+    apply_acceptance,
+    validate,
+)
+
+from .conftest import diff_multiset
+
+
+def sdf(spark, values, type_="string", name="v"):
+    return spark.createDataFrame([(v,) for v in values], f"{name} {type_}")
+
+
+def survivors(diff_df, acc):
+    return diff_multiset(apply_acceptance(diff_df, acc))
+
+
+# ----------------------------------------------------------- accepted(...)
+
+
+def test_accepted_instance_accepts_all_equal(spark):
+    df = sdf(spark, ["a", "b", "b", "c"])
+    diffs = validate.subset(df, "v", {"c"})  # Extra('a'), Extra('b')
+    rem = survivors(diffs, accepted(Extra("a")))
+    assert rem == [("extra", None, "b", None, None)]
+
+
+def test_accepted_class_accepts_all_of_kind(spark):
+    df = sdf(spark, ["x", "q"])
+    diffs = validate.set(df, "v", {"x", "z"})  # Missing('z'), Extra('q')
+    rem = survivors(diffs, accepted(Extra))
+    assert rem == [("missing", None, "z", None, None)]
+
+
+def test_accepted_list_multiset_consumption(spark):
+    df = sdf(spark, ["a", "a", "a", "b"])
+    diffs = validate.unique(df, "v")  # Extra('a') x2
+    # list with ONE Extra('a') accepts exactly one of the two
+    rem = survivors(diffs, accepted([Extra("a")]))
+    assert rem == [("extra", None, "a", None, None)]
+    # list with two accepts both
+    assert survivors(diffs, accepted([Extra("a"), Extra("a")])) == []
+
+
+def test_accepted_dict_per_key(spark):
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "k string, v long")
+    diffs = validate(df, "v", {"A": 2, "B": 3}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted({"A": [Deviation(-1, 2)]}))
+    assert rem == [("deviation", "B", "2", "3", -1.0)]
+
+
+# ----------------------------------------------------------- keys / args
+
+
+def test_accepted_keys(spark):
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "k string, v long")
+    diffs = validate(df, "v", {"A": 9, "B": 9}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted.keys("A"))
+    assert [r[1] for r in rem] == ["B"]
+
+
+def test_accepted_keys_callable(spark):
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "k string, v long")
+    diffs = validate(df, "v", {"A": 9, "B": 9}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted.keys(lambda k: k == "B"))
+    assert [r[1] for r in rem] == ["A"]
+
+
+def test_accepted_args_deviation(spark):
+    df = sdf(spark, [5, 15], "long")
+    diffs = validate.interval(df, "v", min=0, max=10)  # Deviation(5, 10)
+    rem = survivors(diffs, accepted.args(5.0))
+    assert rem == []
+
+
+def test_accepted_args_value(spark):
+    df = sdf(spark, ["x", "y"])
+    diffs = validate.predicate(df, "v", "z")
+    rem = survivors(diffs, accepted.args("x"))
+    assert [r[2] for r in rem] == ["y"]
+
+
+# ----------------------------------------------------------- tolerance / percent
+
+
+def test_tolerance_symmetric(spark):
+    df = spark.createDataFrame([("A", 98.0), ("B", 105.0)], "k string, v double")
+    diffs = validate(df, "v", {"A": 100.0, "B": 100.0}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted.tolerance(2))
+    assert [(r[1], r[4]) for r in rem] == [("B", 5.0)]
+
+
+def test_tolerance_asymmetric(spark):
+    df = spark.createDataFrame([("A", 98.0), ("B", 103.0)], "k string, v double")
+    diffs = validate(df, "v", {"A": 100.0, "B": 100.0}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted.tolerance(0, 4))  # only positive dev ≤ 4
+    assert [(r[1], r[4]) for r in rem] == [("A", -2.0)]
+
+
+def test_tolerance_numeric_missing(spark):
+    df = sdf(spark, [1, 2], "long")
+    diffs = validate.superset(df, "v", {1, 2, 3})  # Missing(3)
+    assert survivors(diffs, accepted.tolerance(5)) == []
+
+
+def test_percent(spark):
+    df = spark.createDataFrame([("A", 102.0), ("B", 150.0)], "k string, v double")
+    diffs = validate(df, "v", {"A": 100.0, "B": 100.0}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted.percent(0.05))
+    assert [(r[1], r[4]) for r in rem] == [("B", 50.0)]
+
+
+# ----------------------------------------------------------- fuzzy / count
+
+
+def test_accepted_fuzzy(spark):
+    df = spark.createDataFrame(
+        [("A", "aaax"), ("B", "zzzz")], "k string, v string"
+    )
+    diffs = validate(
+        df, "v", {"A": "aaaa", "B": "aaaa"}, key_columns="k", value_column="v"
+    )
+    rem = survivors(diffs, accepted.fuzzy(cutoff=0.6))
+    assert [r[1] for r in rem] == ["B"]
+
+
+def test_accepted_count_whole(spark):
+    df = sdf(spark, ["a", "b", "c", "d"])
+    diffs = validate.subset(df, "v", {"d"})  # 3 extras
+    rem = survivors(diffs, accepted.count(2))
+    # deterministic: canonical order accepts 'a','b'; 'c' survives
+    assert rem == [("extra", None, "c", None, None)]
+
+
+def test_accepted_count_group(spark):
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 2), ("B", 2)], "k string, v long"
+    )
+    diffs = validate(
+        df, "v", {"A": 9, "B": 9}, key_columns="k", value_column="v"
+    )  # 2 deviations per key
+    rem = survivors(diffs, accepted.count(1, scope="group"))
+    assert sorted(r[1] for r in rem) == ["A", "B"]
+
+
+# ----------------------------------------------------------- composition
+
+
+def test_intersection(spark):
+    df = spark.createDataFrame([("A", 98.0), ("B", 105.0)], "k string, v double")
+    diffs = validate(df, "v", {"A": 100.0, "B": 100.0}, key_columns="k", value_column="v")
+    # both must accept: tolerance(10) accepts both, keys('A') accepts A
+    rem = survivors(diffs, accepted.tolerance(10) & accepted.keys("A"))
+    assert [r[1] for r in rem] == ["B"]
+
+
+def test_union(spark):
+    df = spark.createDataFrame([("A", 98.0), ("B", 105.0)], "k string, v double")
+    diffs = validate(df, "v", {"A": 100.0, "B": 100.0}, key_columns="k", value_column="v")
+    rem = survivors(diffs, accepted.tolerance(3) | accepted.keys("B"))
+    assert rem == []
+
+
+def test_scope_resolution(spark):
+    acc = accepted.tolerance(1) & accepted.count(5)
+    assert acc.scope == "element"
+    acc2 = accepted.tolerance(1) | accepted.count(5)
+    assert acc2.scope == "whole"
