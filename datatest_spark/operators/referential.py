@@ -1,0 +1,91 @@
+"""Inter-table referential integrity (north_rule: "referential checks use
+salted repartition-by-key aggregation with explicit skew mitigation").
+
+The reference has no joins at all (set ops are Python set diffs —
+SURVEY.md §2.5); this operator is the distributed generalization its
+users need: every child FK must exist in the parent.  Orphans emit
+Missing(fk_value) difference rows with row provenance.
+
+Plan shapes, chosen by arguments:
+
+* ``broadcast_parent=True`` (small dims): parent keys are DISTINCT'd
+  then broadcast — zero shuffle of the child (the common case: repos,
+  langs, enum tables).
+* default: shuffle anti-join, AQE skew-join enabled by the session.
+* ``salt_buckets=k``: explicit skew mitigation — the parent key relation
+  is replicated k× with a salt column, each child row gets a
+  deterministic salt, and the anti-join runs on (key, salt): a hot FK's
+  rows spread over k reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.differences import KIND_MISSING, canon_col, make_differences
+from .requirements import _cols, _tuple_canon
+
+ColumnsArg = Union[str, Sequence[str]]
+
+
+def check_referential(
+    child: DataFrame,
+    child_keys: ColumnsArg,
+    parent: DataFrame,
+    parent_keys: ColumnsArg,
+    *,
+    check_id: str = "referential",
+    broadcast_parent: bool = True,
+    salt_buckets: Optional[int] = None,
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """Missing(fk) for every child row whose FK is absent from parent."""
+    ck = _cols(child_keys)
+    pk = _cols(parent_keys)
+    if len(ck) != len(pk):
+        raise ValueError("child/parent key arity mismatch")
+
+    pkeys = parent.select(*[F.col(p).alias(f"_pk_{i}") for i, p in enumerate(pk)]).distinct()
+
+    if salt_buckets:
+        k = int(salt_buckets)
+        # replicate parent keys k× so every (key, salt) pair exists;
+        # child rows take a deterministic per-row salt → hot keys fan out
+        pkeys = pkeys.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        )
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in child.columns], F.lit(7)), F.lit(k)
+        )
+        child = child.withColumn("_salt", salt)
+
+    if broadcast_parent and not salt_buckets:
+        pkeys = F.broadcast(pkeys)
+
+    cond = None
+    for i, c in enumerate(ck):
+        eq = F.col(c).eqNullSafe(F.col(f"_pk_{i}"))
+        cond = eq if cond is None else cond & eq
+    if salt_buckets:
+        cond = cond & (child["_salt"] == pkeys["_salt"])
+
+    orphans = child.join(pkeys, cond, "left_anti")
+
+    value = (
+        canon_col(F.col(ck[0]))
+        if len(ck) == 1
+        else _tuple_canon([F.col(c) for c in ck])
+    )
+    return make_differences(
+        orphans,
+        check_id=check_id,
+        kind=KIND_MISSING,
+        value=value,
+        expected=F.lit(f"fk in {'.'.join(pk)}"),
+        provenance=provenance,
+        partition_id=partition_id,
+    )

@@ -1,0 +1,325 @@
+"""Per-column statistics (single fused pass), baseline snapshots, drift checks.
+
+north_star requirement: "Per-column statistics (count/null-rate/distinct/
+min-max/quantile sketches) are computed in a single partition-parallel
+pass", plus distribution-drift checks (chi-square over categorical
+histograms, quantile deltas) against a frozen baseline snapshot, emitting
+datatest-style Deviation rows with acceptance tolerances.
+
+Design (scale-first):
+
+* ``column_stats`` builds ONE ``agg()`` containing every per-column
+  aggregate, then reshapes the single result row to long format with an
+  ``explode`` *inside the same plan* — one scan, one partial+final
+  aggregation, no per-column jobs.
+* ``histograms`` computes all categorical histograms in ONE shuffle by
+  exploding (column_name, value) pairs before a single groupBy.
+* quantiles default to ``percentile_approx`` (a mergeable sketch —
+  constant memory per partition); ``exact=True`` switches to exact
+  ``percentile`` for oracle comparison at small scale.
+* drift checks are broadcast joins of tiny stat relations — never touch
+  the raw data again.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.differences import KIND_DEVIATION, make_differences, union_differences
+from ..plans.predicate import is_numeric_dtype
+
+DECILES = [i / 10.0 for i in range(11)]  # 0.0 .. 1.0
+
+STATS_SCHEMA_DOC = (
+    "(table_name, column_name, row_count, null_count, n_distinct, "
+    "min_val, max_val, quantiles array<double>)"
+)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    *,
+    table_name: str = "table",
+    exact: bool = False,
+    quantile_accuracy: int = 10_000,
+) -> DataFrame:
+    """All per-column stats in one fused aggregation pass.
+
+    Returns long-format rows: one per column, schema STATS_SCHEMA_DOC.
+    ``exact=True`` uses exact distinct counts and exact interpolated
+    percentiles (small-scale oracle mode); default uses
+    ``approx_count_distinct`` + ``percentile_approx`` sketches, both
+    mergeable and constant-memory at 10^12-row scale.
+    """
+    cols = list(columns) if columns else df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rc")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"_nn_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"_nd_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+        if is_numeric_dtype(df.schema[c].dataType):
+            q = (
+                F.percentile(col, F.lit(DECILES))
+                if exact
+                else F.percentile_approx(col, F.lit(DECILES), F.lit(quantile_accuracy))
+            )
+            aggs.append(q.cast("array<double>").alias(f"_q_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("array<double>").alias(f"_q_{c}"))
+
+    agg_df = df.agg(*aggs)
+    # reshape to long format inside the same plan (explode of structs)
+    structs = [
+        F.struct(
+            F.lit(table_name).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.col("_rc").cast("long").alias("row_count"),
+            (F.col("_rc") - F.col(f"_nn_{c}")).cast("long").alias("null_count"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_val"),
+            F.col(f"_max_{c}").alias("max_val"),
+            F.col(f"_q_{c}").alias("quantiles"),
+        )
+        for c in cols
+    ]
+    return agg_df.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def histograms(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    table_name: str = "table",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Categorical value counts for all ``columns`` in ONE shuffle.
+
+    Explodes (column_name, value) pairs then a single groupBy — k
+    histogram columns cost one aggregation, not k.  Returns
+    (table_name, column_name, value, cnt); NULLs appear as value=NULL.
+    ``top_k`` keeps the k most frequent values per column (deterministic
+    tie-break on value) — bounds snapshot size for high-cardinality
+    columns at scale.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    hist = (
+        pairs.groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit(table_name).alias("table_name"), "column_name", "value", "cnt"
+        )
+    )
+    if top_k:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("column_name").orderBy(
+            F.desc("cnt"), F.asc_nulls_first("value")
+        )
+        hist = (
+            hist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# snapshot persistence
+# ---------------------------------------------------------------------------
+
+
+def write_snapshot(
+    stats_df: DataFrame,
+    hist_df: Optional[DataFrame],
+    path: str,
+    snapshot_id: str = "baseline",
+) -> None:
+    """Freeze a stats baseline (FIXTURES.md §3) as parquet."""
+    stats_df.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+    if hist_df is not None:
+        hist_df.withColumn("snapshot_id", F.lit(snapshot_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/hist")
+
+
+def read_snapshot(spark, path: str):
+    stats = spark.read.parquet(f"{path}/stats")
+    try:
+        hist = spark.read.parquet(f"{path}/hist")
+    except Exception:
+        hist = None
+    return stats, hist
+
+
+# ---------------------------------------------------------------------------
+# drift checks → Deviation rows
+# ---------------------------------------------------------------------------
+
+
+def check_chi_square_drift(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    *,
+    threshold: float = 0.0,
+    check_id: str = "chi_square_drift",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Pearson chi-square statistic per column vs the baseline histogram.
+
+    Expected counts are the baseline frequencies rescaled to the current
+    total; categories unseen in the baseline get ``smoothing`` pseudo-
+    counts (keeps the statistic finite when new values appear — the
+    classic test is undefined at expected=0).  Emits one
+    Deviation(statistic, 0) row per column with statistic > threshold;
+    acceptance tolerances decide what drift is acceptable.
+
+    Both inputs are tiny aggregates — the join broadcasts.
+    """
+    cur = current_hist.select(
+        "column_name", "value", F.col("cnt").alias("obs")
+    )
+    base = baseline_hist.select(
+        "column_name", "value", F.col("cnt").alias("base_cnt")
+    )
+    cur_tot = cur.groupBy("column_name").agg(F.sum("obs").alias("cur_total"))
+    base_tot = base.groupBy("column_name").agg(F.sum("base_cnt").alias("base_total"))
+
+    joined = (
+        cur.join(base, ["column_name", "value"], "full_outer")
+        .join(F.broadcast(cur_tot), "column_name")
+        .join(F.broadcast(base_tot), "column_name")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .withColumn(
+            "exp",
+            (F.coalesce(F.col("base_cnt"), F.lit(smoothing)))
+            * F.col("cur_total")
+            / F.col("base_total"),
+        )
+    )
+    stat = (
+        joined.groupBy("column_name")
+        .agg(
+            F.sum(
+                F.pow(F.col("obs") - F.col("exp"), F.lit(2.0)) / F.col("exp")
+            ).alias("chi2")
+        )
+        .filter(F.col("chi2") > F.lit(float(threshold)))
+    )
+    return make_differences(
+        stat,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("column_name"),
+        value=F.col("chi2"),
+        expected=F.lit(0.0),
+        deviation=F.col("chi2"),
+    )
+
+
+def check_quantile_drift(
+    current_stats: DataFrame,
+    baseline_stats: DataFrame,
+    *,
+    threshold: float = 0.0,
+    relative: bool = False,
+    check_id: str = "quantile_drift",
+) -> DataFrame:
+    """Max |decile delta| per numeric column vs the baseline snapshot.
+
+    ``relative=True`` normalizes by the baseline inter-decile range
+    (q90−q10), making the threshold scale-free.  Emits
+    Deviation(max_delta, 0) per drifting column.
+    """
+    cur = current_stats.select("column_name", F.col("quantiles").alias("q_cur"))
+    base = baseline_stats.select("column_name", F.col("quantiles").alias("q_base"))
+    joined = cur.join(F.broadcast(base), "column_name").filter(
+        F.col("q_cur").isNotNull() & F.col("q_base").isNotNull()
+    )
+    deltas = F.zip_with(
+        F.col("q_cur"), F.col("q_base"), lambda a, b: F.abs(a - b)
+    )
+    max_delta = F.array_max(deltas)
+    if relative:
+        spread = F.element_at(F.col("q_base"), 10) - F.element_at(F.col("q_base"), 2)
+        max_delta = F.when(spread > 0, max_delta / spread).otherwise(max_delta)
+    out = (
+        joined.withColumn("_delta", max_delta)
+        .filter(F.col("_delta") > F.lit(float(threshold)))
+    )
+    return make_differences(
+        out,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("column_name"),
+        value=F.col("_delta"),
+        expected=F.lit(0.0),
+        deviation=F.col("_delta"),
+    )
+
+
+def check_stats_bounds(
+    current_stats: DataFrame,
+    *,
+    max_null_rate: Optional[float] = None,
+    min_distinct: Optional[int] = None,
+    check_id: str = "stats_bounds",
+) -> DataFrame:
+    """Declarative bounds over the stats relation itself: per-column
+    null-rate ceiling and distinct-count floor → Deviation rows."""
+    diffs = []
+    if max_null_rate is not None:
+        rate = F.col("null_count") / F.col("row_count")
+        bad = current_stats.filter(rate > F.lit(float(max_null_rate)))
+        diffs.append(
+            make_differences(
+                bad,
+                check_id=f"{check_id}_null_rate",
+                kind=KIND_DEVIATION,
+                key=F.col("column_name"),
+                value=rate,
+                expected=F.lit(float(max_null_rate)),
+                deviation=rate - F.lit(float(max_null_rate)),
+            )
+        )
+    if min_distinct is not None:
+        bad = current_stats.filter(F.col("n_distinct") < F.lit(int(min_distinct)))
+        diffs.append(
+            make_differences(
+                bad,
+                check_id=f"{check_id}_min_distinct",
+                kind=KIND_DEVIATION,
+                key=F.col("column_name"),
+                value=F.col("n_distinct"),
+                expected=F.lit(int(min_distinct)),
+                deviation=(F.col("n_distinct") - F.lit(int(min_distinct))).cast(
+                    "double"
+                ),
+            )
+        )
+    if not diffs:
+        raise ValueError("no bounds given")
+    return union_differences(*diffs)

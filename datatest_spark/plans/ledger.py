@@ -1,0 +1,94 @@
+"""Per-partition lineage + metrics ledger — checkpointed resume.
+
+north_rule: "resumable from a checkpointed per-partition lineage +
+metrics ledger so re-execution skips validated partitions."
+
+The ledger is an append-only parquet table:
+
+    (run_id, partition_id, status, n_rows, n_violations,
+     lineage_hash, engine_version)
+
+* ``completed()`` — partitions already validated OK (latest status wins).
+* ``filter_pending(df)`` — drops completed partitions from the input via
+  a broadcast anti-join on partition_id BEFORE any check runs: with a
+  partition-aligned source (Iceberg partition column) Catalyst turns
+  this into partition pruning and skipped partitions are never read.
+* ``lineage_hash`` — order-independent content hash of a partition's
+  violation rows (sum of per-row xxhash64 over the canonical struct), so
+  a resumed run can prove it reproduced identical output without
+  re-sorting anything.
+
+No wall-clock enters the hashed output (determinism requirement).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # 'ok' | 'failed'
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("n_violations", T.LongType(), True),
+        T.StructField("lineage_hash", T.StringType(), True),
+        T.StructField("engine_version", T.StringType(), True),
+    ]
+)
+
+
+def lineage_hash_col() -> F.Column:
+    """Order-independent per-row hash term; SUM per group = lineage hash.
+
+    Accumulated as decimal(38,0) — summing raw 64-bit hashes overflows
+    long under ANSI arithmetic."""
+    from .differences import DIFF_COLUMNS
+
+    return F.xxhash64(*[F.col(c) for c in DIFF_COLUMNS]).cast("decimal(38,0)")
+
+
+class Ledger:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        # local filesystem check is fine in-sandbox; on a cluster the
+        # ledger would be an Iceberg table and this becomes a catalog hit
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs
+        )
+
+    def read(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+
+    def completed(self) -> DataFrame:
+        """partition_ids whose most recent record is status='ok'."""
+        return (
+            self.read()
+            .filter(F.col("status") == "ok")
+            .select("partition_id")
+            .distinct()
+        )
+
+    def filter_pending(self, df: DataFrame, partition_col: str = "partition_id") -> DataFrame:
+        done = self.completed().withColumnRenamed("partition_id", "_done_pid")
+        return df.join(
+            F.broadcast(done),
+            F.col(partition_col) == F.col("_done_pid"),
+            "left_anti",
+        )
+
+    def record(self, entries: DataFrame) -> None:
+        """Append verdict rows (must match LEDGER_SCHEMA columns)."""
+        entries.select(*[f.name for f in LEDGER_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(self.path)

@@ -1,0 +1,176 @@
+"""Deterministic synthetic `code_files` table (FIXTURES.md §1-3).
+
+The north_rule input shape: (repo, path, commit, lang, content) — an
+Iceberg-shaped source-code table.  Generation is pure Column math over
+``spark.range``: every field is a function of the row id and a fixed
+seed, so any scale factor reproduces identically regardless of
+partitioning or parallelism (no wall-clock, no RNG state, no external
+data).  Used by the engine's own test/bench suites; the driver-provided
+TPC-H-ish tables under /root/testdata are used for the DuckDB oracle
+suite.
+
+Variants:
+
+* ``clean``   — passes every check (golden no-differences case)
+* ``dirty``   — deterministic injected violations with known expected
+                difference rows (unknown/empty/NULL lang, duplicate
+                (repo,path,commit) keys, NULL content, oversized files,
+                orphan repo FKs)
+* ``skewed``  — ~30% of rows land in one hot repo and one hot lang
+                (salted-aggregation / skew-join tests)
+* ``drifted`` — shifted lang weights + content-length distribution
+                (chi-square / quantile drift checks fire)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+
+LANGS = ["python", "java", "go", "rust", "sql", "markdown"]
+# cumulative weight breakpoints out of 100 (clean distribution)
+_LANG_BREAKS = [35, 55, 70, 82, 92, 100]
+# drifted distribution: python shrinks, markdown grows
+_LANG_BREAKS_DRIFTED = [15, 35, 50, 62, 72, 100]
+
+EXT_OF = {
+    "python": "py",
+    "java": "java",
+    "go": "go",
+    "rust": "rs",
+    "sql": "sql",
+    "markdown": "md",
+}
+
+HOT_REPO = "org0/hot-monorepo"
+ORPHAN_REPO = "org999/orphan"
+
+
+def _h(col, salt: int):
+    """Deterministic 64-bit hash stream per row id."""
+    return F.xxhash64(col, F.lit(SEED), F.lit(salt))
+
+
+def _pick_lang(bucket, breaks):
+    expr = None
+    lo = 0
+    for lang, hi in zip(LANGS, breaks):
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        lo = hi
+    return expr.otherwise(F.lit(LANGS[-1]))
+
+
+def code_files(
+    spark: SparkSession,
+    n_rows: int,
+    variant: str = "clean",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Generate the synthetic code_files table at ``n_rows`` scale."""
+    if variant not in ("clean", "dirty", "skewed", "drifted"):
+        raise ValueError(f"unknown variant {variant!r}")
+
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    rid = F.col("id")
+
+    # duplicate-key injection (dirty): rows with id%113==1 clone the key
+    # fields of id-1 → known duplicate (repo,path,commit) pairs
+    eff_id = (
+        F.when((rid % 113 == 1) & (rid > 0), rid - 1).otherwise(rid)
+        if variant == "dirty"
+        else rid
+    )
+
+    repo_i = F.pmod(_h(eff_id, 1), F.lit(7))
+    repo_j = F.pmod(_h(eff_id, 2), F.lit(53))
+    repo = F.concat(F.lit("org"), repo_i, F.lit("/repo"), repo_j)
+    if variant == "skewed":
+        repo = F.when(F.pmod(_h(eff_id, 3), F.lit(10)) < 3, F.lit(HOT_REPO)).otherwise(repo)
+    if variant == "dirty":
+        # orphan FK rows reference a repo absent from the parent table
+        repo = F.when(eff_id % 151 == 0, F.lit(ORPHAN_REPO)).otherwise(repo)
+
+    breaks = _LANG_BREAKS_DRIFTED if variant == "drifted" else _LANG_BREAKS
+    lang_bucket = F.pmod(_h(eff_id, 4), F.lit(100))
+    lang = _pick_lang(lang_bucket, breaks)
+    if variant == "skewed":
+        lang = F.when(F.pmod(_h(eff_id, 3), F.lit(10)) < 3, F.lit("python")).otherwise(lang)
+    if variant == "dirty":
+        lang = (
+            F.when(eff_id % 97 == 0, F.lit("klingon"))
+            .when(eff_id % 101 == 0, F.lit(""))
+            .when(eff_id % 103 == 0, F.lit(None).cast("string"))
+            .otherwise(lang)
+        )
+
+    ext = F.element_at(
+        F.create_map(*[F.lit(x) for kv in EXT_OF.items() for x in kv]),
+        F.coalesce(lang, F.lit("python")),
+    )
+    ext = F.coalesce(ext, F.lit("txt"))
+    dir_i = F.pmod(_h(eff_id, 5), F.lit(17))
+    name_i = F.pmod(_h(eff_id, 6), F.lit(997))
+    path = F.concat(
+        F.lit("src/mod"), dir_i, F.lit("/file_"), name_i, F.lit("_"), eff_id % 113, F.lit("."), ext
+    )
+
+    # ~10 files per commit; 40-hex commit id
+    commit = F.sha1(F.concat(repo, F.lit(":"), (eff_id / 10).cast("long").cast("string")))
+
+    # content: deterministic pseudo-source; length ~ lognormal-ish 50..5000
+    u = (F.pmod(_h(rid, 7), F.lit(1000)) / F.lit(1000.0))  # uniform [0,1)
+    base_len = (F.lit(50) + F.pow(u, F.lit(3.0)) * F.lit(4950.0)).cast("int")
+    if variant == "drifted":
+        base_len = (F.lit(200) + F.pow(u, F.lit(2.0)) * F.lit(6000.0)).cast("int")
+    if variant == "dirty":
+        # oversized files violate the size interval check
+        base_len = F.when(rid % 127 == 0, F.lit(60_000)).otherwise(base_len)
+    line = F.concat(
+        F.lit("def fn_"), F.conv(F.pmod(_h(rid, 8), F.lit(2**31)).cast("string"), 10, 16),
+        F.lit("(x):\n    return x + "), (rid % 7).cast("string"), F.lit("\n"),
+    )
+    content = F.substring(F.repeat(line, (base_len / F.length(line) + 1).cast("int")), 1, base_len)
+    if variant == "dirty":
+        content = F.when(rid % 103 == 0, F.lit(None).cast("string")).otherwise(content)
+
+    return df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def repos_table(spark: SparkSession, code_df: DataFrame) -> DataFrame:
+    """Referential-integrity parent: distinct repos of a (clean) child,
+    with per-repo majority lang and a deterministic active flag
+    (FIXTURES.md §2).  The dirty child's ORPHAN_REPO is never here."""
+    by_lang = (
+        code_df.filter(F.col("repo") != ORPHAN_REPO)
+        .groupBy("repo", "lang")
+        .count()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo").orderBy(F.desc("count"), F.asc("lang"))
+    majority = (
+        by_lang.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("repo", F.col("lang").alias("default_lang"))
+    )
+    return majority.withColumn(
+        "active", F.pmod(F.xxhash64(F.col("repo"), F.lit(SEED)), F.lit(2)) == 0
+    )
+
+
+def with_partition_id(df: DataFrame, buckets: int = 16):
+    """Ledger partition: stable repo bucket (north_rule per-partition
+    verdicts + resume).  partition_id = 'b<k>' with k = hash(repo) mod n."""
+    return df.withColumn(
+        "partition_id",
+        F.concat(F.lit("b"), F.pmod(F.xxhash64(F.col("repo"), F.lit(SEED)), F.lit(buckets))),
+    )

@@ -1,0 +1,205 @@
+"""ValidationSuite — the engine's query lifecycle (SURVEY.md §3.2).
+
+spec construction (lazy) → ledger anti-join (resume) → ONE fused job:
+all checks' difference plans unioned → acceptance filters → per-partition
+verdict aggregation → deterministic sink + ledger upsert → driver raises
+iff unaccepted differences remain.
+
+Scale notes:
+
+* all checks share one scan per input table (Catalyst reuses the
+  cached/pruned source subtree; the union is one job, not N);
+* verdicts are a groupBy on partition_id — tiny output;
+* the violation sink is globally sorted + canonically encoded so the
+  bytes are identical at any parallelism (north_rule).  Violations are
+  assumed ≪ input; for pathological volumes switch ``single_file=False``
+  to get sorted multi-part output with a fixed range partitioner
+  (still deterministic bytes per part).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.acceptances import Acceptance, apply_acceptance
+from .operators.validation import ValidationError, raise_if_invalid
+from .plans.differences import (
+    DIFF_COLUMNS,
+    canonical_sort,
+    union_differences,
+)
+from .plans.ledger import Ledger, lineage_hash_col
+
+__engine_version__ = "0.1.0"
+
+
+@dataclass
+class Check:
+    """A named check: builder(tables) → difference DataFrame."""
+
+    name: str
+    builder: Callable[[dict], DataFrame]
+    acceptance: Optional[Acceptance] = None
+
+
+@dataclass
+class SuiteResult:
+    run_id: str
+    differences: DataFrame  # post-acceptance survivors (lazy)
+    verdicts: DataFrame  # per (partition_id) pass/fail + metrics (lazy)
+    n_violations: int
+    n_partitions_checked: int
+
+    @property
+    def passed(self) -> bool:
+        return self.n_violations == 0
+
+
+class ValidationSuite:
+    """Composable suite of checks over a dict of input DataFrames.
+
+    ``partition_col`` must be present on the primary table (use
+    ``sources.fixtures.with_partition_id`` or an Iceberg partition
+    column); it keys verdicts, the ledger, and resume.
+    """
+
+    def __init__(
+        self,
+        checks: list[Check],
+        *,
+        acceptance: Optional[Acceptance] = None,
+        partition_col: str = "partition_id",
+    ):
+        self.checks = checks
+        self.acceptance = acceptance
+        self.partition_col = partition_col
+
+    def build_differences(self, tables: dict) -> DataFrame:
+        """Union every check's plan (lazy, one job when acted on)."""
+        parts = []
+        for c in self.checks:
+            d = c.builder(tables)
+            if c.acceptance is not None:
+                d = apply_acceptance(d, c.acceptance)
+            parts.append(d)
+        diffs = union_differences(*parts)
+        if self.acceptance is not None:
+            diffs = apply_acceptance(diffs, self.acceptance)
+        return diffs
+
+    def run(
+        self,
+        tables: dict,
+        *,
+        primary: str,
+        ledger: Optional[Ledger] = None,
+        run_id: Optional[str] = None,
+        sink_path: Optional[str] = None,
+        single_file: bool = True,
+        raise_on_failure: bool = False,
+    ) -> SuiteResult:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        main = tables[primary]
+        if ledger is not None:
+            main = ledger.filter_pending(main, self.partition_col)
+            tables = {**tables, primary: main}
+
+        diffs = self.build_differences(tables)
+
+        # per-partition verdicts: rows checked vs violations found.
+        # (two aggregations over tiny/pruned relations — the diff agg
+        # reuses the diff plan, the row count scans only partition_col)
+        part_rows = main.groupBy(
+            F.col(self.partition_col).alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        diff_stats = (
+            diffs.groupBy(F.col("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_violations"),
+                F.sum(lineage_hash_col()).cast("string").alias("lineage_hash"),
+            )
+        )
+        # full_outer: checks without a partition_id (set/unique on distinct
+        # values) land in a synthetic '__global__' verdict row so their
+        # violations are never dropped from the totals
+        verdicts = (
+            part_rows.join(diff_stats, "partition_id", "full_outer")
+            .withColumn(
+                "partition_id", F.coalesce(F.col("partition_id"), F.lit("__global__"))
+            )
+            .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
+            .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
+            .withColumn(
+                "status",
+                F.when(F.col("n_violations") == 0, F.lit("ok")).otherwise(
+                    F.lit("failed")
+                ),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("engine_version", F.lit(__engine_version__))
+            .select(
+                "run_id",
+                "partition_id",
+                "status",
+                "n_rows",
+                "n_violations",
+                "lineage_hash",
+                "engine_version",
+            )
+        )
+
+        if sink_path:
+            write_violations(diffs, sink_path, single_file=single_file)
+            # reuse sink output for the verdict counts? verdicts are tiny;
+            # recomputation is one extra pass over pruned columns only.
+
+        verdicts_rows = verdicts.collect()
+        n_viol = sum(r["n_violations"] for r in verdicts_rows)
+        if ledger is not None:
+            ledger.record(
+                verdicts.sparkSession.createDataFrame(verdicts_rows, verdicts.schema)
+            )
+
+        result = SuiteResult(
+            run_id=run_id,
+            differences=diffs,
+            verdicts=verdicts,
+            n_violations=int(n_viol),
+            n_partitions_checked=len(verdicts_rows),
+        )
+        if raise_on_failure and n_viol:
+            raise_if_invalid(diffs, f"suite run {run_id} failed")
+        return result
+
+
+def violations_json(diffs: DataFrame):
+    """Canonical JSON encoding of difference rows (fixed field order)."""
+    return F.to_json(F.struct(*[F.col(c) for c in DIFF_COLUMNS]))
+
+
+def write_violations(diffs: DataFrame, path: str, *, single_file: bool = True) -> None:
+    """Deterministic violation sink: canonical global sort → canonical
+    JSON lines.  Byte-identical at any parallelism (north_rule)."""
+    sorted_diffs = canonical_sort(diffs)
+    out = sorted_diffs.select(violations_json(sorted_diffs).alias("value"))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+
+
+def violations_sha256(spark: SparkSession, path: str) -> str:
+    """sha256 of the concatenated sorted violation bytes — the
+    cross-parallelism identity artifact reported in BENCH."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(f"{path}/part-*")):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()

@@ -1,0 +1,65 @@
+"""Referential integrity: broadcast / shuffle / salted plans agree."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.referential import check_referential
+from datatest_spark.sources.fixtures import ORPHAN_REPO, code_files, repos_table
+
+from .conftest import diff_multiset
+
+
+def test_orphans_found(spark):
+    child = spark.createDataFrame(
+        [("r1", "a"), ("r2", "b"), ("rX", "c")], "repo string, f string"
+    )
+    parent = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    got = diff_multiset(check_referential(child, "repo", parent, "repo"))
+    assert got == [("missing", None, "rX", "fk in repo", None)]
+
+
+def test_no_orphans(spark):
+    child = spark.createDataFrame([("r1",)], "repo string")
+    parent = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    assert check_referential(child, "repo", parent, "repo").isEmpty()
+
+
+def test_null_fk_is_orphan(spark):
+    child = spark.createDataFrame([(None,), ("r1",)], "repo string")
+    parent = spark.createDataFrame([("r1",)], "repo string")
+    got = diff_multiset(check_referential(child, "repo", parent, "repo"))
+    assert [g[0] for g in got] == ["missing"]
+
+
+def test_salted_matches_broadcast(spark):
+    child = code_files(spark, 3000, "dirty")
+    parent = repos_table(spark, code_files(spark, 3000, "clean"))
+    bcast = diff_multiset(
+        check_referential(child, "repo", parent, "repo", broadcast_parent=True)
+    )
+    salted = diff_multiset(
+        check_referential(
+            child, "repo", parent, "repo", broadcast_parent=False, salt_buckets=8
+        )
+    )
+    assert bcast == salted
+    assert len(bcast) > 0
+    assert all(v[2] == ORPHAN_REPO for v in bcast)
+
+
+def test_multicolumn_fk(spark):
+    child = spark.createDataFrame([("a", 1), ("a", 2)], "k1 string, k2 long")
+    parent = spark.createDataFrame([("a", 1)], "p1 string, p2 long")
+    got = diff_multiset(
+        check_referential(child, ["k1", "k2"], parent, ["p1", "p2"])
+    )
+    assert got == [("missing", None, '["a","2"]', "fk in p1.p2", None)]
+
+
+def test_broadcast_plan_shape(spark):
+    child = code_files(spark, 1000, "dirty")
+    parent = repos_table(spark, code_files(spark, 1000, "clean"))
+    d = check_referential(child, "repo", parent, "repo", broadcast_parent=True)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -1,0 +1,92 @@
+"""Stats pass, snapshots, drift checks (SURVEY.md §2.5 north_rule rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.stats import (
+    check_chi_square_drift,
+    check_quantile_drift,
+    check_stats_bounds,
+    column_stats,
+    histograms,
+    read_snapshot,
+    write_snapshot,
+)
+from datatest_spark.sources.fixtures import code_files
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "b")], "x long, s string"
+    )
+    stats = {r["column_name"]: r for r in column_stats(df, exact=True).collect()}
+    assert stats["x"]["row_count"] == 3
+    assert stats["x"]["null_count"] == 1
+    assert stats["x"]["n_distinct"] == 2
+    assert stats["x"]["min_val"] == "1" and stats["x"]["max_val"] == "2"
+    assert stats["x"]["quantiles"][0] == 1.0 and stats["x"]["quantiles"][-1] == 2.0
+    assert stats["s"]["null_count"] == 0
+    assert stats["s"]["quantiles"] is None
+
+
+def test_column_stats_is_one_job(spark):
+    df = spark.createDataFrame([(i, f"v{i%3}") for i in range(100)], "x long, s string")
+    plan = column_stats(df)._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate over one scan — no unions of per-column subplans
+    assert plan.count("Aggregate") == 1
+
+
+def test_histograms_one_shuffle(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y")], "c1 string, c2 string"
+    )
+    hist = {
+        (r["column_name"], r["value"]): r["cnt"]
+        for r in histograms(df, ["c1", "c2"]).collect()
+    }
+    assert hist[("c1", "a")] == 2 and hist[("c2", "y")] == 2
+    plan = histograms(df, ["c1", "c2"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
+
+
+def test_chi_square_fires_on_drift(spark):
+    clean = code_files(spark, 4000, "clean")
+    drifted = code_files(spark, 4000, "drifted")
+    base = histograms(clean, ["lang"])
+    cur = histograms(drifted, ["lang"])
+    diffs = check_chi_square_drift(cur, base, threshold=10.0).collect()
+    assert len(diffs) == 1
+    assert diffs[0]["key"] == "lang" and diffs[0]["deviation"] > 10.0
+    # no drift against itself
+    same = check_chi_square_drift(base, base, threshold=10.0).collect()
+    assert same == []
+
+
+def test_quantile_drift(spark):
+    clean = code_files(spark, 4000, "clean").select(F.length("content").alias("len"))
+    drifted = code_files(spark, 4000, "drifted").select(F.length("content").alias("len"))
+    base = column_stats(clean, ["len"], exact=True)
+    cur = column_stats(drifted, ["len"], exact=True)
+    diffs = check_quantile_drift(cur, base, threshold=50.0).collect()
+    assert len(diffs) == 1 and diffs[0]["key"] == "len"
+    assert check_quantile_drift(base, base, threshold=0.0).collect() == []
+
+
+def test_stats_bounds(spark):
+    df = spark.createDataFrame([(None,), (None,), (1,)], "x long")
+    stats = column_stats(df, exact=True)
+    diffs = check_stats_bounds(stats, max_null_rate=0.5).collect()
+    assert len(diffs) == 1 and diffs[0]["key"] == "x"
+    assert abs(diffs[0]["deviation"] - (2 / 3 - 0.5)) < 1e-9
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    df = code_files(spark, 1000, "clean")
+    stats = column_stats(df, ["lang"], exact=True)
+    hist = histograms(df, ["lang"])
+    write_snapshot(stats, hist, str(tmp_path / "snap"), snapshot_id="s1")
+    s2, h2 = read_snapshot(spark, str(tmp_path / "snap"))
+    assert s2.count() == 1 and h2.count() == 6
+    assert s2.collect()[0]["snapshot_id"] == "s1"

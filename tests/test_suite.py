@@ -1,0 +1,180 @@
+"""Suite lifecycle: fused run, verdicts, deterministic sink, ledger resume
+(SURVEY.md §3.2, §5 items 3-5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import accepted, validate
+from datatest_spark.operators.referential import check_referential
+from datatest_spark.plans.ledger import Ledger
+from datatest_spark.sources.fixtures import (
+    code_files,
+    repos_table,
+    with_partition_id,
+)
+from datatest_spark.suite import (
+    Check,
+    ValidationSuite,
+    violations_sha256,
+    write_violations,
+)
+
+LANG_SET = {"python", "java", "go", "rust", "sql", "markdown"}
+
+
+def _suite():
+    pid = F.col("partition_id")
+    return ValidationSuite(
+        [
+            Check(
+                "lang_subset",
+                lambda t: validate.subset(t["code"], "lang", LANG_SET, check_id="lang_subset"),
+            ),
+            Check(
+                "content_not_null",
+                lambda t: validate.predicate(
+                    t["code"],
+                    "content",
+                    ~__import__("datatest_spark").PredicateSpec(None),
+                    check_id="content_not_null",
+                    provenance={"repo": "repo", "path": "path", "commit": "commit"},
+                    partition_id=pid,
+                ),
+            ),
+            Check(
+                "repo_fk",
+                lambda t: check_referential(
+                    t["code"], "repo", t["repos"], "repo",
+                    check_id="repo_fk",
+                    provenance={"repo": "repo", "path": "path", "commit": "commit"},
+                    partition_id=pid,
+                ),
+            ),
+            Check(
+                "key_unique",
+                lambda t: validate.unique(
+                    t["code"], ["repo", "path", "commit"],
+                    check_id="key_unique", per_occurrence=False,
+                ),
+            ),
+        ],
+        partition_col="partition_id",
+    )
+
+
+def _tables(spark, variant, n=3000):
+    code = with_partition_id(code_files(spark, n, variant), buckets=8)
+    repos = repos_table(spark, code_files(spark, n, "clean"))
+    return {"code": code, "repos": repos}
+
+
+def test_clean_passes(spark):
+    res = _suite().run(_tables(spark, "clean"), primary="code")
+    assert res.passed
+    assert res.n_partitions_checked == 8
+    assert all(r["status"] == "ok" for r in res.verdicts.collect())
+
+
+def test_dirty_fails_with_verdicts(spark):
+    res = _suite().run(_tables(spark, "dirty"), primary="code")
+    assert not res.passed
+    rows = {r["partition_id"]: r for r in res.verdicts.collect()}
+    assert any(r["status"] == "failed" for r in rows.values())
+    assert sum(r["n_rows"] for r in rows.values()) == 3000
+    kinds = set(
+        r["check_id"] for r in res.differences.select("check_id").distinct().collect()
+    )
+    assert {"lang_subset", "content_not_null", "repo_fk", "key_unique"} <= kinds
+
+
+def test_suite_acceptance(spark):
+    suite = _suite()
+    suite.acceptance = accepted.keys("klingon") | accepted.args("klingon")
+    res = suite.run(_tables(spark, "dirty"), primary="code")
+    vals = [r["value"] for r in res.differences.filter("check_id='lang_subset'").collect()]
+    assert "klingon" not in vals
+
+
+def test_deterministic_sink_across_parallelism(spark, tmp_path):
+    """Byte-identical violation output at different partition counts —
+    the sandbox form of the north_rule cross-cluster-size requirement."""
+    t = _tables(spark, "dirty")
+    diffs = _suite().build_differences(t)
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    write_violations(diffs.repartition(2), p1)
+    write_violations(diffs.repartition(16), p2)
+    h1 = violations_sha256(spark, p1)
+    h2 = violations_sha256(spark, p2)
+    assert h1 == h2
+
+
+def _partitioned_suite():
+    """Only partition-scoped checks — the resume unit (global checks like
+    set/unique-on-distinct re-run in full on resume by design)."""
+    pid = F.col("partition_id")
+    return ValidationSuite(
+        [
+            Check(
+                "content_not_null",
+                lambda t: validate.predicate(
+                    t["code"],
+                    "content",
+                    ~__import__("datatest_spark").PredicateSpec(None),
+                    check_id="content_not_null",
+                    partition_id=pid,
+                ),
+            ),
+            Check(
+                "repo_fk",
+                lambda t: check_referential(
+                    t["code"], "repo", t["repos"], "repo",
+                    check_id="repo_fk", partition_id=pid,
+                ),
+            ),
+        ],
+        partition_col="partition_id",
+    )
+
+
+def test_ledger_resume_skips_validated(spark, tmp_path):
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    t = _tables(spark, "clean")
+    suite = _partitioned_suite()
+    res1 = suite.run(t, primary="code", ledger=ledger, run_id="run1")
+    assert res1.n_partitions_checked == 8 and res1.passed
+    # second run: everything already validated → zero partitions checked
+    res2 = suite.run(t, primary="code", ledger=ledger, run_id="run2")
+    assert res2.n_partitions_checked == 0
+    assert res2.passed
+
+
+def test_ledger_resume_partial(spark, tmp_path):
+    """Simulated mid-run kill: 3 of 8 partitions recorded ok → re-run
+    validates only the remaining 5 and total output matches a fresh run."""
+    ledger = Ledger(spark, str(tmp_path / "ledger2"))
+    t = _tables(spark, "dirty")
+    suite = _partitioned_suite()
+    full = suite.run(t, primary="code", run_id="full")
+
+    ok_parts = [r["partition_id"] for r in full.verdicts.collect()][:3]
+    pre = spark.createDataFrame(
+        [("killed", p, "ok", 0, 0, None, "0.1.0") for p in ok_parts],
+        "run_id string, partition_id string, status string, n_rows long, n_violations long, lineage_hash string, engine_version string",
+    )
+    ledger.record(pre)
+
+    resumed = suite.run(t, primary="code", ledger=ledger, run_id="resume")
+    assert resumed.n_partitions_checked == 5
+    # resumed verdicts agree with the full run on those partitions
+    full_v = {
+        r["partition_id"]: (r["n_rows"], r["n_violations"], r["lineage_hash"])
+        for r in full.verdicts.collect()
+    }
+    for r in resumed.verdicts.collect():
+        assert full_v[r["partition_id"]] == (
+            r["n_rows"],
+            r["n_violations"],
+            r["lineage_hash"],
+        )
