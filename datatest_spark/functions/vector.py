@@ -1,0 +1,42 @@
+"""Vector math as Column expressions (JVM-side, codegen-friendly).
+
+Embedding columns are ``array<float>`` / ``array<double>``; everything
+here computes in double via ``F.zip_with`` + ``F.aggregate`` — strictly
+sequential left-to-right folds, so results are bit-identical across
+partitionings (determinism requirement) and engines that fold the same
+way.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def lit_vector(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is zero."""
+    a, b = to_double_array(a), to_double_array(b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))

@@ -1,0 +1,393 @@
+"""Deduplication for training-data pipelines.
+
+Five tiers, all shuffle-frugal:
+
+* **exact** — sha256(normalized text) groupBy; one shuffle on the hash.
+* **n-gram Jaccard** — exact set similarity over word n-grams; used
+  standalone (small candidate sets) and as the verifier behind LSH.
+* **MinHash + LSH** — shingle → k minhashes → b bands; candidate pairs
+  only within equal band buckets, then exact-Jaccard verification.
+  Classic Broder scheme: P(candidate) = 1 − (1 − j^r)^b.
+* **SimHash** — 64-bit Charikar fingerprint via one vectorized Arrow
+  pandas_udf; near-dups = small Hamming distance, candidates from
+  16-bit band buckets (pigeonhole: ≤3 bit flips ⇒ one of 4 bands equal).
+* **embedding cosine** — random-hyperplane LSH buckets + exact cosine
+  verification (see similarity.py for the search variant).
+
+Scale notes: every candidate generator is a groupBy/self-join on a
+bucket key — never an all-pairs product.  ``max_bucket_size`` guards the
+quadratic blowup of degenerate buckets (boilerplate clusters): oversized
+buckets are dropped and the count is observable via ``lsh_bucket_stats``
+— a deliberate recall/cost knob, never a silent cap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vector import cosine, lit_vector
+from .textstats import normalize_text, tokens
+
+SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, dup_count, keeper_id) for every duplicated text.
+
+    One hash-shuffle; map-side partial agg collapses heavy duplicates
+    before the exchange."""
+    fp = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col).alias("_id"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("_id").alias("keeper_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per distinct normalized text."""
+    fp = F.sha2(normalize_text(F.col(text_col)), 256)
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams of the normalized text (the shingle set)."""
+    toks = tokens(normalize_text(col))
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.6,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
+
+    With ``candidates`` (id_a, id_b) the join is candidate-driven (the
+    LSH verification path).  Without it, all pairs id_a < id_b are
+    compared — O(n²), small inputs / tests only.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
+    )
+    if candidates is None:
+        a = grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga"))
+        b = grams.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (
+            candidates.join(
+                grams.withColumnRenamed("_grams", "_ga"),
+                candidates["id_a"] == grams["_gid"],
+            )
+            .drop("_gid")
+            .join(
+                grams.withColumnRenamed("_grams", "_gb").withColumnRenamed(
+                    "_gid", "_gid2"
+                ),
+                F.col("id_b") == F.col("_gid2"),
+            )
+            .drop("_gid2")
+        )
+    sim = jaccard(F.col("_ga"), F.col("_gb"))
+    return (
+        pairs.withColumn("jaccard", F.round(sim, 6))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int, ngram: int = 3) -> Column:
+    """k-minhash signature of the n-gram shingle set — k seeded xxhash64
+    streams, array_min each (pure Column math, codegen'd)."""
+    grams = word_ngrams(col, ngram)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda seed: F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(g, seed, F.lit(SEED)))
+        ),
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band); bucket = hash of the
+    band's signature slice."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, ngram)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(F.slice(F.col("_sig"), b * r + 1, r), lambda x: x.cast("string"))),
+            F.lit(SEED),
+        ),
+    )
+    return (
+        with_sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
+    )
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, *, max_bucket_size: Optional[int] = None
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any (band, bucket).
+
+    Self-join per bucket; ``max_bucket_size`` drops degenerate buckets
+    (use ``lsh_bucket_stats`` to see what was dropped — no silent caps).
+    """
+    b = bands_df
+    if max_bucket_size:
+        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        b = (
+            b.join(sizes, ["band", "bucket"])
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    left = b.select("band", "bucket", F.col("id").alias("id_a"))
+    right = b.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(bands_df: DataFrame) -> DataFrame:
+    """Bucket-size distribution — the observability hook for the
+    max_bucket_size knob."""
+    return (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: bands → candidates → exact
+    n-gram-Jaccard verification ≥ threshold."""
+    bands_df = lsh_bands(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands, ngram=ngram
+    )
+    cands = lsh_candidate_pairs(bands_df, max_bucket_size=max_bucket_size)
+    return ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, ngram=ngram, threshold=threshold,
+        candidates=cands,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_udf():
+    """Vectorized 64-bit Charikar simhash over token multisets.
+
+    numpy per Arrow batch: token → blake2b-64 (deterministic, salted),
+    per-bit ±count majority vote → sign bits.  The one Python crossing
+    in the dedup family; everything downstream is Column math.
+    """
+    import numpy as np
+    import pandas as pd
+    from hashlib import blake2b
+
+    def _sim(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok, cnt in _counts(t):
+                h = np.uint64(
+                    int.from_bytes(
+                        blake2b(tok.encode(), digest_size=8, salt=b"dtspark1").digest(),
+                        "big",
+                    )
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, cnt, -cnt)
+            bits = (acc > 0).astype(np.uint64)
+            out[i] = np.int64((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+        return pd.Series(out)
+
+    def _counts(t):
+        from collections import Counter
+
+        return Counter(t.lower().split()).items()
+
+    _sim.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sim, T.LongType())
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash_udf()(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via (64/n_bands)-bit band buckets: by pigeonhole, any
+    pair within Hamming ≤ n_bands−1 shares at least one exact band —
+    recall is exact up to that bound, probabilistic above.  More bands
+    → higher recall, more candidates."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "_t")
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    b = bands
+    if max_bucket_size:
+        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        b = b.join(sizes, ["band", "bucket"]).filter(F.col("_n") <= max_bucket_size).drop("_n")
+    left = b.select("band", "bucket", F.col("id").alias("id_a"), F.col("simhash").alias("_ha"))
+    right = b.select("band", "bucket", F.col("id").alias("id_b"), F.col("simhash").alias("_hb"))
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (random-hyperplane LSH + cosine verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, cos) with cosine ≥ threshold.
+
+    LSH path: sign-pattern of ``n_planes`` seeded random hyperplanes
+    buckets the vectors; exact cosine verifies within buckets.  With
+    ``use_lsh=False`` the verify runs over all pairs (ground truth for
+    recall tests)."""
+    import numpy as np
+
+    rng = np.random.RandomState(SEED)
+    planes = rng.normal(size=(n_planes, dim))
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    if use_lsh:
+        bucket = None
+        from ..functions.vector import dot as vdot
+
+        for p in range(n_planes):
+            s = (vdot(F.col("_v"), lit_vector(planes[p])) > 0).cast("int")
+            bucket = s if bucket is None else bucket * 2 + s
+        v = v.withColumn("_bucket", bucket)
+        left = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+        right = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+        pairs = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        left = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+        right = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
+    )

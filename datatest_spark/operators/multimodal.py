@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema contract, Arrow
+batch shape, partitioning behavior; the actual media decode is stubbed
+(image/audio libraries are not in this container): ``decoder='fake'``
+produces deterministic synthetic features from the bytes, ``'real'``
+raises NotImplementedError with the integration point documented.
+
+Pattern: media ops are ``mapInPandas`` batch iterators — each Arrow
+batch crosses into Python once, the decode library (PIL/torchaudio/
+ffmpeg) processes the batch, features come back columnar.  Nothing here
+shuffles; media pipelines stay scan-local until an aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal row: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = (
+    "media_id long, kind string, payload_sha256 string, n_bytes long, "
+    f"features array<double>"
+)
+
+
+def synthetic_media(spark, n_rows: int, partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    df = spark.range(0, n_rows, 1, partitions or 4)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.sha2(F.concat(F.lit("media:"), F.col("id").cast("string")), 512).cast(
+        "binary"
+    )
+    meta = F.struct(
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+        F.lit("synthetic").alias("format"),
+    )
+    return df.select(
+        F.col("id").alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def _fake_features(payload: bytes) -> list:
+    """Deterministic stand-in for a real encoder: FEATURE_DIM doubles
+    derived from the payload digest."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [
+        int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(
+    df: DataFrame, *, decoder: str = "fake", batch_hint: int = 1024
+) -> DataFrame:
+    """Decode + feature-extract media payloads via mapInPandas.
+
+    ``decoder='real'`` is the integration point for PIL/torchaudio —
+    deliberately NotImplemented in this container."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                # Integration point: PIL.Image.open(io.BytesIO(b)) /
+                # torchaudio.load(...) per payload, batched.  Not available
+                # in this container by design.
+                raise NotImplementedError(
+                    "real media decode requires image/audio libs; "
+                    "use decoder='fake' for pipeline testing"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "n_bytes": payloads.map(lambda b: len(b or b"")),
+                    "features": payloads.map(_fake_features),
+                }
+            )
+
+    return df.mapInPandas(op, schema=_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: filters to kind='image', rewrites meta.
+    Payload transform is stubbed (deterministic passthrough digest)."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            # real impl: PIL resize per payload; stub keeps bytes, fixes meta
+            pdf = pdf.copy()
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {**(m if isinstance(m, dict) else m.asDict()), "width": width, "height": height}
+            )
+            yield pdf
+
+    img = df.filter(F.col("kind") == "image")
+    return img.mapInPandas(op, schema=df.schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    timestamp (real decoder would attach the frame bytes)."""
+    vid = df.filter(F.col("kind") == "video")
+    ts = F.sequence(
+        F.lit(0), F.col("meta.duration_ms") - 1, F.lit(int(every_ms))
+    )
+    return vid.select(
+        "media_id",
+        F.explode(ts).alias("frame_ms"),
+        F.sha2(
+            F.concat(F.col("payload").cast("string"), F.lit(":"), F.col("media_id")), 256
+        ).alias("frame_ref"),
+    )

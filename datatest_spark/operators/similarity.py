@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: a scan-local cosine
+  projection + ``orderBy(desc).limit(k)``, which Spark executes as
+  TakeOrderedAndProject (per-partition heaps + driver merge — no global
+  sort, no shuffle of the data).  The correctness baseline.
+* ``ivf_topk`` — IVF-style scale path: vectors are assigned once to the
+  nearest of c deterministic centroids; a query probes only the top-p
+  centroid cells.  With the assignment persisted/partitioned by cell,
+  Catalyst prunes (c−p)/c of the data before any distance math.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, lit_vector, to_double_array
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``.  Deterministic
+    tie-break on id."""
+    q = lit_vector(query)
+    score = cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its max-dot-product centroid (one scan).
+
+    Centroid list is small (driver-side literals → broadcast into the
+    plan).  At scale, write the result partitioned by ``cell_col`` so
+    probe queries partition-prune."""
+    v = to_double_array(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(dot(v, lit_vector(c)), 9).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: max d, then max cell (ties)
+    return df.withColumn(cell_col, best["cell"])
+
+
+def pick_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic centroid seed: the n lowest-id vectors.  (A k-means
+    refinement loop can replace this behind the same contract; seeding
+    must stay deterministic for reproducible runs.)"""
+    rows = (
+        df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[list] = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe centroid cells nearest the
+    query, brute-force within."""
+    cents = centroids if centroids is not None else pick_centroids(
+        df, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    import numpy as np
+
+    qv = np.asarray(list(query), dtype="float64")
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: (-float(np.dot(qv, np.asarray(cents[i]))), i),
+    )
+    probe = order[: n_probe]
+    assigned = assign_ivf_cells(df, cents, vec_col=vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("ivf_cell").isin(probe)),
+        query,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -1,0 +1,142 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID, fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no Python in the hot
+path) — these run per document over 10^12-file corpora, so every metric
+is a scan-local projection: no shuffle at all until an aggregation or
+dedup consumes them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenization (the cheap baseline)
+WS_SPLIT = r"\s+"
+#: BPE-ish pre-tokenizer: word pieces OR single non-space punctuation —
+#: approximates how byte-pair encoders segment before merges
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword anchors for the n-gram/stopword-hit
+#: heuristic language-ID (good enough to route docs at corpus scale;
+#: a real model plugs in behind the same column contract)
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    return F.filter(F.split(F.trim(col), WS_SPLIT), lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_ISH_TOKEN))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(
+        n > 0, F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: Sequence[str] = STOPWORDS["en"]) -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] document quality: length sweet-spot, moderate
+    punctuation, presence of stopwords (prose-ness).  Deterministic
+    Column math — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    n_chars = F.length(col)
+    n_toks = token_count(col)
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20_000), F.lit(1.0)).otherwise(
+        F.lit(0.3)
+    )
+    avg_tok = F.when(n_toks > 0, n_chars.cast("double") / n_toks).otherwise(F.lit(0.0))
+    tok_ok = F.when((avg_tok >= 2.5) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.4)
+    )
+    punct_ok = F.when(punct_ratio(col) <= 0.3, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.when(stopword_ratio(col) >= 0.01, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round((len_ok * 0.3 + tok_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2), 4)
+
+
+def lang_id(col: Column, stopwords: Optional[Dict[str, Sequence[str]]] = None) -> Column:
+    """Stopword-hit argmax language guess; 'und' (undetermined) when no
+    language scores a hit.  Ties break lexicographically (deterministic)."""
+    sw = stopwords or STOPWORDS
+    toks = tokens(F.lower(col))
+    best = None
+    for lang in sorted(sw):
+        hits = F.size(F.filter(toks, lambda t: t.isin(list(sw[lang]))))
+        cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        # keep the max by (hits, lang-desc) → later greater-hits wins,
+        # equal hits keeps the lexicographically FIRST language
+        best = cand if best is None else F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """sha256 of the normalized text — the exact-dedup / provenance key
+    (the same per-row invariant idea as content sha256 in input_hint)."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def rolling_hash(col: Column, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive 64-bit-ish
+    fingerprint).  Column-only: fold over the token array; identical
+    across partitionings."""
+    toks = tokens(normalize_text(col))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)).cast("decimal(38,0)"),
+            F.lit(mod).cast("decimal(38,0)"),
+        ),
+    ).cast("string")
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Project the standard per-document metrics (one scan, no shuffle)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(c),
+            "n_tokens": token_count(c),
+            "n_tokens_bpe": bpe_ish_token_count(c),
+            "avg_token_len": F.round(
+                F.when(token_count(c) > 0, F.length(c) / token_count(c)).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+            "punct_ratio": F.round(punct_ratio(c), 4),
+            "stopword_ratio": F.round(stopword_ratio(c), 4),
+            "quality": quality_score(c),
+            "lang_guess": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

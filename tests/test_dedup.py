@@ -1,0 +1,135 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    jaccard,
+    lsh_bucket_stats,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_ngrams,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different text about spark dataframes and shuffle partitions"),
+    (4, "another unrelated document mentioning catalyst optimizer and codegen"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and groups[0]["keeper_id"] == 0
+    kept = dedup_exact(docs)
+    assert kept.count() == 4
+    assert [r["doc_id"] for r in kept.orderBy("doc_id").collect()] == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover all truly-similar pairs on a corpus
+    with known duplicates (64 hashes / 16 bands at j>=0.7 ⇒ recall ~1)."""
+    rows = []
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"mut{i}"
+        rows.append((i, " ".join(words)))          # all near-dups of base
+        rows.append((100 + i, f"totally distinct document number {i} with words w{i} x{i} y{i} z{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(df, threshold=0.7).collect()
+    }
+    assert truth, "fixture must contain similar pairs"
+    missed = truth - lsh
+    assert len(missed) / len(truth) <= 0.02
+    assert lsh <= truth  # verification removes false positives
+
+
+def test_bucket_stats_and_cap(spark, docs):
+    from datatest_spark.operators.dedup import lsh_bands, lsh_candidate_pairs
+
+    bands = lsh_bands(docs)
+    stats = lsh_bucket_stats(bands).collect()
+    assert sum(r["n_buckets"] * r["bucket_size"] for r in stats) == bands.count()
+    capped = lsh_candidate_pairs(bands, max_bucket_size=1)
+    assert capped.count() == 0  # every bucket with a pair was dropped
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical hash
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh == sh2  # deterministic across runs
+    # 8 bands of 8 bits: pigeonhole guarantees recall for hamming ≤ 7
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=8, n_bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        embedding_neardup_pairs(df, dim=4, threshold=0.95, use_lsh=False).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in
+        embedding_neardup_pairs(df, dim=4, threshold=0.95, use_lsh=True, n_planes=8).collect()
+    }
+    assert exact == {(0, 1)}
+    assert lsh <= exact  # LSH may miss, never invents
+
+
+def test_word_ngrams_short_text(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    grams = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()[0]["g"]
+    assert grams == ["one two"]  # shorter than n → whole text as one shingle

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: schema, Arrow batch shape, stubbed decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
+
+
+def test_synthetic_media_schema(spark):
+    df = synthetic_media(spark, 30)
+    assert df.count() == 30
+    assert dict(df.dtypes)["payload"] == "binary"
+    kinds = {r["kind"] for r in df.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features_fake(spark):
+    df = synthetic_media(spark, 30)
+    feats = extract_features(df, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert all(len(r["payload_sha256"]) == 64 for r in rows)
+    # deterministic across runs
+    again = extract_features(df, decoder="fake").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_extract_features_real_is_stubbed(spark):
+    df = synthetic_media(spark, 3)
+    with pytest.raises(Exception) as ei:
+        extract_features(df, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_resize_rewrites_meta(spark):
+    df = synthetic_media(spark, 30)
+    out = resize_images(df, 224, 224).collect()
+    assert len(out) == sum(1 for r in df.collect() if r["kind"] == "image")
+    assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in out)
+
+
+def test_sample_frames(spark):
+    df = synthetic_media(spark, 30)
+    frames = sample_frames(df, every_ms=10_000)
+    vids = df.filter("kind = 'video'").select("media_id", "meta.duration_ms").collect()
+    expected = sum(1 + (r["duration_ms"] - 1) // 10_000 for r in vids)
+    assert frames.count() == expected

@@ -1,0 +1,73 @@
+"""Text analysis operators (token counting, quality, lang-id, fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.textstats import (
+    add_text_stats,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("the quick  brown fox!",), ("",)], "text string")
+    rows = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert rows[0]["ws"] == 4
+    assert rows[0]["bpe"] == 5  # 'the quick brown fox' + '!'
+    assert rows[1]["ws"] == 0 and rows[1]["bpe"] == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is fine",),
+            ("le chat est sur le tapis et la table",),
+            ("der hund ist ein guter hund und das haus",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "fr", "de", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], "text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert len(fps[0]) == 64
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], "text string")
+    hs = [r[0] for r in df.select(rolling_hash(F.col("text"))).collect()]
+    assert hs[0] == hs[2] != hs[1]
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog " * 5,), ("!!!",)],
+        "text string",
+    )
+    qs = [r[0] for r in df.select(quality_score(F.col("text"))).collect()]
+    assert qs[0] > qs[1]
+    assert all(0.0 <= q <= 1.0 for q in qs)
+
+
+def test_add_text_stats_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox",)], "doc_id long, text string")
+    out = add_text_stats(df)
+    assert {"n_tokens", "quality", "lang_guess", "fingerprint"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-local projection only
