@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation run on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 plus the
+training-data pipeline ops); each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for the
+genuinely non-SQL-expressible ops: SimHash (blake2b), MinHash-LSH
+internals are verified against exact n-gram Jaccard which IS the oracle).
+
+Column names and types are aligned pairwise (the driver hash-compares
+values after sorting columns by name); doubles are rounded in BOTH
+implementations wherever engine-order-of-summation could differ.
 """
 
 from __future__ import annotations
@@ -12,27 +17,655 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANG_STOPWORDS_SQL_ORDER = ["de", "en", "es", "fr"]  # engine walks sorted langs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship suite on sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a multi-check validation pass over the sf0.001 tables,
+    returning the unioned difference rows (canonical order)."""
+    from datatest_spark import validate
+    from datatest_spark.operators.referential import check_referential
+    from datatest_spark.plans.differences import canonical_sort, union_differences
+
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+
+    diffs = union_differences(
+        validate.set(li, "l_returnflag", {"A", "N", "R"}, check_id="returnflag_set"),
+        validate.interval(li, "l_discount", min=0.0, max=0.05, check_id="discount_interval"),
+        validate.unique(li, ["l_orderkey", "l_linenumber"], check_id="lineitem_pk", per_occurrence=False),
+        check_referential(orders, "o_custkey", customer, "c_custkey", check_id="orders_customer_fk"),
+        validate.regex(customer, "c_name", r"^Customer#", check_id="customer_name_regex"),
+    )
+    return canonical_sort(diffs)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_interval_discount(spark, sf_dir):
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.interval(li, "l_discount", min=0.0, max=0.05, check_id="discount")
+    return d.select(
+        F.col("diff_kind"),
+        F.col("value").cast("double").alias("value_num"),
+        F.col("expected").cast("double").alias("expected_num"),
+        F.round(F.col("deviation"), 6).alias("deviation"),
+    )
+
+
+SQL_INTERVAL_DISCOUNT = """
+SELECT 'deviation' AS diff_kind,
+       l_discount AS value_num,
+       0.05 AS expected_num,
+       round(l_discount - 0.05, 6) AS deviation
+FROM lineitem WHERE l_discount > 0.05
+UNION ALL
+SELECT 'deviation', l_discount, 0.0, round(l_discount - 0.0, 6)
+FROM lineitem WHERE l_discount < 0.0
+"""
+
+
+def q_set_returnflag(spark, sf_dir):
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.set(li, "l_returnflag", {"A", "N", "Z"}, check_id="rf")
+    return d.select("diff_kind", "value")
+
+
+SQL_SET_RETURNFLAG = """
+WITH req(v) AS (VALUES ('A'), ('N'), ('Z')),
+     dat AS (SELECT DISTINCT l_returnflag AS v FROM lineitem)
+SELECT 'missing' AS diff_kind, v AS value FROM req
+WHERE v NOT IN (SELECT v FROM dat)
+UNION ALL
+SELECT 'extra', v FROM dat WHERE v NOT IN (SELECT v FROM req)
+"""
+
+
+def q_subset_mktsegment(spark, sf_dir):
+    from datatest_spark import validate
+
+    c = _t(spark, sf_dir, "customer")
+    allowed = {"AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"}
+    return validate.subset(c, "c_mktsegment", allowed, check_id="seg").select(
+        "diff_kind", "value"
+    )
+
+
+SQL_SUBSET_MKTSEGMENT = """
+SELECT 'extra' AS diff_kind, v AS value
+FROM (SELECT DISTINCT c_mktsegment AS v FROM customer)
+WHERE v NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY')
+"""
+
+
+def q_superset_priority(spark, sf_dir):
+    from datatest_spark import validate
+
+    o = _t(spark, sf_dir, "orders")
+    req = {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "9-FAKE"}
+    return validate.superset(o, "o_orderpriority", req, check_id="pri").select(
+        "diff_kind", "value"
+    )
+
+
+SQL_SUPERSET_PRIORITY = """
+WITH req(v) AS (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                       ('4-NOT SPECIFIED'), ('5-LOW'), ('9-FAKE'))
+SELECT 'missing' AS diff_kind, v AS value FROM req
+WHERE v NOT IN (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+def q_unique_orderkey(spark, sf_dir):
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.unique(li, "l_orderkey", check_id="uk", per_occurrence=False)
+    return d.select(
+        F.col("value").cast("bigint").alias("dup_key"),
+        F.col("deviation").cast("bigint").alias("extra_count"),
+    )
+
+
+SQL_UNIQUE_ORDERKEY = """
+SELECT l_orderkey AS dup_key, count(*) - 1 AS extra_count
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def q_interval_psize(spark, sf_dir):
+    from datatest_spark import validate
+
+    p = _t(spark, sf_dir, "part")
+    d = validate.interval(p, "p_size", min=5, max=45, check_id="psize")
+    return d.select(
+        "diff_kind",
+        F.col("value").cast("bigint").alias("value_num"),
+        F.col("expected").cast("double").alias("bound"),
+        F.col("deviation"),
+    )
+
+
+SQL_INTERVAL_PSIZE = """
+SELECT 'deviation' AS diff_kind, CAST(p_size AS BIGINT) AS value_num,
+       CAST(5.0 AS DOUBLE) AS bound, CAST(p_size - 5 AS DOUBLE) AS deviation
+FROM part WHERE p_size < 5
+UNION ALL
+SELECT 'deviation', CAST(p_size AS BIGINT), CAST(45.0 AS DOUBLE), CAST(p_size - 45 AS DOUBLE)
+FROM part WHERE p_size > 45
+"""
+
+
+def q_mapping_nations_per_region(spark, sf_dir):
+    from datatest_spark import validate
+
+    n = _t(spark, sf_dir, "nation")
+    counts = n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+    # deliberately wrong expectation for region 0 → one Deviation fires
+    req = {0: 4, 1: 5, 2: 5, 3: 5, 4: 5}
+    d = validate.mapping(counts, "n_regionkey", req, "n_nations", check_id="npr")
+    return d.select(
+        "diff_kind",
+        F.col("key"),
+        F.col("value").cast("bigint").alias("actual"),
+        F.col("expected").cast("bigint").alias("expected_n"),
+        F.col("deviation"),
+    )
+
+
+SQL_MAPPING_NATIONS = """
+WITH counts AS (SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY 1),
+     req(k, e) AS (VALUES (0, 4), (1, 5), (2, 5), (3, 5), (4, 5))
+SELECT 'deviation' AS diff_kind, CAST(k AS VARCHAR) AS key,
+       n_nations AS actual, CAST(e AS BIGINT) AS expected_n,
+       CAST(n_nations - e AS DOUBLE) AS deviation
+FROM counts JOIN req ON n_regionkey = k
+WHERE n_nations <> e
+"""
+
+
+def q_referential_orders_customer(spark, sf_dir):
+    from datatest_spark.operators.referential import check_referential
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = check_referential(o, "o_custkey", c, "c_custkey", check_id="ofk")
+    return d.select("diff_kind", F.col("value").cast("bigint").alias("orphan_key"))
+
+
+SQL_REFERENTIAL_ORDERS = """
+SELECT 'missing' AS diff_kind, o_custkey AS orphan_key
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_referential_events_suppliers(spark, sf_dir):
+    """Deliberately violating FK demo: event users ⊄ supplier keys."""
+    from datatest_spark.operators.referential import check_referential
+
+    e = _t(spark, sf_dir, "events")
+    s = _t(spark, sf_dir, "supplier")
+    d = check_referential(e, "user_id", s, "s_suppkey", check_id="efk")
+    return d.select("diff_kind", F.col("value").cast("bigint").alias("orphan_key"))
+
+
+SQL_REFERENTIAL_EVENTS = """
+SELECT 'missing' AS diff_kind, user_id AS orphan_key
+FROM events WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def q_stats_lineitem(spark, sf_dir):
+    from datatest_spark.operators.stats import column_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = column_stats(
+        li, ["l_orderkey", "l_returnflag", "l_shipdate"], table_name="lineitem", exact=True
+    )
+    return s.select(
+        "column_name", "row_count", "null_count", "n_distinct", "min_val", "max_val"
+    )
+
+
+SQL_STATS_LINEITEM = """
+SELECT 'l_orderkey' AS column_name, count(*) AS row_count,
+       count(*) - count(l_orderkey) AS null_count,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag),
+       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+"""
+
+
+def q_quantiles_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    deciles = [i / 10.0 for i in range(11)]
+    q = li.agg(F.percentile("l_quantity", F.lit(deciles)).alias("qs"))
+    return q.select(F.posexplode("qs").alias("decile", "q")).select(
+        (F.col("decile") / 10.0).alias("p"), F.round("q", 6).alias("q")
+    )
+
+
+SQL_QUANTILES_QUANTITY = """
+WITH qs AS (
+  SELECT quantile_cont(l_quantity, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS q
+  FROM lineitem
+)
+SELECT (generate_subscripts(q, 1) - 1) / 10.0 AS p,
+       round(unnest(q), 6) AS q
+FROM qs
+"""
+
+
+DRIFT_PIVOT = "1997-01-01"
+
+
+def q_drift_returnflag_chisq(spark, sf_dir):
+    from datatest_spark.operators.stats import check_chi_square_drift, histograms
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = histograms(li.filter(F.col("l_shipdate") < DRIFT_PIVOT), ["l_returnflag"])
+    cur = histograms(li.filter(F.col("l_shipdate") >= DRIFT_PIVOT), ["l_returnflag"])
+    d = check_chi_square_drift(cur, base, threshold=-1.0, check_id="rf_drift")
+    return d.select(F.col("key").alias("column_name"), F.round("deviation", 4).alias("chi2"))
+
+
+SQL_DRIFT_RETURNFLAG = f"""
+WITH base AS (
+  SELECT l_returnflag AS value, count(*) AS base_cnt FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00' GROUP BY 1
+), cur AS (
+  SELECT l_returnflag AS value, count(*) AS obs FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00' GROUP BY 1
+), j AS (
+  SELECT coalesce(cur.obs, 0) AS obs,
+         coalesce(base.base_cnt, 0.5) * (SELECT sum(obs) FROM cur) * 1.0
+           / (SELECT sum(base_cnt) FROM base) AS exp
+  FROM cur FULL OUTER JOIN base USING (value)
+)
+SELECT 'l_returnflag' AS column_name,
+       round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2
+FROM j
+"""
+
+
+def q_quantile_drift_quantity(spark, sf_dir):
+    from datatest_spark.operators.stats import check_quantile_drift, column_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = column_stats(
+        li.filter(F.col("l_shipdate") < DRIFT_PIVOT), ["l_quantity"], exact=True
+    )
+    cur = column_stats(
+        li.filter(F.col("l_shipdate") >= DRIFT_PIVOT), ["l_quantity"], exact=True
+    )
+    d = check_quantile_drift(cur, base, threshold=-1.0, check_id="q_drift")
+    return d.select(F.col("key").alias("column_name"), F.round("deviation", 6).alias("max_delta"))
+
+
+SQL_QUANTILE_DRIFT = f"""
+WITH base AS (
+  SELECT quantile_cont(l_quantity, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS q
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00'
+), cur AS (
+  SELECT quantile_cont(l_quantity, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS q
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00'
+), b AS (SELECT generate_subscripts(q, 1) AS i, unnest(q) AS qv FROM base),
+   c AS (SELECT generate_subscripts(q, 1) AS i, unnest(q) AS qv FROM cur)
+SELECT 'l_quantity' AS column_name,
+       round(max(abs(c.qv - b.qv)), 6) AS max_delta
+FROM c JOIN b USING (i)
+"""
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup over documents ∪ shifted-id copy (guaranteed dups)."""
+    from datatest_spark.operators.dedup import exact_duplicate_groups
+
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    g = exact_duplicate_groups(doubled)
+    return g.select("fingerprint", "dup_count", "keeper_id")
+
+
+SQL_DEDUP_EXACT = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS dup_count, min(doc_id) AS keeper_id
+FROM doubled GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    from datatest_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, ngram=1, threshold=0.8)
+
+
+SQL_TOKEN_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS tok
+  FROM documents
+), counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON id_a = ca.doc_id
+JOIN counts cb ON id_b = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+"""
+
+
+def q_minhash_lsh_neardup(spark, sf_dir):
+    """MinHash-LSH candidates verified by exact 3-gram Jaccard.  The
+    oracle is the exact pairwise ground truth — LSH params (64 hashes /
+    16 bands) give recall ≈ 1 at j ≥ 0.6, and verification removes all
+    false positives, so the outputs must match."""
+    from datatest_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, ngram=3, threshold=0.6)
+
+
+SQL_MINHASH_NEARDUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)])
+         ELSE [array_to_string(ts, ' ')] END AS gs
+  FROM toks
+), g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+counts AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON id_a = ca.doc_id
+JOIN counts cb ON id_b = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — rows-only check (blake2b not in SQL)."""
+    from datatest_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6, n_bands=8)
+
+
+def q_embedding_topk(spark, sf_dir):
+    from datatest_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
+    return cosine_topk(e, q, k=10)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from datatest_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    return embedding_neardup_pairs(e, dim=dim, threshold=0.3, use_lsh=False)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def q_textstats_documents(spark, sf_dir):
+    from datatest_spark.operators.textstats import (
+        bpe_ish_token_count,
+        punct_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count(c).cast("bigint").alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.length(c).cast("bigint").alias("n_chars_calc"),
+    )
+
+
+SQL_TEXTSTATS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       CASE WHEN len(text) > 0
+            THEN round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) * 1.0 / len(text), 4)
+            ELSE 0.0 END AS punct_ratio,
+       len(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def q_langid_documents(spark, sf_dir):
+    from datatest_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+SQL_LANGID = """
+WITH sw(lang, words) AS (VALUES
+  ('de', ['der','die','das','und','ist','ein','eine','zu','den','von']),
+  ('en', ['the','a','of','and','to','in','is','that','it','for']),
+  ('es', ['el','la','los','de','y','un','una','es','que','para']),
+  ('fr', ['le','la','les','de','et','un','une','est','que','pour'])
+), toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(ts, t -> list_contains(words, t))) AS hits
+  FROM toks CROSS JOIN sw
+), best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess
+FROM best WHERE rn = 1
+"""
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from datatest_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_verdict_partitions(spark, sf_dir):
+    """Per-partition pass/fail verdict (partition = l_returnflag):
+    violations = discount ∉ [0, 0.05] plus quantity ∉ [1, 49]."""
+    li = _t(spark, sf_dir, "lineitem")
+    viol = (
+        (F.col("l_discount") > 0.05)
+        | (F.col("l_discount") < 0.0)
+        | (F.col("l_quantity") > 49)
+        | (F.col("l_quantity") < 1)
+    ).cast("int")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(viol).cast("bigint").alias("n_violations"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("n_violations") == 0, F.lit("ok")).otherwise(F.lit("failed")),
+        )
+    )
+
+
+SQL_VERDICT_PARTITIONS = """
+SELECT l_returnflag AS partition_id, count(*) AS n_rows,
+       sum(CASE WHEN l_discount > 0.05 OR l_discount < 0.0
+                  OR l_quantity > 49 OR l_quantity < 1 THEN 1 ELSE 0 END) AS n_violations,
+       CASE WHEN sum(CASE WHEN l_discount > 0.05 OR l_discount < 0.0
+                            OR l_quantity > 49 OR l_quantity < 1 THEN 1 ELSE 0 END) = 0
+            THEN 'ok' ELSE 'failed' END AS status
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_orders_total(spark, sf_dir):
+    """Cross-table consistency: o_totalprice ≈ Σ extendedprice·(1−disc)·(1+tax)
+    within delta — approx-check over a join+agg."""
+    from datatest_spark import validate
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("calc_total")
+    )
+    joined = o.join(calc, o["o_orderkey"] == calc["l_orderkey"], "inner")
+    d = validate.approx(joined, "o_totalprice", "calc_total", delta=1.0, check_id="tp")
+    return d.select(
+        F.col("value").cast("double").alias("o_totalprice"),
+        F.round(F.col("deviation"), 2).alias("deviation"),
+    )
+
+
+SQL_APPROX_ORDERS = """
+WITH calc AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS calc_total
+  FROM lineitem GROUP BY 1
+)
+SELECT o_totalprice, round(o_totalprice - calc_total, 2) AS deviation
+FROM orders JOIN calc ON o_orderkey = l_orderkey
+WHERE abs(o_totalprice - calc_total) > 1.0
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "interval_discount": q_interval_discount,
+        "set_returnflag": q_set_returnflag,
+        "subset_mktsegment": q_subset_mktsegment,
+        "superset_priority": q_superset_priority,
+        "unique_orderkey": q_unique_orderkey,
+        "interval_psize": q_interval_psize,
+        "mapping_nations_per_region": q_mapping_nations_per_region,
+        "referential_orders_customer": q_referential_orders_customer,
+        "referential_events_suppliers": q_referential_events_suppliers,
+        "stats_lineitem": q_stats_lineitem,
+        "quantiles_quantity": q_quantiles_quantity,
+        "drift_returnflag_chisq": q_drift_returnflag_chisq,
+        "quantile_drift_quantity": q_quantile_drift_quantity,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "textstats_documents": q_textstats_documents,
+        "langid_documents": q_langid_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "verdict_partitions": q_verdict_partitions,
+        "approx_orders_total": q_approx_orders_total,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "interval_discount": SQL_INTERVAL_DISCOUNT,
+        "set_returnflag": SQL_SET_RETURNFLAG,
+        "subset_mktsegment": SQL_SUBSET_MKTSEGMENT,
+        "superset_priority": SQL_SUPERSET_PRIORITY,
+        "unique_orderkey": SQL_UNIQUE_ORDERKEY,
+        "interval_psize": SQL_INTERVAL_PSIZE,
+        "mapping_nations_per_region": SQL_MAPPING_NATIONS,
+        "referential_orders_customer": SQL_REFERENTIAL_ORDERS,
+        "referential_events_suppliers": SQL_REFERENTIAL_EVENTS,
+        "stats_lineitem": SQL_STATS_LINEITEM,
+        "quantiles_quantity": SQL_QUANTILES_QUANTITY,
+        "drift_returnflag_chisq": SQL_DRIFT_RETURNFLAG,
+        "quantile_drift_quantity": SQL_QUANTILE_DRIFT,
+        "dedup_exact_documents": SQL_DEDUP_EXACT,
+        "token_jaccard_pairs": SQL_TOKEN_JACCARD,
+        "minhash_lsh_neardup": SQL_MINHASH_NEARDUP,
+        # simhash_pairs: rows-only (blake2b hashing not SQL-expressible)
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "textstats_documents": SQL_TEXTSTATS,
+        "langid_documents": SQL_LANGID,
+        "fingerprint_documents": SQL_FINGERPRINT,
+        "verdict_partitions": SQL_VERDICT_PARTITIONS,
+        "approx_orders_total": SQL_APPROX_ORDERS,
+    }
