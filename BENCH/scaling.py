@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north_rule (sandbox form).
+
+The rule demands throughput scaling efficiency ≥0.8 between N and 4N
+executors with byte-identical violation rows across cluster sizes.  No
+real cluster exists in this sandbox, so per driver instruction the same
+job runs at two parallelism levels — ``local[8]`` and ``local[32]`` —
+on the SAME input (the synthetic ``code_files`` table generated with a
+FIXED partition count so the input bytes are parallelism-independent),
+each in a fresh JVM.  Output: ``BENCH/BASELINE.md``.
+
+Worker mode (fresh JVM per level)::
+
+    python BENCH/scaling.py --worker --cpus 8 --rows 2000000 --out /tmp/r8.json
+
+Driver mode (default) runs both workers sequentially and writes the
+markdown report::
+
+    python BENCH/scaling.py [--rows 2000000]
+
+Efficiency = (T_8 / T_32) / (32 / 8).  The violation sink is the
+deterministic canonical-sort single-file writer; its sha256 must match
+across the two levels (the cross-cluster-size identity artifact).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GEN_PARTITIONS = 64  # fixed → identical input at any parallelism
+DEFAULT_ROWS = 2_000_000
+LEVELS = (8, 32)
+
+
+def run_worker(cpus: int, rows: int, out_path: str) -> None:
+    from bench import build_session, force
+    from datatest_spark.sources.fixtures import LANGS, code_files, with_partition_id
+    from datatest_spark.suite import Check, ValidationSuite, violations_sha256, write_violations
+    from datatest_spark import validate
+    from datatest_spark.operators.referential import check_referential
+    from datatest_spark.operators.stats import column_stats
+    from pyspark.sql import functions as F
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    df = with_partition_id(code_files(spark, rows, variant="dirty", partitions=GEN_PARTITIONS))
+    parents = (
+        code_files(spark, max(rows // 100, 1000), variant="clean", partitions=GEN_PARTITIONS)
+        .select("repo")
+        .distinct()
+    )
+    suite = ValidationSuite(
+        [
+            Check("lang_subset", lambda t: validate.subset(t["code"], "lang", set(LANGS), check_id="lang_subset")),
+            Check("content_is_str", lambda t: validate.predicate(t["code"], "content", str, check_id="content_is_str")),
+            Check("size_interval", lambda t: validate.interval(
+                t["code"].withColumn("content_len", F.length("content")),
+                "content_len", min=1, max=50_000, check_id="size_interval")),
+            Check("pk_unique", lambda t: validate.unique(
+                t["code"], ["repo", "path", "commit"], check_id="pk_unique",
+                per_occurrence=False, salted=True)),
+            Check("repo_fk", lambda t: check_referential(
+                t["code"], "repo", t["repos"], "repo", check_id="repo_fk")),
+            Check("commit_regex", lambda t: validate.regex(
+                t["code"], "commit", r"^[0-9a-f]{40}$", check_id="commit_regex")),
+        ]
+    )
+    sink = f"/tmp/scaling_violations_{cpus}"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    hashed = df.withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    t0 = time.monotonic()
+    diffs = suite.build_differences({"code": hashed, "repos": parents})
+    stats = column_stats(hashed, ["repo", "lang", "content_sha"], table_name="code_files")
+    force(diffs)
+    force(stats)
+    elapsed = time.monotonic() - t0
+
+    write_violations(diffs, sink, single_file=True)
+    sha = violations_sha256(spark, sink)
+    n_viol = sum(1 for f in sorted(os.listdir(sink)) if f.startswith("part-")
+                 for _ in open(os.path.join(sink, f)))
+
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "cpus": cpus,
+                "rows": rows,
+                "elapsed_sec": round(elapsed, 3),
+                "files_per_sec": round(rows / elapsed, 1),
+                "violations_sha256": sha,
+                "n_violations": n_viol,
+            },
+            fh,
+        )
+    spark.stop()
+
+
+def run_driver(rows: int) -> None:
+    results = {}
+    for cpus in LEVELS:
+        out = f"/tmp/scaling_result_{cpus}.json"
+        print(f"[scaling] running local[{cpus}] on {rows:,} rows ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cpus", str(cpus), "--rows", str(rows), "--out", out],
+            check=True, cwd=REPO,
+        )
+        with open(out) as fh:
+            results[cpus] = json.load(fh)
+        print(f"[scaling] local[{cpus}]: {results[cpus]}", file=sys.stderr)
+
+    lo, hi = LEVELS
+    speedup = results[lo]["elapsed_sec"] / results[hi]["elapsed_sec"]
+    efficiency = speedup / (hi / lo)
+    identical = results[lo]["violations_sha256"] == results[hi]["violations_sha256"]
+
+    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north_rule, sandbox form)
+
+Generated by `python BENCH/scaling.py --rows {rows}` — the flagship
+validation suite (6 checks: lang subset, content type, size interval,
+salted (repo,path,commit) uniqueness, repo referential integrity,
+commit regex; plus per-row `sha2(content,256)` and the fused
+column-stats pass) over the synthetic `code_files` table
+(`repo,path,commit,lang,content`, dirty variant, {rows:,} rows,
+generated with a FIXED {GEN_PARTITIONS}-partition layout so the input
+is identical at both parallelism levels).  Each level runs in a fresh
+JVM (`local[N]`, shuffle.partitions=N, AQE on).
+
+| parallelism | wall (s) | throughput (files/s) | violations | sha256(violations) |
+|---|---|---|---|---|
+| local[{lo}]  | {results[lo]['elapsed_sec']} | {results[lo]['files_per_sec']:,} | {results[lo]['n_violations']} | `{results[lo]['violations_sha256'][:16]}…` |
+| local[{hi}] | {results[hi]['elapsed_sec']} | {results[hi]['files_per_sec']:,} | {results[hi]['n_violations']} | `{results[hi]['violations_sha256'][:16]}…` |
+
+- **Speedup {lo}→{hi} threads:** {speedup:.2f}× (ideal {hi // lo}×)
+- **Scaling efficiency:** **{efficiency:.3f}** (north_rule requires ≥ 0.8)
+- **Byte-identical violation rows across parallelism:** **{'YES' if identical else 'NO'}**
+  (full sha256 `{results[hi]['violations_sha256']}`)
+
+Reference baseline: the reference library publishes no benchmark
+numbers (single-process, in-memory; see SURVEY.md §6) — the
+authoritative target is `BASELINE.json` (scaling efficiency ≥0.8,
+byte-identical violations), evidenced above.
+"""
+    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as fh:
+        fh.write(md)
+    print(md)
+    print(f"[scaling] wrote {out_md}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=DEFAULT_ROWS)
+    ap.add_argument("--out", default="/tmp/scaling_result.json")
+    args = ap.parse_args()
+    if args.worker:
+        run_worker(args.cpus, args.rows, args.out)
+    else:
+        run_driver(args.rows)
+
+
+if __name__ == "__main__":
+    main()

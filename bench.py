@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), plus the flagship
+validation suite over the synthetic ``code_files`` table (the
+north_rule input shape), and prints ONE JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1,
+     "code_files_rows": R, "validated_files_per_sec": T}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, no driver collect).  Scaling-efficiency evidence
+(local[8] vs local[32]) lives in ``BENCH/scaling.py`` →
+``BENCH/BASELINE.md``; this script is the single-parallelism
+per-round number the driver records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CODE_FILES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "1000000"))
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"datatest_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    """Force full computation without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_code_files_suite(spark, n_rows: int) -> float:
+    """Flagship: full validation suite over the dirty synthetic
+    code_files table (repo,path,commit,lang,content) — the
+    BASELINE.json metric is validated files/sec on this shape."""
+    from datatest_spark.sources.fixtures import LANGS, code_files, with_partition_id
+    from datatest_spark.suite import Check, ValidationSuite
+    from datatest_spark import validate
+    from datatest_spark.operators.referential import check_referential
+    from datatest_spark.operators.stats import column_stats
+    from pyspark.sql import functions as F
+
+    df = with_partition_id(code_files(spark, n_rows, variant="dirty"))
+    parents = (
+        code_files(spark, max(n_rows // 100, 1000), variant="clean")
+        .select("repo")
+        .distinct()
+    )
+    allowed_langs = set(LANGS)
+
+    suite = ValidationSuite(
+        [
+            Check("lang_subset", lambda t: validate.subset(t["code"], "lang", allowed_langs, check_id="lang_subset")),
+            Check("content_is_str", lambda t: validate.predicate(
+                t["code"], "content", str, check_id="content_is_str")),
+            Check("size_interval", lambda t: validate.interval(
+                t["code"].withColumn("content_len", F.length("content")),
+                "content_len", min=1, max=50_000, check_id="size_interval")),
+            Check("pk_unique", lambda t: validate.unique(
+                t["code"], ["repo", "path", "commit"], check_id="pk_unique",
+                per_occurrence=False, salted=True)),
+            Check("repo_fk", lambda t: check_referential(
+                t["code"], "repo", t["repos"], "repo", check_id="repo_fk")),
+            Check("commit_regex", lambda t: validate.regex(
+                t["code"], "commit", r"^[0-9a-f]{40}$", check_id="commit_regex")),
+        ]
+    )
+    t0 = time.monotonic()
+    # content sha256 per-row invariant + fused stats pass ride along
+    hashed = df.withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    diffs = suite.build_differences({"code": hashed, "repos": parents})
+    stats = column_stats(hashed, ["repo", "lang", "content_sha"], table_name="code_files")
+    force(diffs)
+    force(stats)
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.monotonic()
+        try:
+            force(fn(spark, SF_DIR))
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception:
+            failures[name] = traceback.format_exc(limit=1)
+            print(f"[bench] FAILED {name}", file=sys.stderr)
+
+    try:
+        suite_sec = run_code_files_suite(spark, CODE_FILES_ROWS)
+        timings["code_files_suite"] = round(suite_sec, 3)
+        files_per_sec = round(CODE_FILES_ROWS / suite_sec, 1)
+    except Exception:
+        failures["code_files_suite"] = traceback.format_exc(limit=1)
+        files_per_sec = 0.0
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        "code_files_rows": CODE_FILES_ROWS,
+        "validated_files_per_sec": files_per_sec,
+    }
+    if failures:
+        out["failures"] = sorted(failures)
+        for k, v in failures.items():
+            print(f"[bench] {k}: {v}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
