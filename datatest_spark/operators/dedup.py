@@ -110,28 +110,63 @@ def ngram_jaccard_pairs(
     LSH verification path).  Without it, all pairs id_a < id_b are
     compared — O(n²), small inputs / tests only.
     """
+    if candidates is None:
+        # Inverted-index join (gram → co-occurring doc pairs) instead of a
+        # cross product: |pairs| is bounded by gram co-occurrence, the join
+        # key is the gram itself, and every step is codegen'd groupBy/join.
+        # Correct for threshold > 0 (pairs with zero shared grams can't
+        # reach any positive Jaccard).  Hot grams (boilerplate) fan out
+        # quadratically within their posting list — same recall/cost knob
+        # as LSH's max_bucket_size; threshold keeps posting lists short
+        # relative to doc count in practice.
+        if threshold <= 0:
+            raise ValueError("all-pairs ngram_jaccard_pairs requires threshold > 0")
+        g = df.select(
+            F.col(id_col).alias("_gid"),
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
+        )
+        sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
+        a = g.select(F.col("_gid").alias("id_a"), "_gram")
+        b = g.select(F.col("_gid").alias("id_b"), "_gram")
+        inter = (
+            a.join(b, "_gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
+        sim = F.col("_i").cast("double") / (
+            F.col("_na") + F.col("_nb") - F.col("_i")
+        )
+        return (
+            inter.join(
+                sizes.select(F.col("_gid").alias("id_a"), F.col("_n").alias("_na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("_gid").alias("id_b"), F.col("_n").alias("_nb")),
+                "id_b",
+            )
+            .withColumn("jaccard", F.round(sim, 6))
+            .filter(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard")
+        )
     grams = df.select(
         F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
     )
-    if candidates is None:
-        a = grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga"))
-        b = grams.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = (
-            candidates.join(
-                grams.withColumnRenamed("_grams", "_ga"),
-                candidates["id_a"] == grams["_gid"],
-            )
-            .drop("_gid")
-            .join(
-                grams.withColumnRenamed("_grams", "_gb").withColumnRenamed(
-                    "_gid", "_gid2"
-                ),
-                F.col("id_b") == F.col("_gid2"),
-            )
-            .drop("_gid2")
+    pairs = (
+        candidates.join(
+            grams.withColumnRenamed("_grams", "_ga"),
+            candidates["id_a"] == grams["_gid"],
         )
+        .drop("_gid")
+        .join(
+            grams.withColumnRenamed("_grams", "_gb").withColumnRenamed(
+                "_gid", "_gid2"
+            ),
+            F.col("id_b") == F.col("_gid2"),
+        )
+        .drop("_gid2")
+    )
     sim = jaccard(F.col("_ga"), F.col("_gb"))
     return (
         pairs.withColumn("jaccard", F.round(sim, 6))
@@ -145,16 +180,35 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_hashes: int, ngram: int = 3) -> Column:
-    """k-minhash signature of the n-gram shingle set — k seeded xxhash64
-    streams, array_min each (pure Column math, codegen'd)."""
-    grams = word_ngrams(col, ngram)
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda seed: F.array_min(
-            F.transform(grams, lambda g: F.xxhash64(g, seed, F.lit(SEED)))
-        ),
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, _h1.._hk) — k-minhash signature per doc, one wide column per
+    seeded xxhash64 stream.
+
+    Shape matters for throughput: explode the shingle set to (id, gram)
+    rows, hash each gram k times with plain (codegen'd) ``xxhash64``
+    columns, and take the k per-id mins in ONE hash aggregate.  The min
+    is commutative so the agg is map-side partial — the shuffle carries
+    one 8k-byte signature row per doc, never the grams.  (A nested
+    higher-order-function formulation — transform over seeds × transform
+    over grams — leaves whole-stage codegen and evaluates interpreted,
+    ~100× slower; see BENCH notes.)
+    """
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
     )
+    aggs = [
+        F.min(F.xxhash64(F.col("_gram"), F.lit(s), F.lit(SEED))).alias(f"_h{s}")
+        for s in range(1, num_hashes + 1)
+    ]
+    return g.groupBy("id").agg(*aggs)
 
 
 def lsh_bands(
@@ -171,18 +225,19 @@ def lsh_bands(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, ngram)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(",", F.transform(F.slice(F.col("_sig"), b * r + 1, r), lambda x: x.cast("string"))),
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, ngram=ngram
+    )
+    bucket_exprs = [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[F.col(f"_h{b * r + j}").cast("string") for j in range(1, r + 1)]
+            ),
             F.lit(SEED),
-        ),
-    )
-    return (
-        with_sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
-    )
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.posexplode(F.array(*bucket_exprs)).alias("band", "bucket"))
 
 
 def lsh_candidate_pairs(
