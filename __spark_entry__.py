@@ -613,6 +613,107 @@ WHERE abs(o_totalprice - calc_total) > 1.0
 """
 
 
+def q_order_region_names(spark, sf_dir):
+    """validate.order positional comparison: region names in regionkey
+    order vs an expected list with one wrong entry (EUROPA)."""
+    from datatest_spark import validate
+
+    r = _t(spark, sf_dir, "region")
+    expected = ["AFRICA", "AMERICA", "ASIA", "EUROPA", "MIDDLE EAST"]
+    d = validate.order(r, "r_name", expected, order_by="r_regionkey", check_id="rord")
+    return d.select("diff_kind", "value")
+
+
+SQL_ORDER_REGION = """
+WITH actual AS (
+  SELECT row_number() OVER (ORDER BY r_regionkey) - 1 AS idx, r_name AS v
+  FROM region
+), exp(idx, v) AS (VALUES (0, 'AFRICA'), (1, 'AMERICA'), (2, 'ASIA'),
+                          (3, 'EUROPA'), (4, 'MIDDLE EAST')),
+mism AS (
+  SELECT coalesce(a.idx, e.idx) AS idx, a.v AS av, e.v AS ev
+  FROM actual a FULL OUTER JOIN exp e ON a.idx = e.idx
+  WHERE a.v IS DISTINCT FROM e.v
+)
+SELECT 'missing' AS diff_kind, '["' || idx || '","' || ev || '"]' AS value
+FROM mism WHERE ev IS NOT NULL
+UNION ALL
+SELECT 'extra', '["' || idx || '","' || av || '"]' FROM mism WHERE av IS NOT NULL
+"""
+
+
+def q_fuzzy_doc_normalization(spark, sf_dir):
+    """validate.fuzzy (difflib ratio) — rows-only check (SequenceMatcher
+    is not SQL-expressible): documents whose raw text fuzzy-mismatches
+    its whitespace/case-normalized form at cutoff 0.98 (whitespace-noise
+    detector)."""
+    from datatest_spark import validate
+    from datatest_spark.operators.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    paired = d.select(
+        "doc_id", F.col("text").alias("raw"), normalize_text(F.col("text")).alias("norm")
+    )
+    diff = validate.fuzzy(paired, "raw", "norm", cutoff=0.98, check_id="fz")
+    return diff.select("diff_kind", F.sha2(F.col("value"), 256).alias("value_sha"))
+
+
+def q_acceptance_tolerance_quantity(spark, sf_dir):
+    """interval check + accepted.tolerance(±3): only deviations beyond
+    the tolerance survive (reference acceptance semantics A4)."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.interval(li, "l_quantity", min=5.0, max=45.0, check_id="qty")
+    survivors = apply_acceptance(d, accepted.tolerance(3.0))
+    return survivors.select(
+        "diff_kind",
+        F.col("value").cast("double").alias("value_num"),
+        F.round("deviation", 6).alias("deviation"),
+    )
+
+
+SQL_ACCEPT_TOLERANCE = """
+SELECT 'deviation' AS diff_kind, l_quantity AS value_num,
+       round(l_quantity - CASE WHEN l_quantity < 5 THEN 5.0 ELSE 45.0 END, 6) AS deviation
+FROM lineitem
+WHERE (l_quantity < 5 OR l_quantity > 45)
+  AND abs(l_quantity - CASE WHEN l_quantity < 5 THEN 5.0 ELSE 45.0 END) > 3.0
+"""
+
+
+def q_code_files_verdicts(spark, sf_dir):
+    """Flagship north_rule shape — rows-only check (the synthetic
+    code_files generator uses Spark's seeded xxhash64, not reproducible
+    in DuckDB): full 6-check suite over the dirty synthetic table,
+    per-partition pass/fail verdicts."""
+    from datatest_spark import validate
+    from datatest_spark.operators.referential import check_referential
+    from datatest_spark.sources.fixtures import LANGS, code_files, with_partition_id
+    from datatest_spark.suite import Check, ValidationSuite
+
+    df = with_partition_id(code_files(spark, 20_000, variant="dirty", partitions=8))
+    parents = code_files(spark, 2_000, variant="clean", partitions=8).select("repo").distinct()
+    suite = ValidationSuite(
+        [
+            Check("lang_subset", lambda t: validate.subset(t["code"], "lang", set(LANGS), check_id="lang_subset")),
+            Check("size_interval", lambda t: validate.interval(
+                t["code"].withColumn("content_len", F.length("content")),
+                "content_len", min=1, max=50_000, check_id="size_interval")),
+            Check("pk_unique", lambda t: validate.unique(
+                t["code"], ["repo", "path", "commit"], check_id="pk_unique",
+                per_occurrence=False, salted=True)),
+            Check("repo_fk", lambda t: check_referential(
+                t["code"], "repo", t["repos"], "repo", check_id="repo_fk")),
+            Check("commit_regex", lambda t: validate.regex(
+                t["code"], "commit", r"^[0-9a-f]{40}$", check_id="commit_regex")),
+        ]
+    )
+    res = suite.run({"code": df, "repos": parents}, primary="code")
+    return res.verdicts.select("partition_id", "status", "n_rows", "n_violations")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -639,6 +740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "verdict_partitions": q_verdict_partitions,
         "approx_orders_total": q_approx_orders_total,
+        "order_region_names": q_order_region_names,
+        "fuzzy_doc_normalization": q_fuzzy_doc_normalization,
+        "acceptance_tolerance_quantity": q_acceptance_tolerance_quantity,
+        "code_files_verdicts": q_code_files_verdicts,
     }
 
 
@@ -668,4 +773,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": SQL_FINGERPRINT,
         "verdict_partitions": SQL_VERDICT_PARTITIONS,
         "approx_orders_total": SQL_APPROX_ORDERS,
+        "order_region_names": SQL_ORDER_REGION,
+        # fuzzy_doc_normalization: rows-only (difflib ratio not SQL-expressible)
+        "acceptance_tolerance_quantity": SQL_ACCEPT_TOLERANCE,
+        # code_files_verdicts: rows-only (seeded xxhash64 generator not in DuckDB)
     }
