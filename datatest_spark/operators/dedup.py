@@ -351,29 +351,43 @@ def _simhash_udf():
     import pandas as pd
     from hashlib import blake2b
 
+    _shifts = np.arange(64, dtype=np.uint64)
+    _signs: dict = {}  # token → ±1 bit-sign vector, cached per worker
+
+    def _sign_row(tok):
+        v = _signs.get(tok)
+        if v is None:
+            if len(_signs) > 2_000_000:
+                _signs.clear()  # bound worker memory on adversarial vocab
+            h = np.uint64(
+                int.from_bytes(
+                    blake2b(tok.encode(), digest_size=8, salt=b"dtspark1").digest(),
+                    "big",
+                )
+            )
+            v = (((h >> _shifts) & np.uint64(1)).astype(np.int64) * 2) - 1
+            _signs[tok] = v
+        return v
+
     def _sim(texts):
+        from collections import Counter
+
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if not t:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok, cnt in _counts(t):
-                h = np.uint64(
-                    int.from_bytes(
-                        blake2b(tok.encode(), digest_size=8, salt=b"dtspark1").digest(),
-                        "big",
-                    )
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, cnt, -cnt)
+            counts = Counter(t.lower().split())
+            if not counts:
+                continue
+            # acc = Σ cnt·sign(tok): one cached ±1 row per distinct token
+            mat = np.stack([_sign_row(tok) for tok in counts])
+            cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            acc = cnt @ mat
             bits = (acc > 0).astype(np.uint64)
-            out[i] = np.int64((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+            out[i] = np.int64(
+                (bits << _shifts).sum(dtype=np.uint64).astype(np.int64)
+            )
         return pd.Series(out)
-
-    def _counts(t):
-        from collections import Counter
-
-        return Counter(t.lower().split()).items()
 
     _sim.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return F.pandas_udf(_sim, T.LongType())
