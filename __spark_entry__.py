@@ -703,7 +703,7 @@ def q_code_files_verdicts(spark, sf_dir):
                 "content_len", min=1, max=50_000, check_id="size_interval")),
             Check("pk_unique", lambda t: validate.unique(
                 t["code"], ["repo", "path", "commit"], check_id="pk_unique",
-                per_occurrence=False, salted=True)),
+                per_occurrence=False)),
             Check("repo_fk", lambda t: check_referential(
                 t["code"], "repo", t["repos"], "repo", check_id="repo_fk")),
             Check("commit_regex", lambda t: validate.regex(
@@ -712,6 +712,86 @@ def q_code_files_verdicts(spark, sf_dir):
     )
     res = suite.run({"code": df, "repos": parents}, primary="code")
     return res.verdicts.select("partition_id", "status", "n_rows", "n_violations")
+
+
+def q_quality_score_documents(spark, sf_dir):
+    from datatest_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY_SCORE = """
+WITH m AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS n_toks,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) * 1.0 / len(text)
+              ELSE 0.0 END AS punct,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS lt
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_toks, punct,
+         CASE WHEN len(lt) > 0
+              THEN len(list_filter(lt, t -> list_contains(
+                     ['the','a','of','and','to','in','is','that','it','for'], t))) * 1.0 / len(lt)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_toks > 0 THEN n_chars * 1.0 / n_toks ELSE 0.0 END AS avg_tok
+  FROM m
+)
+SELECT doc_id,
+       CAST(round(CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END * 0.3
+           + CASE WHEN avg_tok BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.3
+           + CASE WHEN punct <= 0.3 THEN 1.0 ELSE 0.5 END * 0.2
+           + CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.6 END * 0.2, 4) AS DOUBLE) AS quality
+FROM r
+"""
+
+
+def q_acceptance_percent_psize(spark, sf_dir):
+    """interval + accepted.percent(0.2): deviations within ±20% of the
+    violated bound are accepted; survivors only (reference A5)."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    p = _t(spark, sf_dir, "part")
+    d = validate.interval(p, "p_size", min=5, max=45, check_id="ps")
+    survivors = apply_acceptance(d, accepted.percent(0.2))
+    return survivors.select(
+        "diff_kind",
+        F.col("value").cast("bigint").alias("value_num"),
+        F.col("deviation"),
+    )
+
+
+SQL_ACCEPT_PERCENT = """
+WITH d AS (
+  SELECT CAST(p_size AS BIGINT) AS value_num,
+         CASE WHEN p_size < 5 THEN 5.0 ELSE 45.0 END AS bound,
+         CAST(p_size - CASE WHEN p_size < 5 THEN 5 ELSE 45 END AS DOUBLE) AS deviation
+  FROM part WHERE p_size < 5 OR p_size > 45
+)
+SELECT 'deviation' AS diff_kind, value_num, deviation
+FROM d WHERE abs(deviation / bound) > 0.2
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media plumbing — rows-only check (payload is sha512-derived
+    binary; fake encoder is blake/sha digest math not expressible in the
+    oracle): schema-stable feature extraction over synthetic media."""
+    from datatest_spark.operators.multimodal import extract_features, synthetic_media
+
+    m = synthetic_media(spark, 3000, partitions=8)
+    f = extract_features(m, decoder="fake")
+    return f.select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -744,6 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_doc_normalization": q_fuzzy_doc_normalization,
         "acceptance_tolerance_quantity": q_acceptance_tolerance_quantity,
         "code_files_verdicts": q_code_files_verdicts,
+        "quality_score_documents": q_quality_score_documents,
+        "acceptance_percent_psize": q_acceptance_percent_psize,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -777,4 +860,7 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy_doc_normalization: rows-only (difflib ratio not SQL-expressible)
         "acceptance_tolerance_quantity": SQL_ACCEPT_TOLERANCE,
         # code_files_verdicts: rows-only (seeded xxhash64 generator not in DuckDB)
+        "quality_score_documents": SQL_QUALITY_SCORE,
+        "acceptance_percent_psize": SQL_ACCEPT_PERCENT,
+        # multimodal_features: rows-only (binary payload digests not in DuckDB)
     }
