@@ -155,6 +155,46 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("_gid"),
             F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
         )
+        # Adaptive small-dictionary fast path: when the distinct-gram
+        # vocabulary fits in 64 bits (dictionary-encoded corpora, tag
+        # sets, tiny synthetic vocabularies), encode each doc's gram SET
+        # as one long and compare pairs with two bit_counts — the whole
+        # join is codegen'd longs, no posting-list fan-out at all.  The
+        # probe (66 rows) is one cheap job; exact either way.
+        vocab = [
+            r["_gram"]
+            for r in g.select("_gram").distinct().limit(66).collect()
+        ]
+        if len(vocab) <= 64:
+            idx_df = df.sparkSession.createDataFrame(
+                [(t, i) for i, t in enumerate(sorted(vocab))], "_gram string, _bit int"
+            )
+            masks = (
+                g.join(F.broadcast(idx_df), "_gram")
+                .groupBy("_gid")
+                .agg(F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_mask"))
+            )
+            n_tasks = df.sparkSession.sparkContext.defaultParallelism
+            a = masks.select(
+                F.col("_gid").alias("id_a"), F.col("_mask").alias("_ma")
+            ).repartition(n_tasks)
+            b = masks.select(F.col("_gid").alias("id_b"), F.col("_mask").alias("_mb"))
+            inter = F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb")))
+            union = F.bit_count(F.col("_ma").bitwiseOR(F.col("_mb")))
+            return (
+                a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+                .withColumn(
+                    "jaccard",
+                    F.round(
+                        F.when(union > 0, inter.cast("double") / union).otherwise(
+                            F.lit(0.0)
+                        ),
+                        6,
+                    ),
+                )
+                .filter(F.col("jaccard") >= F.lit(float(threshold)))
+                .select("id_a", "id_b", "jaccard")
+            )
         sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
         # Posting-list self-join.  The build (right) side broadcasts when
         # small, so each probe task streams its postings against the hash
