@@ -1,0 +1,149 @@
+"""Streaming validation — the engine's difference model over unbounded data.
+
+The reference is batch-only (SURVEY.md §2.5: no watermarks/windows/state),
+so this module is an ENGINE EXTENSION, not parity surface: it re-uses the
+exact same compiled checks and difference-row schema over Structured
+Streaming sources.
+
+Three tiers, by what streaming semantics allow:
+
+* ``validate_stream`` — stateless row-level checks (predicate / regex /
+  interval / approx compile to filter+project) applied directly to the
+  stream; emits an append-mode difference-row stream.  Checks that need
+  a second pass over the data (set membership against the stream's own
+  distinct values, uniqueness, order) are rejected here by construction
+  — pass them through ``foreach_batch_suite`` instead.
+* ``windowed_value_counts`` — watermarked event-time windowed histograms
+  (the streaming analogue of ``stats.histograms``) for drift monitoring;
+  late data beyond the watermark is dropped by Spark's state eviction.
+* ``foreach_batch_suite`` — the full batch ``ValidationSuite`` (any check
+  type, ledger, deterministic sink) executed per micro-batch via
+  ``foreachBatch``: each micro-batch is a bounded DataFrame, so every
+  batch operator is legal; per-batch verdicts carry the batch id.
+
+Scale notes: stateless checks add no state; windowed counts keep one
+row of state per (window, value) bounded by the watermark horizon;
+foreachBatch inherits the batch engine's shuffle/broadcast behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.differences import union_differences
+
+
+def validate_stream(
+    sdf: DataFrame,
+    checks: Sequence[Callable[[DataFrame], DataFrame]],
+) -> DataFrame:
+    """Union of stateless row-level difference streams.
+
+    ``checks``: callables mapping the (streaming) DataFrame to a
+    difference DataFrame — use the standard ``validate.predicate`` /
+    ``validate.regex`` / ``validate.interval`` / ``validate.approx``
+    builders; they compile to filter+project and are streaming-safe.
+    Raises if a check's plan is not streaming (a batch-only operator
+    would make ``isStreaming`` False or error at analysis).
+    """
+    if not sdf.isStreaming:
+        raise ValueError("validate_stream expects a streaming DataFrame")
+    parts = []
+    for c in checks:
+        d = c(sdf)
+        if not d.isStreaming:
+            raise ValueError(
+                "check compiled to a non-streaming plan; use foreach_batch_suite"
+            )
+        parts.append(d)
+    return union_differences(*parts)
+
+
+def windowed_value_counts(
+    sdf: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked per-window histogram of ``value_col`` (append mode).
+
+    The streaming analogue of ``stats.histograms`` for one column:
+    feed the finalized windows to ``check_chi_square_drift`` against a
+    static baseline inside ``foreachBatch``, or sink them as snapshots.
+    """
+    return (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window).alias("win"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.lit(value_col).alias("column_name"),
+            "value",
+            "cnt",
+        )
+    )
+
+
+def foreach_batch_suite(
+    sdf: DataFrame,
+    suite,
+    *,
+    primary: str = "stream",
+    static_tables: Optional[dict] = None,
+    on_result: Optional[Callable] = None,
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Run a full batch ``ValidationSuite`` on every micro-batch.
+
+    Each micro-batch is bounded, so set/unique/mapping/referential (and
+    drift vs the broadcast ``static_tables``) all work unchanged.
+    ``on_result(result, batch_id)`` receives the per-batch SuiteResult —
+    sink verdicts, alert, or feed a ledger there.  Returns the started
+    ``StreamingQuery``.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        tables = {primary: batch_df, **(static_tables or {})}
+        result = suite.run(tables, primary=primary, run_id=f"batch_{batch_id}")
+        if on_result is not None:
+            on_result(result, batch_id)
+
+    writer = sdf.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_difference_stream(
+    diffs: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    trigger_available_now: bool = True,
+):
+    """Append-mode parquet sink for a difference-row stream.
+
+    Streaming output cannot be globally sorted — per-batch files are in
+    arrival order; run ``canonical_sort`` over the sink directory for
+    the byte-identical batch artifact."""
+    writer = (
+        diffs.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,114 @@
+"""Streaming validation: stateless checks, watermarked windows,
+foreachBatch full-suite — file-source streams with availableNow
+triggers (offline-friendly, deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import validate
+from datatest_spark.streaming.validate_stream import (
+    foreach_batch_suite,
+    validate_stream,
+    windowed_value_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Two parquet chunks of (id, qty, code, ts) with known violations."""
+    p = str(tmp_path / "src")
+    rows1 = [(1, 5.0, "ab12", "2026-01-01 00:00:10"),
+             (2, 99.0, "ab34", "2026-01-01 00:00:20"),   # qty violation
+             (3, 7.0, "XY!!", "2026-01-01 00:00:30")]    # code violation
+    rows2 = [(4, 8.0, "cd56", "2026-01-01 00:01:10"),
+             (5, -1.0, "ef78", "2026-01-01 00:01:20")]   # qty violation
+    schema = "id long, qty double, code string, ts string"
+    df1 = spark.createDataFrame(rows1, schema).withColumn("ts", F.to_timestamp("ts"))
+    df2 = spark.createDataFrame(rows2, schema).withColumn("ts", F.to_timestamp("ts"))
+    df1.coalesce(1).write.mode("overwrite").parquet(p)
+    df2.coalesce(1).write.mode("append").parquet(p)
+    return p, df1.schema
+
+
+def _read_stream(spark, stream_dir):
+    path, schema = stream_dir
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_stateless_checks_match_batch(spark, stream_dir, tmp_path):
+    sdf = _read_stream(spark, stream_dir)
+    checks = [
+        lambda df: validate.interval(df, "qty", min=0.0, max=50.0, check_id="qty"),
+        lambda df: validate.regex(df, "code", r"^[a-z]{2}[0-9]{2}$", check_id="code"),
+    ]
+    diffs = validate_stream(sdf, checks)
+    q = (
+        diffs.writeStream.format("memory")
+        .queryName("diffs_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["check_id"], r["diff_kind"], r["value"])
+        for r in spark.table("diffs_mem").collect()
+    }
+    # batch equivalent over the same files
+    path, schema = stream_dir
+    bdf = spark.read.schema(schema).parquet(path)
+    from datatest_spark.plans.differences import union_differences
+
+    expect = {
+        (r["check_id"], r["diff_kind"], r["value"])
+        for r in union_differences(*(c(bdf) for c in checks)).collect()
+    }
+    assert got == expect
+    assert ("qty", "deviation", "99.0") in got
+    assert ("code", "invalid", "XY!!") in got
+
+
+def test_validate_stream_rejects_batch_df(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        validate_stream(df, [])
+
+
+def test_windowed_counts(spark, stream_dir):
+    sdf = _read_stream(spark, stream_dir)
+    win = windowed_value_counts(sdf, "ts", "code", window="1 minute", watermark="0 seconds")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("win_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("win_mem").collect()
+    # availableNow + watermark 0: the first window (3 values) finalizes
+    # once the second window's data advances the watermark
+    finalized = {(str(r["window_start"]), r["value"]): r["cnt"] for r in rows}
+    assert finalized.get(("2026-01-01 00:00:00", "ab12")) == 1
+    assert all(r["column_name"] == "code" for r in rows)
+
+
+def test_foreach_batch_full_suite(spark, stream_dir):
+    from datatest_spark.suite import Check, ValidationSuite
+
+    sdf = _read_stream(spark, stream_dir).withColumn("partition_id", F.lit("p0"))
+    suite = ValidationSuite(
+        [
+            Check("qty", lambda t: validate.interval(t["stream"], "qty", min=0.0, max=50.0)),
+            Check("uniq", lambda t: validate.unique(t["stream"], "id")),
+        ]
+    )
+    results = []
+    q = foreach_batch_suite(
+        sdf, suite, on_result=lambda res, bid: results.append((bid, res.n_violations))
+    )
+    q.awaitTermination(120)
+    assert results, "no micro-batches ran"
+    assert sum(n for _, n in results) == 2  # two qty violations, ids unique
