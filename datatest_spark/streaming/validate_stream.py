@@ -147,3 +147,83 @@ def write_difference_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_unique_stream(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    check_id: str = "stream_unique",
+    state_timeout_ms: Optional[int] = None,
+    shards: int = 64,
+) -> DataFrame:
+    """Cross-batch uniqueness: Extra(key) whenever a key reappears —
+    the stateful streaming analogue of ``validate.unique``.
+
+    Custom stateful operator via ``applyInPandasWithState``: state is
+    sharded by ``xxhash64(keys) % shards`` (bounded key-group count,
+    skew-proof) and each shard keeps the SET of 64-bit key hashes seen
+    so far.  A re-seen hash emits one Extra difference row carrying the
+    canonical key encoding.  State per shard grows with distinct keys —
+    set ``state_timeout_ms`` to expire idle shards (a deliberate
+    dedup-horizon knob, not a silent cap).
+
+    Collision note: a 64-bit hash match is reported without re-reading
+    earlier rows (streaming cannot revisit them); at 10^9 keys the
+    expected false-positive count is ~0.03 rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    names = list(key_cols)
+    hashed = sdf.select(
+        F.xxhash64(*[F.col(n) for n in names]).alias("_kh"),
+        F.to_json(F.struct(*[F.col(n) for n in names])).alias("_kenc"),
+    ).withColumn("_shard", F.pmod(F.col("_kh"), F.lit(shards)))
+
+    out_schema = (
+        "check_id string, diff_kind string, key string, value string, "
+        "expected string, deviation double, repo string, path string, "
+        "commit string, partition_id string"
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        dup_values = []
+        for pdf in pdfs:
+            for kh, kenc in zip(pdf["_kh"], pdf["_kenc"]):
+                if int(kh) in seen:
+                    dup_values.append(kenc)
+                else:
+                    seen.add(int(kh))
+        state.update((list(seen),))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if dup_values:
+            yield pd.DataFrame(
+                {
+                    "check_id": check_id,
+                    "diff_kind": "extra",
+                    "key": None,
+                    "value": dup_values,
+                    "expected": None,
+                    "deviation": None,
+                    "repo": None,
+                    "path": None,
+                    "commit": None,
+                    "partition_id": None,
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return hashed.groupBy("_shard").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

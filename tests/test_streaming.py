@@ -112,3 +112,29 @@ def test_foreach_batch_full_suite(spark, stream_dir):
     q.awaitTermination(120)
     assert results, "no micro-batches ran"
     assert sum(n for _, n in results) == 2  # two qty violations, ids unique
+
+
+def test_stateful_unique_across_batches(spark, tmp_path):
+    from datatest_spark.streaming.validate_stream import stateful_unique_stream
+
+    p = str(tmp_path / "susrc")
+    schema = "id long, name string"
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    spark.createDataFrame([(2, "b"), (4, "d"), (4, "d")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(p)
+    sdf = spark.readStream.schema(schema).parquet(p)
+    d = stateful_unique_stream(sdf, ["id"])
+    q = (
+        d.writeStream.format("memory")
+        .queryName("su_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("su_mem").collect()
+    assert sorted(r["value"] for r in rows) == ['{"id":2}', '{"id":4}']
+    assert all(r["diff_kind"] == "extra" and r["check_id"] == "stream_unique" for r in rows)
