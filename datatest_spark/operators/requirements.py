@@ -421,7 +421,10 @@ def check_interval(
     below = F.lit(False) if min is None else (col < F.lit(min))
     above = F.lit(False) if max is None else (col > F.lit(max))
     is_null = col.isNull()
-    bad = is_null | F.coalesce(below, F.lit(False)) | F.coalesce(above, F.lit(False))
+    # plain OR (no coalesce): filter semantics already drop null
+    # comparisons, and the bare IsNull/Lt/Gt shape pushes to the parquet
+    # scan (PushedFilters) — a coalesce-wrapped predicate does not
+    bad = is_null | below | above
     violations = df.filter(bad)
 
     if numeric:

@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: column pruning, predicate pushdown,
+broadcast strategy, scan counts — the `.explain` properties the engine's
+scale story depends on (SURVEY.md §4).  String assertions are kept loose
+(feature present / absent) so Spark version formatting drift doesn't
+break them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatest_spark import validate
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_scan_prunes_columns(spark):
+    """A one-column check must read ONE column from parquet, not 16."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.interval(li, "l_discount", min=0.0, max=0.05)
+    plan = _plan(d)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_discount" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_interval_filter_pushed_to_scan(spark):
+    """The out-of-bounds filter reaches the parquet scan (PushedFilters)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.interval(li, "l_discount", min=0.0, max=0.05)
+    plan = _plan(d)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed
+    pushed_part = pushed[0].split("PushedFilters")[1].split("ReadSchema")[0]
+    assert "l_discount" in pushed_part, pushed_part
+
+
+def test_regex_scan_prunes_columns(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    d = validate.regex(c, "c_name", r"^Customer#")
+    read_schema = [l for l in _plan(d).splitlines() if "ReadSchema" in l][0]
+    assert "c_name" in read_schema and "c_address" not in read_schema
+
+
+def test_referential_broadcasts_parent(spark):
+    from datatest_spark.operators.referential import check_referential
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    d = check_referential(o, "o_custkey", c, "c_custkey")
+    plan = _plan(d)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_unique_compact_shuffles_hashes_not_keys(spark):
+    """The compact strategy's first aggregation groups on xxhash64, so
+    the wide string key never crosses the first exchange."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.unique(li, ["l_returnflag", "l_linestatus"], method="compact")
+    opt = _optimized(d)
+    assert "xxhash64" in opt
+    plan = _plan(d)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_mapping_lookup_broadcasts_requirement(spark):
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    counts = n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("c"))
+    d = validate.mapping(counts, "n_regionkey", {0: 5, 1: 5, 2: 5, 3: 5, 4: 5}, "c")
+    assert "Broadcast" in _plan(d)
+
+
+def test_whole_stage_codegen_on_row_checks(spark):
+    """Row-level checks stay inside whole-stage codegen (no interpreted
+    projection in the hot path)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.interval(li, "l_discount", min=0.0, max=0.05)
+    plan = _plan(d)
+    # codegen'd operators carry the "*(n)" stage marker in toString()
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
