@@ -794,6 +794,17 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF-probed approximate nearest neighbours — rows-only check
+    (cell probing is approximate by design; recall vs the exact top-k
+    oracle is asserted in tests/test_similarity.py)."""
+    from datatest_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ivf_topk(e, q, k=10, n_centroids=16, n_probe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -827,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "acceptance_percent_psize": q_acceptance_percent_psize,
         "multimodal_features": q_multimodal_features,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 
