@@ -504,10 +504,12 @@ FROM documents
 
 
 def q_langid_documents(spark, sf_dir):
-    from datatest_spark.operators.textstats import lang_id
+    from datatest_spark.operators.textstats import add_lang_id
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+    return add_lang_id(d, "text", "lang_guess", id_cols=["doc_id"]).select(
+        "doc_id", "lang_guess"
+    )
 
 
 SQL_LANGID = """
