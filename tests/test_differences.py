@@ -1,0 +1,98 @@
+"""Parity tests for the difference model itself — mirrors the
+reference's tests/test_differences.py semantics (equality = class +
+args, NaN handling, Deviation constructor rules, NOVALUE collapse)
+plus the engine-side canonical encode/sort guarantees."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.plans.differences import (
+    DIFF_SCHEMA,
+    NOVALUE,
+    BaseDifference,
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    canonical_sort,
+    decode_differences,
+    make_differences,
+)
+
+
+def test_equality_is_class_plus_args():
+    assert Missing("x") == Missing("x")
+    assert Missing("x") != Missing("y")
+    assert Missing("x") != Extra("x")  # same args, different class
+    assert Invalid("a") == Invalid("a")
+    assert Invalid("a", "b") == Invalid("a", "b")
+    assert Invalid("a", "b") != Invalid("a")
+
+
+def test_nan_args_compare_equal():
+    nan = float("nan")
+    assert Deviation(nan, 1.0) == Deviation(nan, 1.0)
+    assert Missing(nan) == Missing(nan)
+
+
+def test_deviation_rejects_zero_and_non_numeric():
+    with pytest.raises(ValueError):
+        Deviation(0, 5)
+    with pytest.raises(ValueError):
+        Deviation(0.0, 5)
+    with pytest.raises(ValueError):
+        Deviation("big", 5)
+    with pytest.raises(ValueError):
+        Deviation(True, 5)  # bools are not numbers in the reference
+    # NaN deviation is allowed (reference special case)
+    d = Deviation(float("nan"), 1.0)
+    assert math.isnan(d.deviation)
+
+
+def test_invalid_novalue_collapses_args():
+    assert Invalid("v").args == ("v",)
+    assert Invalid("v", "e").args == ("v", "e")
+    assert repr(NOVALUE) == "<no value>"
+    assert not NOVALUE
+
+
+def test_decode_round_trip(spark):
+    src = spark.createDataFrame(
+        [(1.0, 3.0), (None, 2.0)], "actual double, expected double"
+    )
+    from datatest_spark import validate
+
+    diffs = validate.approx(src, "actual", "expected", delta=0.5, check_id="a")
+    got = decode_differences(diffs)
+    assert Deviation(-2.0, 3) in got
+    assert any(isinstance(d, Invalid) for d in got)  # the NULL actual
+
+
+def test_canonical_sort_is_partitioning_invariant(spark):
+    rows = [
+        ("c1", "extra", None, str(v), None, None, None, None, None, "p")
+        for v in (5, 3, 9, 1, 7, 2, 8, 0, 6, 4)
+    ]
+    a = spark.createDataFrame(rows, DIFF_SCHEMA).repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), DIFF_SCHEMA).repartition(2)
+    assert [r["value"] for r in canonical_sort(a).collect()] == [
+        r["value"] for r in canonical_sort(b).collect()
+    ]
+
+
+def test_make_differences_canonical_nan_encoding(spark):
+    src = spark.createDataFrame([(float("nan"),)], "v double")
+    d = make_differences(src, check_id="c", kind="invalid", value=F.col("v"))
+    assert d.collect()[0]["value"] == "NaN"
+
+
+def test_validation_error_truncates(spark):
+    from datatest_spark.operators.validation import ValidationError
+
+    err = ValidationError([Extra(i) for i in range(25)], "demo")
+    s = str(err)
+    assert "25 differences" in s and "15 more" in s
