@@ -796,6 +796,37 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_acceptance_count_discount(spark, sf_dir):
+    """interval + accepted.count(5) whole-scope: exactly 5 differences
+    (picked in canonical order) are accepted; the rest survive.  Ties in
+    the canonical order are identical rows, so the survivor multiset is
+    deterministic (A7 semantics with the deterministic-quota rule)."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.interval(li, "l_discount", min=0.0, max=0.05, check_id="disc")
+    survivors = apply_acceptance(d, accepted.count(5))
+    return survivors.select(
+        "diff_kind",
+        F.col("value").cast("double").alias("value_num"),
+        F.round("deviation", 6).alias("deviation"),
+    )
+
+
+SQL_ACCEPT_COUNT = """
+WITH d AS (
+  SELECT 'deviation' AS diff_kind, l_discount AS value_num,
+         round(l_discount - 0.05, 6) AS deviation,
+         CAST(l_discount AS VARCHAR) AS vstr
+  FROM lineitem WHERE l_discount > 0.05
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY vstr) AS rn FROM d
+)
+SELECT diff_kind, value_num, deviation FROM r WHERE rn > 5
+"""
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF-probed approximate nearest neighbours — rows-only check
     (cell probing is approximate by design; recall vs the exact top-k
@@ -841,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_percent_psize": q_acceptance_percent_psize,
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "acceptance_count_discount": q_acceptance_count_discount,
     }
 
 
@@ -877,4 +909,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_documents": SQL_QUALITY_SCORE,
         "acceptance_percent_psize": SQL_ACCEPT_PERCENT,
         # multimodal_features: rows-only (binary payload digests not in DuckDB)
+        # ivf_topk_embeddings: rows-only (probing approximate; recall tested in tests/)
+        "acceptance_count_discount": SQL_ACCEPT_COUNT,
     }
