@@ -574,8 +574,8 @@ def q_verdict_partitions(spark, sf_dir):
 
 SQL_VERDICT_PARTITIONS = """
 SELECT l_returnflag AS partition_id, count(*) AS n_rows,
-       sum(CASE WHEN l_discount > 0.05 OR l_discount < 0.0
-                  OR l_quantity > 49 OR l_quantity < 1 THEN 1 ELSE 0 END) AS n_violations,
+       CAST(sum(CASE WHEN l_discount > 0.05 OR l_discount < 0.0
+                  OR l_quantity > 49 OR l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
        CASE WHEN sum(CASE WHEN l_discount > 0.05 OR l_discount < 0.0
                             OR l_quantity > 49 OR l_quantity < 1 THEN 1 ELSE 0 END) = 0
             THEN 'ok' ELSE 'failed' END AS status

@@ -34,6 +34,10 @@ from .textstats import normalize_text, tokens
 
 SEED = 42
 
+# bitset fast-path bound: masks table must broadcast (8 B/doc) and the
+# n²/2 codegen'd long-pair scan must stay a few-second stage on ~32 cores
+BITSET_MAX_DOCS = 20_000
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -83,7 +87,11 @@ def word_ngrams(col: Column, n: int) -> Column:
     ~25× slower than tokenization itself.)"""
     toks = tokens(normalize_text(col))
     if n == 1:
-        return F.array_distinct(toks)
+        # empty/null text → [""] like the n≥2 tail-fallback below, so empty
+        # docs stay comparable (two empty texts score jaccard 1.0)
+        return F.when(
+            F.size(toks) > 0, F.array_distinct(toks)
+        ).otherwise(F.array(F.lit("")))
     k = F.size(toks) - (n - 1)
     shifted = [toks if i == 0 else F.slice(toks, i + 1, F.greatest(k, F.lit(0))) for i in range(n)]
     zipped = F.slice(F.arrays_zip(*shifted), 1, F.greatest(k, F.lit(1)))
@@ -139,6 +147,11 @@ def ngram_jaccard_pairs(
     LSH verification path).  Without it, candidates come from an exact
     prefix-filtered inverted-index join (PPJoin rule — see inline
     comment), then the same verification applies.
+
+    NOTE: the candidate-free path runs up to two small *eager* probe
+    jobs at plan-construction time (a ≤66-row distinct-gram probe and a
+    ≤``BITSET_MAX_DOCS``+1-row count probe) to pick the physical
+    strategy — this function is a planner, not a pure DataFrame builder.
     """
     grams = df.select(
         F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
@@ -166,12 +179,20 @@ def ngram_jaccard_pairs(
         # sets, tiny synthetic vocabularies), encode each doc's gram SET
         # as one long and compare pairs with two bit_counts — the whole
         # join is codegen'd longs, no posting-list fan-out at all.  The
-        # probe (66 rows) is one cheap job; exact either way.
+        # probe (66 rows) is one cheap job; exact either way.  A tiny
+        # vocabulary does NOT imply few documents, so the path is also
+        # gated on doc count (the broadcast side and the n²/2 pair scan
+        # must both stay bounded); beyond it, the posting-list join wins
+        # anyway because a ≤64-gram corpus has ≤64 postings lists.
         vocab = [
             r["_gram"]
             for r in g.select("_gram").distinct().limit(66).collect()
         ]
-        if len(vocab) <= 64:
+        n_docs_bounded = (
+            len(vocab) <= 64
+            and df.select(id_col).limit(BITSET_MAX_DOCS + 1).count() <= BITSET_MAX_DOCS
+        )
+        if len(vocab) <= 64 and n_docs_bounded:
             idx_df = df.sparkSession.createDataFrame(
                 [(t, i) for i, t in enumerate(sorted(vocab))], "_gram string, _bit int"
             )
@@ -559,13 +580,14 @@ def embedding_neardup_pairs(
             a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             an = np.linalg.norm(a, axis=1)
             an[an == 0] = 1.0
-            sims = (a / an[:, None]) @ b_unit.T  # (batch × n)
-            # each unordered pair once: emit from the smaller id's row
+            sims = np.round((a / an[:, None]) @ b_unit.T, 6)  # (batch × n)
+            # round BEFORE thresholding — matches the LSH path exactly, so
+            # pairs at cos ∈ [thr−5e-7, thr) are treated identically by both
+            # # each unordered pair once: emit from the smaller id's row
             keep = (sims >= thr) & (a_ids[:, None] < b_ids[None, :])
             ai, bj = np.nonzero(keep)
             yield pd.DataFrame(
                 {"id_a": a_ids[ai], "id_b": b_ids[bj], "cos": sims[ai, bj]}
             )
 
-    out = v.mapInPandas(block, schema="id_a long, id_b long, cos double")
-    return out.withColumn("cos", F.round("cos", 6))
+    return v.mapInPandas(block, schema="id_a long, id_b long, cos double")

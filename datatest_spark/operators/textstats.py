@@ -162,6 +162,14 @@ def add_lang_id(
     sw = stopwords or STOPWORDS
     langs = sorted(sw)
     ids = list(id_cols) if id_cols is not None else [c for c in df.columns if c != text_col]
+    if not ids:
+        # an empty key list would make the join-back a cross join (one
+        # global guess applied to all rows) — fail loudly instead
+        raise ValueError(
+            "add_lang_id needs at least one id column; a text-only DataFrame "
+            "has no row identity to join the argmax result back on "
+            "(add one, e.g. monotonically_increasing_id, or use lang_id())"
+        )
     spark = df.sparkSession
     sw_rows = [(w, i) for i, lang in enumerate(langs) for w in sw[lang]]
     sw_df = spark.createDataFrame(sw_rows, "_tok string, _lidx int")

@@ -171,6 +171,15 @@ def stateful_unique_stream(
     Collision note: a 64-bit hash match is reported without re-reading
     earlier rows (streaming cannot revisit them); at 10^9 keys the
     expected false-positive count is ~0.03 rows.
+
+    State-rewrite cost: ``applyInPandasWithState`` stores one array
+    value per shard, so every micro-batch REWRITES the full seen-set of
+    each touched shard — O(total distinct keys / shards) serialization
+    per shard per batch, linear in stream lifetime.  Raise ``shards``
+    (amortizes the rewrite and caps per-shard array size) and set
+    ``state_timeout_ms`` for long-running streams; a RocksDB list-state
+    or bloom/HLL summary is the production follow-up for unbounded key
+    cardinalities.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
