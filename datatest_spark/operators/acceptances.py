@@ -93,6 +93,12 @@ class Acceptance:
 
     scope = "element"
 
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Optional pre-pass: add helper columns the mark needs (e.g. a
+        distributed global running count).  Helper columns are stripped
+        again by ``apply_acceptance``."""
+        return df
+
     def mark(self, df: DataFrame) -> Column:  # pragma: no cover - abstract
         raise NotImplementedError
 
@@ -125,19 +131,34 @@ class _QuotaAcceptance(Acceptance):
         self.n = n
         self.group_cols = list(group_cols)
         self.scope = scope
+        self._rs_col = f"_quota_rs_{id(self)}"
+
+    def _inner(self) -> Column:
+        inner = self.inner if self.inner is not None else F.lit(True)
+        return F.coalesce(inner, F.lit(False))
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        if self.group_cols:
+            return df  # per-group window is already partitioned — scalable
+        # whole scope: a global running conditional count.  A plain
+        # Window.orderBy would be an Exchange SinglePartition over every
+        # difference row; use the two-phase distributed form instead.
+        from ..plans.distributed import with_global_running_sum
+
+        return with_global_running_sum(
+            df, CANONICAL_ORDER, F.when(self._inner(), 1).otherwise(0), self._rs_col
+        )
 
     def mark(self, df: DataFrame) -> Column:
-        inner = self.inner if self.inner is not None else F.lit(True)
-        inner = F.coalesce(inner, F.lit(False))
+        inner = self._inner()
         if self.group_cols:
             w = Window.partitionBy(*self.group_cols).orderBy(*_order_cols())
-        else:
-            w = Window.partitionBy().orderBy(*_order_cols())
-        # rows failing `inner` must not consume quota: rank only matches
-        rn = F.sum(F.when(inner, 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
-        return inner & (rn <= F.lit(self.n))
+            # rows failing `inner` must not consume quota: rank only matches
+            rn = F.sum(F.when(inner, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return inner & (rn <= F.lit(self.n))
+        return inner & (F.col(self._rs_col) <= F.lit(self.n))
 
 
 class _MultisetAcceptance(Acceptance):
@@ -182,6 +203,9 @@ class _Combined(Acceptance):
             if how == "and"
             else max(a.scope, b.scope, key=order.get)
         )
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        return self.b.prepare(self.a.prepare(df))
 
     def mark(self, df: DataFrame) -> Column:
         ma, mb = self.a.mark(df), self.b.mark(df)
@@ -323,9 +347,10 @@ accepted = _AcceptedFactory()
 
 def apply_acceptance(diff_df: DataFrame, acceptance: Acceptance) -> DataFrame:
     """Filter: keep only differences NOT admitted by the acceptance."""
-    mark = acceptance.mark(diff_df)
+    prepared = acceptance.prepare(diff_df)
+    mark = acceptance.mark(prepared)
     return (
-        diff_df.withColumn("_accepted", F.coalesce(mark, F.lit(False)))
+        prepared.withColumn("_accepted", F.coalesce(mark, F.lit(False)))
         .filter(~F.col("_accepted"))
-        .drop("_accepted")
+        .select(*diff_df.columns)
     )

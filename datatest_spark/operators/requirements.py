@@ -698,21 +698,28 @@ def check_order(
 
     The reference's validate.order aligns via difflib LCS opcodes —
     inherently sequential; the distributed form compares positionally
-    (row_number over an explicit total order, full-outer join on index):
-    mismatch at index i → Missing([i, expected]) + Extra([i, actual]);
-    length mismatches → Missing/Extra at the tail.  Exact LCS alignment
-    for bounded groups is available as ``check_order_exact``
-    (SURVEY.md §7 "hard" list — documented deviation).
+    (global row index over an explicit total order, full-outer join on
+    index): mismatch at index i → Missing([i, expected]) +
+    Extra([i, actual]); length mismatches → Missing/Extra at the tail.
+    Exact LCS alignment for bounded groups is available as
+    ``check_order_exact`` (SURVEY.md §7 "hard" list — documented
+    deviation).
+
+    Scale: the index comes from the two-phase distributed row_number
+    (plans/distributed.py) — a global ``Window.orderBy`` would funnel
+    the whole column through one task (Exchange SinglePartition).
     """
+    from ..plans.distributed import with_global_row_number
+
     spark = df.sparkSession
     order_names = _cols(order_by)
-    w = Window.orderBy(*[F.col(n) for n in order_names])
-    indexed = df.select(
-        (F.row_number().over(w) - 1).alias("_idx"), F.col(column).alias("_actual")
+    narrow = df.select(*[F.col(n) for n in order_names], F.col(column).alias("_actual"))
+    indexed = with_global_row_number(narrow, order_names, "_rn1").select(
+        (F.col("_rn1") - 1).alias("_idx"), "_actual"
     )
     dt = _dtype(df, column)
     seq_schema = T.StructType(
-        [T.StructField("_idx", T.IntegerType(), False), T.StructField("_exp", dt, True)]
+        [T.StructField("_idx", T.LongType(), False), T.StructField("_exp", dt, True)]
     )
     seq_df = spark.createDataFrame(list(enumerate(sequence)), seq_schema)
     joined = indexed.join(seq_df, "_idx", "full_outer")

@@ -1,0 +1,111 @@
+"""Two-phase global-order primitives — scale-safe replacements for
+unpartitioned windows.
+
+``row_number().over(Window.orderBy(...))`` forces Spark to move the
+ENTIRE input through one task (``Exchange SinglePartition``) — correct,
+but a scale-killer for the global order check and the whole-scope count
+acceptance (reference semantics both genuinely need a global order).
+
+The two-phase form keeps every stage distributed:
+
+1. ``repartitionByRange`` on the order keys — a distributed range
+   shuffle (equal keys land in one partition, partitions are globally
+   ordered).
+2. per-partition running sums — one Arrow ``mapInPandas`` cumsum pass,
+   no further exchange (the stage reads the range shuffle directly).
+3. per-partition totals → prefix offsets — a tiny aggregate (≤ one row
+   per partition) joined triangularly and broadcast back, so even the
+   offset computation never funnels through a single partition.
+
+global value = local running sum + broadcast offset of all preceding
+partitions.  Both consumers of the range exchange (the cumsum branch
+and the totals branch) are identical subtrees, so Spark executes the
+shuffle once (ReusedExchange).
+
+Determinism: ties in the order keys stay within one partition (range
+partitioning is key-based), and callers order by a key set that makes
+tied rows fully identical (the canonical difference order covers every
+column), so the assigned numbers are interchangeable within ties and
+the downstream accepted/filtered multiset is unique.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    flag: Column,
+    out_col: str,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Add ``out_col`` = running Σ of ``flag`` (cast to long) over the
+    global ``order_by`` order — inclusive of the current row.
+
+    With ``flag=F.lit(1)`` this is a distributed global ``row_number``.
+    No single-partition exchange appears anywhere in the plan (asserted
+    by tests/test_plans.py).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    sort_cols = [F.col(c).asc_nulls_first() for c in order_by]
+    flagged = df.withColumn("_gf", F.coalesce(flag.cast("long"), F.lit(0)))
+    parted = (
+        flagged.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+
+    # branch 2: per-partition flag totals → prefix offsets.  Triangular
+    # broadcast join over ≤n rows — deliberately NOT a global window, so
+    # the whole plan is free of Exchange SinglePartition.
+    counts = parted.groupBy("_gpid").agg(F.sum("_gf").alias("_gc"))
+    prior = counts.select(F.col("_gpid").alias("_qpid"), F.col("_gc").alias("_qc"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_qpid") < F.col("_gpid"), "left")
+        .groupBy("_gpid")
+        .agg(F.coalesce(F.sum("_qc"), F.lit(0)).alias("_goff"))
+    )
+
+    # branch 1: Arrow cumsum per partition (streamed in sorted order,
+    # running total carried across record batches of the same partition)
+    out_schema = T.StructType(
+        list(parted.schema.fields) + [T.StructField("_gcs", T.LongType(), False)]
+    )
+
+    def cumsum(batches):
+        total = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            cs = pdf["_gf"].cumsum() + total
+            pdf["_gcs"] = cs.astype("int64")
+            if len(cs):
+                total = int(cs.iloc[-1])
+            yield pdf
+
+    local = parted.mapInPandas(cumsum, schema=out_schema)
+    return (
+        local.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out_col, F.col("_gcs") + F.col("_goff"))
+        .drop("_gf", "_gpid", "_gcs", "_goff")
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed global 1-based row_number over ``order_by``."""
+    return with_global_running_sum(
+        df, order_by, F.lit(1), out_col, num_partitions=num_partitions
+    )

@@ -182,14 +182,51 @@ def violations_json(diffs: DataFrame):
     return F.to_json(F.struct(*[F.col(c) for c in DIFF_COLUMNS]))
 
 
-def write_violations(diffs: DataFrame, path: str, *, single_file: bool = True) -> None:
-    """Deterministic violation sink: canonical global sort → canonical
-    JSON lines.  Byte-identical at any parallelism (north_rule)."""
-    sorted_diffs = canonical_sort(diffs)
-    out = sorted_diffs.select(violations_json(sorted_diffs).alias("value"))
+def write_violations(
+    diffs: DataFrame, path: str, *, single_file: bool = True, num_parts: int = 32
+) -> None:
+    """Deterministic violation sink — byte-identical at any parallelism
+    (north_rule).
+
+    ``single_file=True``: canonical global sort → one canonical-JSON
+    text file (violations ≪ input; the default reporting artifact).
+
+    ``single_file=False``: sorted multi-part output under a FIXED range
+    partitioner.  Spark's own global ``orderBy`` write draws *sampled*
+    range boundaries, so per-part bytes shift with cluster size; here
+    the part of a row is ``floor(global_rank · num_parts / n_rows)`` —
+    exact global rank from the two-phase distributed row_number, a pure
+    function of the data.  Output is directory-partitioned
+    (``_part=0..num_parts-1``; directory order = global order, each
+    directory one sorted file) and every part's bytes are identical at
+    any parallelism.  One eager count() picks the rank→part scale.
+    """
+    from .plans.differences import CANONICAL_ORDER
+    from .plans.distributed import with_global_row_number
+
     if single_file:
-        out = out.coalesce(1)
-    out.write.mode("overwrite").text(path)
+        sorted_diffs = canonical_sort(diffs)
+        out = sorted_diffs.select(violations_json(sorted_diffs).alias("value"))
+        out.coalesce(1).write.mode("overwrite").text(path)
+        return
+
+    n_rows = diffs.count()
+    k = max(1, min(num_parts, n_rows or 1))
+    ranked = with_global_row_number(diffs, CANONICAL_ORDER, "_grank")
+    part = F.floor((F.col("_grank") - 1) * k / F.lit(max(n_rows, 1))).cast("int")
+    out = (
+        ranked.withColumn("_part", part)
+        # one task per part (hash(_part) is parallelism-independent), rows
+        # canonically sorted inside → exactly one deterministic file per
+        # directory, and directory-major concatenation = global order
+        .repartition(k, F.col("_part"))
+        .sortWithinPartitions(
+            F.col("_part"), *[F.col(c).asc_nulls_first() for c in CANONICAL_ORDER]
+        )
+    )
+    out.select("_part", violations_json(out).alias("value")).write.mode(
+        "overwrite"
+    ).partitionBy("_part").text(path)
 
 
 def violations_sha256(spark: SparkSession, path: str) -> str:
@@ -198,8 +235,16 @@ def violations_sha256(spark: SparkSession, path: str) -> str:
     import glob
     import hashlib
 
+    files = sorted(glob.glob(f"{path}/part-*"))
+    if not files:
+        # directory-partitioned multi-part layout: numeric _part order is
+        # the global order, file names inside are irrelevant (one file each)
+        dirs = sorted(
+            glob.glob(f"{path}/_part=*"), key=lambda d: int(d.rsplit("=", 1)[1])
+        )
+        files = [f for d in dirs for f in sorted(glob.glob(f"{d}/part-*"))]
     h = hashlib.sha256()
-    for f in sorted(glob.glob(f"{path}/part-*")):
+    for f in files:
         with open(f, "rb") as fh:
             h.update(fh.read())
     return h.hexdigest()

@@ -80,6 +80,30 @@ def test_mapping_lookup_broadcasts_requirement(spark):
     assert "Broadcast" in _plan(d)
 
 
+def test_order_check_no_single_partition_exchange(spark):
+    """The global order index must come from the two-phase distributed
+    row_number — never an unpartitioned window that funnels the whole
+    column through one task."""
+    r = spark.read.parquet(f"{SF}/region.parquet")
+    d = validate.order(
+        r, "r_name", ["AFRICA", "AMERICA", "ASIA"], order_by="r_regionkey"
+    )
+    assert "Exchange SinglePartition" not in _plan(d)
+    assert "rangepartitioning" in _plan(d).lower()
+
+
+def test_whole_scope_count_acceptance_no_single_partition_exchange(spark):
+    """accepted.count(n) whole-scope: the global quota rank is the
+    two-phase running sum, not a global window."""
+    from datatest_spark import accepted
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.interval(li, "l_discount", min=0.0, max=0.05)
+    s = apply_acceptance(d, accepted.count(5))
+    assert "Exchange SinglePartition" not in _plan(s)
+
+
 def test_whole_stage_codegen_on_row_checks(spark):
     """Row-level checks stay inside whole-stage codegen (no interpreted
     projection in the hot path)."""

@@ -110,6 +110,37 @@ def test_deterministic_sink_across_parallelism(spark, tmp_path):
     assert h1 == h2
 
 
+def test_deterministic_multipart_sink_across_parallelism(spark, tmp_path):
+    """single_file=False: fixed range partitioner → per-part bytes
+    identical across parallelism, and the directory-ordered concatenation
+    equals the single-file canonical bytes."""
+    import glob
+    import hashlib
+
+    t = _tables(spark, "dirty")
+    diffs = _suite().build_differences(t)
+
+    def per_part_hashes(p):
+        out = {}
+        for d in glob.glob(f"{p}/_part=*"):
+            h = hashlib.sha256()
+            for f in sorted(glob.glob(f"{d}/part-*")):
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
+            out[int(d.rsplit("=", 1)[1])] = h.hexdigest()
+        return out
+
+    p1, p2, p3 = (str(tmp_path / v) for v in ("m1", "m2", "s1"))
+    write_violations(diffs.repartition(2), p1, single_file=False, num_parts=8)
+    write_violations(diffs.repartition(16), p2, single_file=False, num_parts=8)
+    h1, h2 = per_part_hashes(p1), per_part_hashes(p2)
+    assert h1 and h1 == h2
+    assert len(h1) == 8
+    # global order: multi-part concatenation == single-file bytes
+    write_violations(diffs, p3, single_file=True)
+    assert violations_sha256(spark, p1) == violations_sha256(spark, p3)
+
+
 def _partitioned_suite():
     """Only partition-scoped checks — the resume unit (global checks like
     set/unique-on-distinct re-run in full on resume by design)."""
