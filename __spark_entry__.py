@@ -204,6 +204,52 @@ WHERE n_nations <> e
 """
 
 
+def q_mapping_multi_nations(spark, sf_dir):
+    """Non-scalar per-key mapping requirements (reference RequiredMapping
+    full dispatch): per-key SETS, per-key regex predicates, an absent
+    requirement key, and a data key outside the requirement."""
+    import re
+
+    from datatest_spark import validate
+
+    n = _t(spark, sf_dir, "nation")
+    req = {
+        0: {"NATION_0", "NATION_10", "NATION_15", "NATION_20", "NATION_5", "NATION_99"},
+        1: {"NATION_1", "NATION_11", "NATION_16", "NATION_21"},
+        2: re.compile(r"^NATION_"),
+        3: re.compile(r"^NATION_1"),
+        9: {"NATION_X"},
+    }
+    d = validate.mapping(n, "n_regionkey", req, "n_name", check_id="mm")
+    return d.select("diff_kind", "key", "value", "expected")
+
+
+SQL_MAPPING_MULTI = """
+WITH req_set(k, m) AS (VALUES
+  (0,'NATION_0'),(0,'NATION_10'),(0,'NATION_15'),(0,'NATION_20'),(0,'NATION_5'),(0,'NATION_99'),
+  (1,'NATION_1'),(1,'NATION_11'),(1,'NATION_16'),(1,'NATION_21')),
+dat AS (SELECT DISTINCT n_regionkey AS k, n_name AS m FROM nation WHERE n_regionkey IN (0, 1))
+SELECT 'extra' AS diff_kind, CAST(d.k AS VARCHAR) AS key, d.m AS value, CAST(NULL AS VARCHAR) AS expected
+FROM dat d WHERE NOT EXISTS (SELECT 1 FROM req_set r WHERE r.k = d.k AND r.m = d.m)
+UNION ALL
+SELECT 'missing', CAST(r.k AS VARCHAR), r.m, NULL FROM req_set r
+WHERE NOT EXISTS (SELECT 1 FROM dat d WHERE d.k = r.k AND d.m = r.m)
+  AND r.k IN (SELECT DISTINCT n_regionkey FROM nation)
+UNION ALL
+SELECT 'missing', '9', 'NATION_X', NULL
+WHERE 9 NOT IN (SELECT DISTINCT n_regionkey FROM nation)
+UNION ALL
+SELECT 'invalid', CAST(n_regionkey AS VARCHAR), n_name, 're.compile(''^NATION_'')'
+FROM nation WHERE n_regionkey = 2 AND NOT regexp_matches(n_name, '^NATION_')
+UNION ALL
+SELECT 'invalid', CAST(n_regionkey AS VARCHAR), n_name, 're.compile(''^NATION_1'')'
+FROM nation WHERE n_regionkey = 3 AND NOT regexp_matches(n_name, '^NATION_1')
+UNION ALL
+SELECT 'extra', CAST(n_regionkey AS VARCHAR), n_name, NULL
+FROM nation WHERE n_regionkey NOT IN (0, 1, 2, 3, 9)
+"""
+
+
 def q_referential_orders_customer(spark, sf_dir):
     from datatest_spark.operators.referential import check_referential
 
@@ -847,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_orderkey": q_unique_orderkey,
         "interval_psize": q_interval_psize,
         "mapping_nations_per_region": q_mapping_nations_per_region,
+        "mapping_multi_nations": q_mapping_multi_nations,
         "referential_orders_customer": q_referential_orders_customer,
         "referential_events_suppliers": q_referential_events_suppliers,
         "stats_lineitem": q_stats_lineitem,
@@ -885,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_orderkey": SQL_UNIQUE_ORDERKEY,
         "interval_psize": SQL_INTERVAL_PSIZE,
         "mapping_nations_per_region": SQL_MAPPING_NATIONS,
+        "mapping_multi_nations": SQL_MAPPING_MULTI,
         "referential_orders_customer": SQL_REFERENTIAL_ORDERS,
         "referential_events_suppliers": SQL_REFERENTIAL_EVENTS,
         "stats_lineitem": SQL_STATS_LINEITEM,

@@ -23,9 +23,13 @@ Semantics pinned (reference mount was empty — SURVEY.md §0):
   ``scope='group'``), choosing *which* n deterministically by canonical
   order;
 * ``a & b`` = both accept (min scope), ``a | b`` = either accepts (max
-  scope).  Quota acceptances (list/dict/count) compute their quota
-  independently of the sibling branch — a documented deviation for
-  exotic compositions (reference applies element→group→whole in order).
+  scope).  Composition is SCOPE-ORDERED like the reference (element →
+  group → whole): the lower-scope branch is evaluated first and gates
+  the higher-scope branch's quota, so under ``|`` a quota acceptance
+  never consumes a difference the element-scope sibling already
+  accepted, and under ``&`` it consumes only differences the sibling
+  also accepts.  Equal scopes apply left-to-right (pinned; the
+  reference mount was empty — SURVEY.md §0).
 """
 
 from __future__ import annotations
@@ -93,10 +97,15 @@ class Acceptance:
 
     scope = "element"
 
-    def prepare(self, df: DataFrame) -> DataFrame:
+    def prepare(self, df: DataFrame, gate: Optional[Column] = None) -> DataFrame:
         """Optional pre-pass: add helper columns the mark needs (e.g. a
         distributed global running count).  Helper columns are stripped
-        again by ``apply_acceptance``."""
+        again by ``apply_acceptance``.
+
+        ``gate`` carries scope-ordering context from a composition: a
+        boolean over rows this branch is allowed to newly accept /
+        consume quota on.  Stateless (predicate) acceptances ignore it —
+        only quota acceptances have consumption semantics."""
         return df
 
     def mark(self, df: DataFrame) -> Column:  # pragma: no cover - abstract
@@ -132,12 +141,17 @@ class _QuotaAcceptance(Acceptance):
         self.group_cols = list(group_cols)
         self.scope = scope
         self._rs_col = f"_quota_rs_{id(self)}"
+        self._gate: Optional[Column] = None
 
     def _inner(self) -> Column:
         inner = self.inner if self.inner is not None else F.lit(True)
-        return F.coalesce(inner, F.lit(False))
+        inner = F.coalesce(inner, F.lit(False))
+        if self._gate is not None:
+            inner = inner & self._gate  # scope-ordering: consume only gated rows
+        return inner
 
-    def prepare(self, df: DataFrame) -> DataFrame:
+    def prepare(self, df: DataFrame, gate: Optional[Column] = None) -> DataFrame:
+        self._gate = gate
         if self.group_cols:
             return df  # per-group window is already partitioned — scalable
         # whole scope: a global running conditional count.  A plain
@@ -168,6 +182,11 @@ class _MultisetAcceptance(Acceptance):
         self.diffs = list(diffs)
         self.key = key
         self.scope = "group" if key is not None else "element"
+        self._gate: Optional[Column] = None
+
+    def prepare(self, df: DataFrame, gate: Optional[Column] = None) -> DataFrame:
+        self._gate = gate
+        return df
 
     def mark(self, df: DataFrame) -> Column:
         # group equal instances → quota per distinct difference shape
@@ -184,31 +203,53 @@ class _MultisetAcceptance(Acceptance):
         if self.key is not None:
             part_cols = ["key"] + part_cols
         w = Window.partitionBy(*part_cols).orderBy(*_order_cols())
-        rn = F.row_number().over(w)
+        # within a shape partition every row matches the same instance, so
+        # a conditional running count of gated rows = the consumed quota
+        gate_ok = F.lit(True) if self._gate is None else self._gate
+        rn = F.sum(F.when(gate_ok, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
         for k, n in counts.items():
             d = shapes[k]
             cond = _instance_match(d)
             if self.key is not None:
                 cond = cond & F.col("key").eqNullSafe(_canon_lit(self.key))
-            out = out | (cond & (rn <= F.lit(n)))
+            out = out | (cond & gate_ok & (rn <= F.lit(n)))
         return out
+
+
+_SCOPE_ORDER = {"element": 0, "group": 1, "whole": 2}
 
 
 class _Combined(Acceptance):
     def __init__(self, a: Acceptance, b: Acceptance, how: str):
         self.a, self.b, self.how = a, b, how
-        order = {"element": 0, "group": 1, "whole": 2}
         self.scope = (
-            min(a.scope, b.scope, key=order.get)
+            min(a.scope, b.scope, key=_SCOPE_ORDER.get)
             if how == "and"
-            else max(a.scope, b.scope, key=order.get)
+            else max(a.scope, b.scope, key=_SCOPE_ORDER.get)
+        )
+        # reference application order: element → group → whole; equal
+        # scopes keep left-to-right
+        self._first, self._second = (
+            (a, b) if _SCOPE_ORDER[a.scope] <= _SCOPE_ORDER[b.scope] else (b, a)
         )
 
-    def prepare(self, df: DataFrame) -> DataFrame:
-        return self.b.prepare(self.a.prepare(df))
+    def prepare(self, df: DataFrame, gate: Optional[Column] = None) -> DataFrame:
+        df = self._first.prepare(df, gate=gate)
+        fm = F.coalesce(self._first.mark(df), F.lit(False))
+        if self.how == "or":
+            # the higher-scope branch must not consume quota on rows the
+            # lower-scope branch already accepts
+            g2 = ~fm if gate is None else (gate & ~fm)
+        else:
+            # under & the quota consumes only rows the sibling also accepts
+            g2 = fm if gate is None else (gate & fm)
+        return self._second.prepare(df, gate=g2)
 
     def mark(self, df: DataFrame) -> Column:
-        ma, mb = self.a.mark(df), self.b.mark(df)
+        ma = F.coalesce(self._first.mark(df), F.lit(False))
+        mb = F.coalesce(self._second.mark(df), F.lit(False))
         return (ma & mb) if self.how == "and" else (ma | mb)
 
 

@@ -558,23 +558,47 @@ def check_mapping(
     *,
     check_id: str = "mapping",
     partition_id: Optional[Column] = None,
+    order_by: Optional[ColumnsArg] = None,
 ) -> DataFrame:
     """Per-key validation against a mapping requirement (reference
-    RequiredMapping, scalar per-key form).
+    RequiredMapping).
 
-    ``requirement`` is a dict {key → expected scalar} or a lookup
-    DataFrame with columns (key..., expected).  Semantics pinned to the
-    reference: union of keys is walked; data key absent from the
-    requirement → Extra(value); requirement key absent from data →
-    Missing(expected); both present and unequal → Deviation (numeric)
-    or Invalid(value, expected).
+    ``requirement`` is a dict {key → expectation} or a lookup DataFrame
+    with columns (key..., expected scalar).  Each key's expectation goes
+    through the full requirement dispatch, like the reference:
 
-    Plan: broadcast join of the (small) requirement relation against the
-    keyed data — the scalable replacement for the reference's per-key
-    Python loop.
+    * scalar        → equality; numeric mismatch → Deviation(a−e, e)
+    * set           → per-key set membership → Missing/Extra within key
+    * list          → per-key positional sequence (needs ``order_by``)
+    * anything else → per-key predicate (§2.3 forms: type, regex,
+      callable, True/False, None, tuple, ~negation) → Invalid(v, repr)
+
+    Union of keys is walked; data key absent from the requirement →
+    Extra(value) per row; requirement key absent from data → Missing
+    rows for the expectation (per member/element for set/sequence;
+    the predicate's repr for predicate forms — pinned semantics, the
+    reference mount was empty per SURVEY.md §0).
+
+    Plan: every family compiles to broadcast joins / compiled Column
+    filters against the keyed data — the scalable replacement for the
+    reference's per-key Python loop.  The sequence family uses a window
+    partitioned BY KEY (never a global window).
     """
     spark = df.sparkSession
     key_names = _cols(key_columns)
+
+    if isinstance(requirement, Mapping) and any(
+        not _is_scalar_req(v) for v in requirement.values()
+    ):
+        return _check_mapping_multi(
+            df,
+            key_names,
+            requirement,
+            value_column,
+            check_id=check_id,
+            partition_id=partition_id,
+            order_by=order_by,
+        )
 
     if isinstance(requirement, Mapping):
         rows = []
@@ -678,6 +702,370 @@ def check_mapping(
             partition_id=partition_id,
         )
     return union_differences(missing, extra, mism)
+
+
+_RE_PATTERN = type(re.compile(""))
+
+#: sentinel for NULL members in set-requirement join keys (NULL never
+#: equals NULL in a name-join; the sentinel makes membership null-safe)
+_NULL_SENTINEL = "\x00<null>"
+
+
+def _is_scalar_req(v: Any) -> bool:
+    """Scalar per-key expectation = plain equality (str / non-bool,
+    non-NaN number).  Everything else dispatches per family."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, str):
+        return True
+    if isinstance(v, (int, float)):
+        return not (isinstance(v, float) and math.isnan(v))
+    return False
+
+
+def _predicate_repr(p: Any) -> str:
+    """Stable display form for a per-key predicate expectation."""
+    if isinstance(p, PredicateSpec):
+        return ("~" if p.negated else "") + _predicate_repr(p.obj)
+    if isinstance(p, type):
+        return p.__name__
+    if isinstance(p, _RE_PATTERN):
+        return f"re.compile({p.pattern!r})"
+    if p is Ellipsis:
+        return "..."
+    if isinstance(p, tuple):
+        return "(" + ", ".join(_predicate_repr(x) for x in p) + ")"
+    if callable(p):
+        return getattr(p, "__name__", repr(p))
+    return repr(p)
+
+
+def _canon_py(v: Any) -> Optional[str]:
+    """Driver-side mirror of ``canon_col`` (Spark cast-to-string) for
+    literal expectations.  Assumes non-exponent float rendering (Java and
+    Python agree on plain decimals; scientific-notation extremes are out
+    of scope for literal requirements)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _check_mapping_multi(
+    df: DataFrame,
+    key_names: Sequence[str],
+    requirement: Mapping,
+    value_column: str,
+    *,
+    check_id: str,
+    partition_id: Optional[Column],
+    order_by: Optional[ColumnsArg],
+) -> DataFrame:
+    """Full per-key requirement dispatch (see check_mapping docstring).
+
+    Families compile vectorized — one broadcast join / compiled filter
+    per FAMILY, never per key — so a 10^6-key requirement mapping is
+    three joins, not 10^6 plans.  Literal-side Missing rows carry no
+    partition_id/provenance (no data row exists for them).
+    """
+    spark = df.sparkSession
+    key_names = list(key_names)
+    key_dts = [_dtype(df, n) for n in key_names]
+    value_dt = _dtype(df, value_column)
+    rk_names = [f"_rk_{i}" for i in range(len(key_names))]
+
+    def key_tuple(k):
+        return k if isinstance(k, tuple) else (k,)
+
+    def key_eq(k) -> Column:
+        cond = None
+        for n, kv in zip(key_names, key_tuple(k)):
+            c = F.col(n).eqNullSafe(F.lit(kv))
+            cond = c if cond is None else cond & c
+        return cond
+
+    def any_key(keys) -> Column:
+        cond = F.lit(False)
+        for k in keys:
+            cond = cond | key_eq(k)
+        return cond
+
+    key_enc = (
+        canon_col(F.col(key_names[0]))
+        if len(key_names) == 1
+        else _tuple_canon([F.col(n) for n in key_names])
+    )
+    rk_enc = (
+        canon_col(F.col(rk_names[0]))
+        if len(key_names) == 1
+        else _tuple_canon([F.col(n) for n in rk_names])
+    )
+    rk_aliases = [F.col(n).alias(f"_rk_{i}") for i, n in enumerate(key_names)]
+
+    # family split — the requirement dict is a driver-side literal
+    scalars, sets, seqs, preds = {}, {}, {}, {}
+    for k, v in requirement.items():
+        if _is_scalar_req(v):
+            scalars[k] = v
+        elif isinstance(v, (set, frozenset)):
+            sets[k] = v
+        elif isinstance(v, list):
+            seqs[k] = v
+        else:
+            preds[k] = v
+    if seqs and order_by is None:
+        raise ValueError("sequence-valued mapping requirements need order_by=")
+
+    key_schema = T.StructType(
+        [T.StructField(n, dt, True) for n, dt in zip(rk_names, key_dts)]
+    )
+    req_keys = spark.createDataFrame([key_tuple(k) for k in requirement], key_schema)
+
+    parts = []
+
+    # 1) data keys not in the requirement → Extra(value) per row
+    req_keys_named = req_keys.select(
+        *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)]
+    )
+    extra_rows = df.join(F.broadcast(req_keys_named), key_names, "left_anti")
+    parts.append(
+        make_differences(
+            extra_rows,
+            check_id=check_id,
+            kind=KIND_EXTRA,
+            key=key_enc,
+            value=F.col(value_column),
+            partition_id=partition_id,
+        )
+    )
+
+    # requirement keys present in data: the scan is filtered to the
+    # (small) requirement key set FIRST, so the distinct is bounded by
+    # |requirement| and broadcasts
+    present = (
+        df.filter(any_key(requirement))
+        .select(*rk_aliases)
+        .distinct()
+    )
+
+    # 2) requirement keys absent from data → Missing per expectation
+    #    (per member/element for set/sequence; predicate repr otherwise)
+    expect_rows = []
+    for k, v in requirement.items():
+        kt = key_tuple(k)
+        if k in scalars:
+            vals = [_canon_py(v)]
+        elif k in sets:
+            vals = sorted(
+                (_canon_py(m) for m in v), key=lambda s: (s is None, s)
+            )
+        elif k in seqs:
+            vals = [_canon_py(m) for m in v]
+        else:
+            vals = [_predicate_repr(v)]
+        expect_rows += [(*kt, s) for s in vals]
+    expect_schema = T.StructType(
+        list(key_schema.fields) + [T.StructField("_mval", T.StringType(), True)]
+    )
+    expect_df = spark.createDataFrame(expect_rows, expect_schema)
+    missing_rows = expect_df.join(F.broadcast(present), rk_names, "left_anti")
+    parts.append(
+        make_differences(
+            missing_rows,
+            check_id=check_id,
+            kind=KIND_MISSING,
+            key=rk_enc,
+            value=F.col("_mval"),
+        )
+    )
+
+    # 3) scalar family — ONE broadcast lookup per value class
+    num_scalars = {
+        k: v
+        for k, v in scalars.items()
+        if isinstance(v, (int, float)) and is_numeric_dtype(value_dt)
+    }
+    other_scalars = {k: v for k, v in scalars.items() if k not in num_scalars}
+    if num_scalars:
+        sch = T.StructType(
+            list(key_schema.fields) + [T.StructField("_expected", T.DoubleType(), True)]
+        )
+        lk = spark.createDataFrame(
+            [(*key_tuple(k), float(v)) for k, v in num_scalars.items()], sch
+        ).select(
+            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)], "_expected"
+        )
+        j = df.join(F.broadcast(lk), key_names)
+        a = F.col(value_column).cast("double")
+        e = F.col("_expected")
+        bad = j.filter(~F.coalesce(a == e, a.isNull() & e.isNull()))
+        kind = F.when(a.isNull(), F.lit(KIND_INVALID)).otherwise(F.lit(KIND_DEVIATION))
+        parts.append(
+            make_differences(
+                bad,
+                check_id=check_id,
+                kind_col=kind,
+                key=key_enc,
+                value=F.col(value_column),
+                expected=e,
+                deviation=F.when(a.isNotNull(), a - e),
+                partition_id=partition_id,
+            )
+        )
+    if other_scalars:
+        sch = T.StructType(
+            list(key_schema.fields) + [T.StructField("_expected", T.StringType(), True)]
+        )
+        lk = spark.createDataFrame(
+            [(*key_tuple(k), _canon_py(v)) for k, v in other_scalars.items()], sch
+        ).select(
+            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)], "_expected"
+        )
+        j = df.join(F.broadcast(lk), key_names)
+        vs = canon_col(F.col(value_column))
+        bad = j.filter(
+            ~F.coalesce(vs == F.col("_expected"), vs.isNull() & F.col("_expected").isNull())
+        )
+        parts.append(
+            make_differences(
+                bad,
+                check_id=check_id,
+                kind=KIND_INVALID,
+                key=key_enc,
+                value=F.col(value_column),
+                expected=F.col("_expected"),
+                partition_id=partition_id,
+            )
+        )
+
+    # 4) set family — per-key membership via null-safe member joins
+    if sets:
+        member_rows = [
+            (*key_tuple(k), _canon_py(m) if m is not None else _NULL_SENTINEL)
+            for k, v in sets.items()
+            for m in v
+        ]
+        set_df = spark.createDataFrame(member_rows, expect_schema)
+        data_sub = (
+            df.filter(any_key(sets))
+            .select(
+                *rk_aliases,
+                F.coalesce(canon_col(F.col(value_column)), F.lit(_NULL_SENTINEL)).alias(
+                    "_mval"
+                ),
+            )
+            .distinct()
+        )
+        show = F.when(F.col("_mval") != _NULL_SENTINEL, F.col("_mval"))
+        extra_in = data_sub.join(F.broadcast(set_df), rk_names + ["_mval"], "left_anti")
+        parts.append(
+            make_differences(
+                extra_in,
+                check_id=check_id,
+                kind=KIND_EXTRA,
+                key=rk_enc,
+                value=show,
+            )
+        )
+        # missing members, only for keys that ARE in the data (absent keys
+        # were fully reported in step 2)
+        data_in_req = data_sub.join(
+            F.broadcast(set_df), rk_names + ["_mval"], "left_semi"
+        )
+        present_set_keys = data_sub.select(*rk_names).distinct()
+        missing_in = set_df.join(
+            F.broadcast(data_in_req), rk_names + ["_mval"], "left_anti"
+        ).join(F.broadcast(present_set_keys), rk_names, "left_semi")
+        parts.append(
+            make_differences(
+                missing_in,
+                check_id=check_id,
+                kind=KIND_MISSING,
+                key=rk_enc,
+                value=show,
+            )
+        )
+
+    # 5) predicate family — one compiled CASE over all predicate keys
+    if preds:
+        ok = None
+        exp_col = None
+        for k, p in preds.items():
+            c = compile_predicate(p, F.col(value_column), value_dt)
+            r = F.lit(_predicate_repr(p))
+            ok = F.when(key_eq(k), c) if ok is None else ok.when(key_eq(k), c)
+            exp_col = (
+                F.when(key_eq(k), r) if exp_col is None else exp_col.when(key_eq(k), r)
+            )
+        viol = df.filter(any_key(preds) & ~ok.otherwise(F.lit(True)))
+        parts.append(
+            make_differences(
+                viol,
+                check_id=check_id,
+                kind=KIND_INVALID,
+                key=key_enc,
+                value=F.col(value_column),
+                expected=exp_col,
+                partition_id=partition_id,
+            )
+        )
+
+    # 6) sequence family — positional compare per key; the index window
+    #    is PARTITIONED BY KEY (bounded groups, never a global window)
+    if seqs:
+        order_names = _cols(order_by)
+        seq_schema = T.StructType(
+            list(key_schema.fields)
+            + [
+                T.StructField("_sidx", T.LongType(), False),
+                T.StructField("_sexp", T.StringType(), True),
+            ]
+        )
+        seq_lit = spark.createDataFrame(
+            [
+                (*key_tuple(k), i, _canon_py(v))
+                for k, s in seqs.items()
+                for i, v in enumerate(s)
+            ],
+            seq_schema,
+        )
+        w = Window.partitionBy(*[F.col(n) for n in key_names]).orderBy(
+            *[F.col(n) for n in order_names]
+        )
+        data_seq = (
+            df.filter(any_key(seqs))
+            .withColumn("_sidx", (F.row_number().over(w) - 1).cast("long"))
+            .select(*rk_aliases, "_sidx", canon_col(F.col(value_column)).alias("_sact"))
+        )
+        seq_present = seq_lit.join(
+            F.broadcast(data_seq.select(*rk_names).distinct()), rk_names, "left_semi"
+        )
+        joined = data_seq.join(seq_present, rk_names + ["_sidx"], "full_outer")
+        mism = joined.filter(~F.col("_sact").eqNullSafe(F.col("_sexp")))
+        enc = lambda v: F.to_json(F.array(F.col("_sidx").cast("string"), v))
+        parts.append(
+            make_differences(
+                mism.filter(F.col("_sexp").isNotNull()),
+                check_id=check_id,
+                kind=KIND_MISSING,
+                key=rk_enc,
+                value=enc(F.col("_sexp")),
+            )
+        )
+        parts.append(
+            make_differences(
+                mism.filter(F.col("_sact").isNotNull()),
+                check_id=check_id,
+                kind=KIND_EXTRA,
+                key=rk_enc,
+                value=enc(F.col("_sact")),
+            )
+        )
+
+    return union_differences(*parts)
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,34 @@ def test_scope_resolution(spark):
     assert acc.scope == "element"
     acc2 = accepted.tolerance(1) | accepted.count(5)
     assert acc2.scope == "whole"
+
+
+def test_scope_ordering_union_element_gates_whole_quota(spark):
+    """Reference application order: the element-scope branch runs first,
+    so under | the whole-scope count never consumes differences the
+    element branch already accepted."""
+    df = sdf(spark, [1.0, 1.0, 3.0, 3.0, 3.0], type_="double")
+    diffs = validate.predicate(df, "v", 0.0)  # Deviation(v, 0.0) ×5
+    rem = survivors(diffs, accepted.tolerance(2.0) | accepted.count(2))
+    # tolerance accepts the two 1.0s WITHOUT consuming count's quota;
+    # count(2) then accepts two of the 3.0s → exactly one 3.0 survives
+    assert rem == [("deviation", None, "3.0", "0.0", 3.0)]
+
+
+def test_scope_ordering_intersection_quota_consumes_sibling_accepted_only(spark):
+    """Under & the quota consumes only differences the sibling branch
+    also accepts (reference scope-ordered intersection)."""
+    from datatest_spark import union_differences
+
+    num = sdf(spark, [5.0], type_="double")
+    dev = validate.predicate(num, "v", 0.0, check_id="c")  # Deviation(5.0, 0.0)
+    st = sdf(spark, ["b", "c"])
+    ext = validate.subset(st, "v", {"a"}, check_id="c")  # Extra(b), Extra(c)
+    diffs = union_differences(dev, ext)
+    rem = survivors(diffs, accepted(Extra) & accepted.count(1))
+    # the Deviation (canonically first) must NOT consume the quota: one
+    # Extra is accepted, the Deviation and the second Extra survive
+    assert rem == [
+        ("deviation", None, "5.0", "0.0", 5.0),
+        ("extra", None, "c", None, None),
+    ]

@@ -257,6 +257,57 @@ def test_mapping_lookup_dataframe(spark):
     assert got == [("deviation", "B", "20.0", "25.0", -5.0)]
 
 
+def test_mapping_per_key_set_and_scalar(spark):
+    """Reference day-one case: validate(data, {'A': {1,2}, 'B': 7}) —
+    each key's value dispatches through the full requirement engine."""
+    rows = [("A", 1), ("A", 2), ("A", 3), ("B", 7), ("C", 5), ("D", 9)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    req = {"A": {1, 2, 4}, "B": 7, "C": 6, "E": [10, 11]}
+    got = diff_multiset(validate(df, "v", req, key_columns="k", value_column="v", order_by="v"))
+    assert got == [
+        ("deviation", "C", "5", "6.0", -1.0),  # scalar numeric mismatch
+        ("extra", "A", "3", None, None),       # not in per-key set
+        ("extra", "D", "9", None, None),       # key not in requirement
+        ("missing", "A", "4", None, None),     # required member absent
+        ("missing", "E", "10", None, None),    # required key absent: per element
+        ("missing", "E", "11", None, None),
+    ]
+
+
+def test_mapping_per_key_predicates(spark):
+    import re
+
+    rows = [("A", "x"), ("A", None), ("B", "abc"), ("B", "zz")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    req = {"A": str, "B": re.compile(r"^a")}
+    got = diff_multiset(validate(df, "v", req, key_columns="k", value_column="v"))
+    assert got == [
+        ("invalid", "A", None, "str", None),
+        ("invalid", "B", "zz", "re.compile('^a')", None),
+    ]
+
+
+def test_mapping_per_key_sequence(spark):
+    rows = [("S", 0, "a"), ("S", 1, "b"), ("S", 2, "c"), ("T", 0, "q")]
+    df = spark.createDataFrame(rows, "k string, i long, v string")
+    req = {"S": ["a", "X", "c"], "T": ["q"]}
+    got = diff_multiset(
+        validate(df, "v", req, key_columns="k", value_column="v", order_by="i")
+    )
+    assert got == [
+        ("extra", "S", '["1","b"]', None, None),
+        ("missing", "S", '["1","X"]', None, None),
+    ]
+
+
+def test_mapping_multi_requires_order_by_for_sequences(spark):
+    df = spark.createDataFrame([("S", "a")], "k string, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_by"):
+        validate(df, "v", {"S": ["a"]}, key_columns="k", value_column="v")
+
+
 # -------------------------------------------------------------- order
 
 
