@@ -629,6 +629,50 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_catalog_verdicts(spark, sf_dir):
+    """North-star source surface: the suite runs over a CATALOG table
+    (spark.read.table on a partitioned table — the Iceberg stand-in;
+    sources/catalog.py) with the partition column keying the verdicts.
+    Two interval checks per row; per-partition pass/fail."""
+    import os
+
+    from datatest_spark import validate
+    from datatest_spark.sources.catalog import read_table, register_partitioned_table
+    from datatest_spark.suite import Check, ValidationSuite
+
+    li = _t(spark, sf_dir, "lineitem")
+    name = "dts_cat_lineitem"
+    path = f"/tmp/dts_catalog/{os.path.basename(sf_dir.rstrip('/'))}_lineitem"
+    register_partitioned_table(li, name, "l_returnflag", path=path)
+    t = read_table(spark, name)
+    pid = F.col("l_returnflag")
+    suite = ValidationSuite(
+        [
+            Check("disc", lambda tt: validate.interval(
+                tt["li"], "l_discount", min=0.0, max=0.05,
+                check_id="disc", partition_id=pid)),
+            Check("qty", lambda tt: validate.interval(
+                tt["li"], "l_quantity", min=1.0, max=49.0,
+                check_id="qty", partition_id=pid)),
+        ],
+        partition_col="l_returnflag",
+    )
+    res = suite.run({"li": t}, primary="li")
+    return res.verdicts.select("partition_id", "status", "n_rows", "n_violations")
+
+
+SQL_CATALOG_VERDICTS = """
+SELECT l_returnflag AS partition_id,
+       CASE WHEN CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END
+                      + CASE WHEN l_quantity < 1.0 OR l_quantity > 49.0 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            THEN 'ok' ELSE 'failed' END AS status,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END
+              + CASE WHEN l_quantity < 1.0 OR l_quantity > 49.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_approx_orders_total(spark, sf_dir):
     """Cross-table consistency: o_totalprice ≈ Σ extendedprice·(1−disc)·(1+tax)
     within delta — approx-check over a join+agg."""
@@ -910,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "verdict_partitions": q_verdict_partitions,
+        "catalog_verdicts": q_catalog_verdicts,
         "approx_orders_total": q_approx_orders_total,
         "order_region_names": q_order_region_names,
         "fuzzy_doc_normalization": q_fuzzy_doc_normalization,
@@ -949,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": SQL_LANGID,
         "fingerprint_documents": SQL_FINGERPRINT,
         "verdict_partitions": SQL_VERDICT_PARTITIONS,
+        "catalog_verdicts": SQL_CATALOG_VERDICTS,
         "approx_orders_total": SQL_APPROX_ORDERS,
         "order_region_names": SQL_ORDER_REGION,
         # fuzzy_doc_normalization: rows-only (difflib ratio not SQL-expressible)

@@ -79,10 +79,46 @@ class Ledger:
             .distinct()
         )
 
-    def filter_pending(self, df: DataFrame, partition_col: str = "partition_id") -> DataFrame:
-        done = self.completed().withColumnRenamed("partition_id", "_done_pid")
+    #: above this many completed partitions, filter_pending(mode='auto')
+    #: falls back from the literal isin predicate to the anti-join
+    ISIN_MAX = 100_000
+
+    def completed_ids(self) -> list:
+        """The completed partition values (the ledger is per-PARTITION —
+        bounded by partition count, not data size)."""
+        return sorted(r["partition_id"] for r in self.completed().collect())
+
+    def filter_pending(
+        self, df: DataFrame, partition_col: str = "partition_id", *, mode: str = "auto"
+    ) -> DataFrame:
+        """Drop already-validated partitions BEFORE any check runs.
+
+        ``mode='isin'`` collects the completed set (tiny — one id per
+        partition) and compiles a literal ``NOT isin`` predicate: on a
+        catalog/Iceberg table partitioned by ``partition_col`` Catalyst
+        evaluates it against the partition index (PartitionFilters), so
+        skipped partitions are never listed or scanned — resume IS
+        partition pruning (plan-tested in tests/test_catalog.py).
+
+        ``mode='anti'`` keeps the broadcast anti-join (no driver
+        collect; correct on non-partition-aligned columns too, but only
+        prunes at runtime, not statically).  ``auto`` uses isin while
+        the completed set stays under ``ISIN_MAX``.
+        """
+        if mode not in ("auto", "isin", "anti"):
+            raise ValueError(f"unknown filter_pending mode {mode!r}")
+        if mode in ("auto", "isin"):
+            done = self.completed_ids()
+            if mode == "isin" or len(done) <= self.ISIN_MAX:
+                if not done:
+                    return df
+                # NULL-partition rows are never "completed": keep them
+                # (matches the anti-join's null semantics)
+                c = F.col(partition_col)
+                return df.filter(c.isNull() | ~c.isin(done))
+        done_df = self.completed().withColumnRenamed("partition_id", "_done_pid")
         return df.join(
-            F.broadcast(done),
+            F.broadcast(done_df),
             F.col(partition_col) == F.col("_done_pid"),
             "left_anti",
         )

@@ -1,0 +1,66 @@
+"""Catalog-table source path — the Iceberg surface of the north_rule.
+
+The north_star runs validation "over an Iceberg table … at 10^12-file
+scale".  The engine's entire contract with the source is Spark's catalog
+surface: ``spark.read.table(name)`` plus a partition column Catalyst can
+prune on.  On a cluster with the Iceberg runtime the exact same code
+runs against ``spark.sql.catalog.<cat>`` tables (Iceberg implements the
+DataSourceV2 catalog, partition transforms, and scan pruning); this
+container ships no Iceberg jar and has no network, so the fixture path
+registers PARTITIONED PARQUET TABLES in the built-in session catalog —
+the same read / partition-pruning surface, plan-tested in
+tests/test_catalog.py.
+
+Why this matters at 10^12 files: a resumed run must not even LIST the
+already-validated partitions.  ``Ledger.filter_pending(mode='isin')``
+compiles the completed-partition set into a literal predicate on the
+partition column, which Catalyst evaluates against the table's partition
+index (PartitionFilters) — skipped partitions are never scanned, which
+``DataFrame.inputFiles()`` proves in the tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def register_partitioned_table(
+    df: DataFrame,
+    name: str,
+    partition_cols: Union[str, Sequence[str]],
+    *,
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a partitioned parquet table in the session catalog.
+
+    ``path`` makes it an external table (fixture under a temp dir); a
+    managed table (default warehouse) otherwise.  With an Iceberg
+    catalog configured, swap format for ``iceberg`` — the read side
+    below is unchanged.
+    """
+    parts = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    writer = df.write.mode(mode).format("parquet").partitionBy(*parts)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read — identical call for parquet and Iceberg tables."""
+    return spark.read.table(name)
+
+
+def table_partitions(spark: SparkSession, name: str) -> list[dict]:
+    """Partition values from the catalog (no data scan): one dict per
+    partition, e.g. [{'lang': 'python'}, ...]."""
+    out = []
+    for row in spark.sql(f"SHOW PARTITIONS {name}").collect():
+        spec = {}
+        for kv in row[0].split("/"):
+            k, _, v = kv.partition("=")
+            spec[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        out.append(spec)
+    return out

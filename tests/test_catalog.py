@@ -1,0 +1,98 @@
+"""Catalog-table path (the Iceberg surface, SURVEY.md §2.5 scans):
+spark.read.table + partition pruning, and ledger resume BECOMING
+partition pruning (skipped partitions never scanned)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatest_spark import validate
+from datatest_spark.plans.ledger import Ledger
+from datatest_spark.sources.catalog import (
+    read_table,
+    register_partitioned_table,
+    table_partitions,
+)
+from datatest_spark.sources.fixtures import code_files
+from datatest_spark.suite import Check, ValidationSuite
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _register(spark, tmp_path, name, n=2000):
+    df = code_files(spark, n, "clean", partitions=4)
+    register_partitioned_table(df, name, "lang", path=str(tmp_path / name))
+    return read_table(spark, name)
+
+
+def test_catalog_roundtrip_and_partition_listing(spark, tmp_path):
+    t = _register(spark, tmp_path, "cat_roundtrip")
+    assert t.count() == 2000
+    langs = {p["lang"] for p in table_partitions(spark, "cat_roundtrip")}
+    assert langs == {"python", "java", "go", "rust", "sql", "markdown"}
+
+
+def test_catalog_read_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must reach PartitionFilters and
+    shrink the scanned file set to that partition's directory."""
+    t = _register(spark, tmp_path, "cat_prune")
+    q = t.filter(F.col("lang") == "python")
+    plan = _plan(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0].split("PartitionFilters")[1].split("]")[0]
+    files = q.inputFiles()
+    assert files and all("lang=python" in f for f in files)
+
+
+def test_ledger_resume_is_partition_pruning(spark, tmp_path):
+    """filter_pending over a catalog table compiles to a partition-index
+    predicate: completed partitions are never scanned (inputFiles)."""
+    t = _register(spark, tmp_path, "cat_resume")
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    done = spark.createDataFrame(
+        [("r1", "python", "ok", 0, 0, None, "0.1.0"), ("r1", "java", "ok", 0, 0, None, "0.1.0")],
+        "run_id string, partition_id string, status string, n_rows long, n_violations long, lineage_hash string, engine_version string",
+    )
+    ledger.record(done)
+
+    pending = ledger.filter_pending(t, "lang")
+    plan = _plan(pending)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    files = pending.inputFiles()
+    assert files
+    assert not any("lang=python" in f or "lang=java" in f for f in files)
+    # row parity with the anti-join form
+    anti = ledger.filter_pending(t, "lang", mode="anti")
+    assert pending.count() == anti.count()
+
+
+def test_suite_on_catalog_table_full_resume_scans_nothing(spark, tmp_path):
+    """End-to-end: suite run 1 validates all partitions of the catalog
+    table; run 2 resumes from the ledger, checks zero partitions, and the
+    pending scan reads ZERO files."""
+    t = _register(spark, tmp_path, "cat_suite")
+    ledger = Ledger(spark, str(tmp_path / "ledger2"))
+    suite = ValidationSuite(
+        [
+            Check(
+                "content_nonempty",
+                lambda tt: validate.interval(
+                    tt["code"].withColumn("_len", F.length("content")),
+                    "_len",
+                    min=1,
+                    max=100_000,
+                    check_id="content_nonempty",
+                    partition_id=F.col("lang"),
+                ),
+            ),
+        ],
+        partition_col="lang",
+    )
+    res1 = suite.run({"code": t}, primary="code", ledger=ledger, run_id="r1")
+    assert res1.passed and res1.n_partitions_checked == 6
+    res2 = suite.run({"code": t}, primary="code", ledger=ledger, run_id="r2")
+    assert res2.n_partitions_checked == 0
+    assert ledger.filter_pending(t, "lang").inputFiles() == []
