@@ -3,9 +3,13 @@
 ``entry(spark)`` — flagship validation run on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 plus the
 training-data pipeline ops); each callable (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for the
-genuinely non-SQL-expressible ops: SimHash (blake2b), MinHash-LSH
-internals are verified against exact n-gram Jaccard which IS the oracle).
+``oracle_sql()`` — DuckDB-equivalent SQL per query.  Rows-only (no
+oracle) remain ONLY: simhash_pairs (blake2b not in SQL),
+code_files_verdicts (generator uses Spark-seeded xxhash64), and
+multimodal_features (binary payload digests).  Approximate ops are
+oracled structurally: MinHash-LSH against the exact-Jaccard ground
+truth, IVF top-k by containment in the exact top-2k, fuzzy (difflib)
+on a prefix+suffix family with a closed-form ratio.
 
 Column names and types are aligned pairwise (the driver hash-compares
 values after sorting columns by name); doubles are rounded in BOTH
@@ -504,6 +508,8 @@ LIMIT 10
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact all-pairs cosine ≥ 0.3 via the BLOCKED distributed brute
+    path (no driver collect, no full-matrix broadcast)."""
     from datatest_spark.operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
@@ -515,7 +521,36 @@ SQL_EMBEDDING_NEARDUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup with PROVABLE recall: the corpus is the
+    embeddings table ∪ an exact copy (shifted ids).  Exact duplicates
+    share every hyperplane sign, so every true pair at threshold 0.999
+    is a bucket collision by construction; cosine verification removes
+    all false positives — the output must equal the exact oracle."""
+    from datatest_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    dim = len(e.select("embedding").first()["embedding"])
+    return embedding_neardup_pairs(
+        doubled, dim=dim, threshold=0.999, use_lsh=True, n_planes=16, n_tables=2
+    )
+
+
+SQL_EMBEDDING_NEARDUP_LSH = """
+WITH d AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.999
 """
 
 
@@ -735,19 +770,32 @@ SELECT 'extra', '["' || idx || '","' || av || '"]' FROM mism WHERE av IS NOT NUL
 
 
 def q_fuzzy_doc_normalization(spark, sf_dir):
-    """validate.fuzzy (difflib ratio) — rows-only check (SequenceMatcher
-    is not SQL-expressible): documents whose raw text fuzzy-mismatches
-    its whitespace/case-normalized form at cutoff 0.98 (whitespace-noise
-    detector)."""
+    """validate.fuzzy (real difflib UDF) with a CLOSED-FORM oracle:
+    expected = value + 30-char suffix and value is a prefix of expected,
+    so SequenceMatcher ratio = 2n/(2n+30) exactly (n = len(value); value
+    truncated to 150 chars keeps difflib's autojunk heuristic off, which
+    needs len(b) < 200).  DuckDB computes the same arithmetic, making
+    the difflib execution itself oracle-verified on this family."""
     from datatest_spark import validate
-    from datatest_spark.operators.textstats import normalize_text
 
     d = _t(spark, sf_dir, "documents")
+    suffix = "#" * 30
     paired = d.select(
-        "doc_id", F.col("text").alias("raw"), normalize_text(F.col("text")).alias("norm")
+        "doc_id",
+        F.substring("text", 1, 150).alias("raw"),
+        F.concat(F.substring("text", 1, 150), F.lit(suffix)).alias("withsuf"),
     )
-    diff = validate.fuzzy(paired, "raw", "norm", cutoff=0.98, check_id="fz")
-    return diff.select("diff_kind", F.sha2(F.col("value"), 256).alias("value_sha"))
+    diff = validate.fuzzy(paired, "raw", "withsuf", cutoff=0.9, check_id="fz")
+    return diff.select(
+        "diff_kind", F.sha2(F.coalesce(F.col("value"), F.lit("")), 256).alias("value_sha")
+    )
+
+
+SQL_FUZZY_SUFFIX = """
+SELECT 'invalid' AS diff_kind, sha256(substr(text, 1, 150)) AS value_sha
+FROM documents
+WHERE 2.0 * len(substr(text, 1, 150)) / (2 * len(substr(text, 1, 150)) + 30) < 0.9
+"""
 
 
 def q_acceptance_tolerance_quantity(spark, sf_dir):
@@ -918,14 +966,32 @@ SELECT diff_kind, value_num, deviation FROM r WHERE rn > 5
 
 
 def q_ivf_topk_embeddings(spark, sf_dir):
-    """IVF-probed approximate nearest neighbours — rows-only check
-    (cell probing is approximate by design; recall vs the exact top-k
-    oracle is asserted in tests/test_similarity.py)."""
-    from datatest_spark.operators.similarity import ivf_topk
+    """IVF top-k from a PERSISTED cell-partitioned index, oracled by
+    CONTAINMENT: return every IVF top-10 hit NOT inside the exact top-20
+    (expected: none).  Probing is approximate, so exact-equality is the
+    wrong oracle — containment in a 2k margin is checkable and any
+    recall regression materializes rows and fails the hash compare.
+    Exact recall numbers are asserted in tests/test_similarity.py."""
+    import os
+
+    from datatest_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
-    return ivf_topk(e, q, k=10, n_centroids=16, n_probe=8)
+    path = f"/tmp/dts_ivf/{os.path.basename(sf_dir.rstrip('/'))}_embeddings"
+    build_ivf_index(e, path, n_centroids=16, kmeans_iters=2)
+    ivf = ivf_topk_indexed(spark, path, q, k=10, n_probe=8)
+    exact20 = cosine_topk(e, q, k=20).select("vec_id")
+    return ivf.join(exact20, "vec_id", "left_anti")
+
+
+SQL_IVF_CONTAINMENT = """
+SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -950,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "textstats_documents": q_textstats_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -990,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs: rows-only (blake2b hashing not SQL-expressible)
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
         "textstats_documents": SQL_TEXTSTATS,
         "langid_documents": SQL_LANGID,
         "fingerprint_documents": SQL_FINGERPRINT,
@@ -997,12 +1065,12 @@ def oracle_sql() -> dict[str, str]:
         "catalog_verdicts": SQL_CATALOG_VERDICTS,
         "approx_orders_total": SQL_APPROX_ORDERS,
         "order_region_names": SQL_ORDER_REGION,
-        # fuzzy_doc_normalization: rows-only (difflib ratio not SQL-expressible)
+        "fuzzy_doc_normalization": SQL_FUZZY_SUFFIX,
         "acceptance_tolerance_quantity": SQL_ACCEPT_TOLERANCE,
         # code_files_verdicts: rows-only (seeded xxhash64 generator not in DuckDB)
         "quality_score_documents": SQL_QUALITY_SCORE,
         "acceptance_percent_psize": SQL_ACCEPT_PERCENT,
         # multimodal_features: rows-only (binary payload digests not in DuckDB)
-        # ivf_topk_embeddings: rows-only (probing approximate; recall tested in tests/)
+        "ivf_topk_embeddings": SQL_IVF_CONTAINMENT,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,
     }

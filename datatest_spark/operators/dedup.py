@@ -526,68 +526,114 @@ def embedding_neardup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 16,
+    n_tables: int = 1,
     use_lsh: bool = True,
+    n_blocks: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
-    """(id_a, id_b, cos) with cosine ≥ threshold.
+    """(id_a, id_b, cos) with cosine ≥ threshold (rounded to 6 places
+    before thresholding — both paths identically).
 
-    LSH path: sign-pattern of ``n_planes`` seeded random hyperplanes
-    buckets the vectors; exact cosine verifies within buckets.  With
-    ``use_lsh=False`` the verify runs over all pairs — computed as a
-    broadcast block-matmul: the full (normalized) matrix is broadcast
-    once (valid while n·dim·8B fits an executor, the brute-force
-    regime by definition) and each Arrow batch does one numpy
-    ``A @ M.T``, so no per-pair interpreted expression ever runs.
+    LSH path: sign-pattern of ``n_planes`` seeded random hyperplanes per
+    table buckets the vectors; ``n_tables`` independent tables union
+    their candidates (miss probability per pair = (1 − p^planes)^tables
+    with p = 1 − angle/π), then exact cosine verifies every candidate —
+    zero false positives, recall set by the table/plane knobs.  For
+    EXACT duplicate vectors recall is 1 by construction (identical sign
+    patterns in every table).  ``max_bucket_size`` drops degenerate
+    buckets (see ``lsh_bucket_stats`` for the observability hook).
+
+    Brute path (``use_lsh=False``): exact over ALL pairs via a blocked
+    self-join — rows replicate into √-style block pairs, each (i, j)
+    block pair computes one numpy block matmul in ``applyInPandas``.
+    O(n²/blocks) memory per task, NO driver collect, no full-matrix
+    broadcast: the ground-truth path is itself distributed.
     """
     import numpy as np
 
-    rng = np.random.RandomState(SEED)
-    planes = rng.normal(size=(n_planes, dim))
-
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    thr = float(threshold)
+
     if use_lsh:
-        bucket = None
         from ..functions.vector import dot as vdot
 
-        for p in range(n_planes):
-            s = (vdot(F.col("_v"), lit_vector(planes[p])) > 0).cast("int")
-            bucket = s if bucket is None else bucket * 2 + s
-        v = v.withColumn("_bucket", bucket)
-        left = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
-        right = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
-        pairs = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+        rng = np.random.RandomState(SEED)
+        bucket_cols = []
+        for t in range(n_tables):
+            planes = rng.normal(size=(n_planes, dim))
+            bucket = None
+            for p in range(n_planes):
+                s = (vdot(F.col("_v"), lit_vector(planes[p])) > 0).cast("long")
+                bucket = s if bucket is None else bucket * 2 + s
+            bucket_cols.append(bucket)
+        b = v.select(
+            "id", "_v", F.posexplode(F.array(*bucket_cols)).alias("_table", "_bucket")
+        )
+        if max_bucket_size:
+            sizes = b.groupBy("_table", "_bucket").agg(F.count(F.lit(1)).alias("_n"))
+            b = (
+                b.join(sizes, ["_table", "_bucket"])
+                .filter(F.col("_n") <= max_bucket_size)
+                .drop("_n")
+            )
+        left = b.select("_table", "_bucket", F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+        right = b.select("_table", "_bucket", F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = (
+            left.join(right, ["_table", "_bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
         cos = cosine(F.col("_va"), F.col("_vb"))
         return (
             pairs.withColumn("cos", F.round(cos, 6))
-            .filter(F.col("cos") >= F.lit(float(threshold)))
+            .filter(F.col("cos") >= F.lit(thr))
             .select("id_a", "id_b", "cos")
+            .distinct()  # a pair can collide in several tables
         )
 
+    # blocked exact self-join: block by id hash, replicate each row to
+    # every block PAIR containing its block, one numpy matmul per group
     import pandas as pd
 
-    rows = v.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    bc = df.sparkSession.sparkContext.broadcast((ids, unit))
-    thr = float(threshold)
+    nb = n_blocks or max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    spark = df.sparkSession
+    pair_rows = [(i, j) for i in range(nb) for j in range(i, nb)]
+    pairs_df = spark.createDataFrame(pair_rows, "_i int, _j int")
+    blocked = v.withColumn("_b", F.pmod(F.xxhash64("id", F.lit(SEED)), F.lit(nb)).cast("int"))
+    rep = blocked.join(
+        F.broadcast(pairs_df),
+        (F.col("_b") == F.col("_i")) | (F.col("_b") == F.col("_j")),
+    )
 
-    def block(batches):
-        b_ids, b_unit = bc.value
-        for pdf in batches:
-            a_ids = pdf["id"].to_numpy(dtype=np.int64)
-            a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            an = np.linalg.norm(a, axis=1)
-            an[an == 0] = 1.0
-            sims = np.round((a / an[:, None]) @ b_unit.T, 6)  # (batch × n)
-            # round BEFORE thresholding — matches the LSH path exactly, so
-            # pairs at cos ∈ [thr−5e-7, thr) are treated identically by both
-            # # each unordered pair once: emit from the smaller id's row
-            keep = (sims >= thr) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cos": sims[ai, bj]}
+    def block_pair(key, pdf):
+        i, j = key
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        bs = pdf["_b"].to_numpy()
+        if i == j:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            a_idx = np.nonzero(bs == i)[0]
+            b_idx = np.nonzero(bs == j)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
+        sims = np.round(unit[a_idx] @ unit[b_idx].T, 6)
+        if i == j:
+            # square block: upper triangle by id picks each pair once
+            keep = (sims >= thr) & (ids[a_idx][:, None] < ids[b_idx][None, :])
+            ai, bj = np.nonzero(keep)
+            ia, ib = ids[a_idx][ai], ids[b_idx][bj]
+        else:
+            # rectangle: every cross pair appears exactly once — orient by id
+            ai, bj = np.nonzero(sims >= thr)
+            xa, yb = ids[a_idx][ai], ids[b_idx][bj]
+            ia, ib = np.minimum(xa, yb), np.maximum(xa, yb)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": sims[ai, bj]})
 
-    return v.mapInPandas(block, schema="id_a long, id_b long, cos double")
+    return rep.groupBy("_i", "_j").applyInPandas(
+        block_pair, schema="id_a long, id_b long, cos double"
+    )

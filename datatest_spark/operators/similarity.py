@@ -83,6 +83,47 @@ def pick_centroids(
     return [list(r["v"]) for r in rows]
 
 
+def refine_centroids(
+    df: DataFrame,
+    centroids: list,
+    iters: int = 2,
+    *,
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic k-means refinement: assign → per-cell mean →
+    repeat.  Each iteration is one explode + hash-agg (map-side partial);
+    the (cells × dim) means are tiny and come back to the driver.  Empty
+    cells keep their previous centroid (stable, deterministic)."""
+    cents = [list(c) for c in centroids]
+    for _ in range(iters):
+        assigned = assign_ivf_cells(df, cents, vec_col=vec_col)
+        means = (
+            assigned.select(
+                F.col("ivf_cell"),
+                F.posexplode(to_double_array(F.col(vec_col))).alias("_p", "_x"),
+            )
+            .groupBy("ivf_cell", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["ivf_cell"]][r["_p"]] = float(r["_m"])
+        cents = new
+    return cents
+
+
+def _probe_cells(query: Sequence[float], centroids: list, n_probe: int) -> list:
+    import numpy as np
+
+    qv = np.asarray(list(query), dtype="float64")
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: (-float(np.dot(qv, np.asarray(centroids[i]))), i),
+    )
+    return order[:n_probe]
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -95,21 +136,73 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe centroid cells nearest the
-    query, brute-force within."""
+    query, brute-force within.  Recomputes the cell assignment in-plan —
+    fine for one-off queries; for repeated queries build a persisted
+    index with ``build_ivf_index`` so probes partition-prune instead."""
     cents = centroids if centroids is not None else pick_centroids(
         df, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    import numpy as np
-
-    qv = np.asarray(list(query), dtype="float64")
-    order = sorted(
-        range(len(cents)),
-        key=lambda i: (-float(np.dot(qv, np.asarray(cents[i]))), i),
-    )
-    probe = order[: n_probe]
+    probe = _probe_cells(query, cents, n_probe)
     assigned = assign_ivf_cells(df, cents, vec_col=vec_col)
     return cosine_topk(
         assigned.filter(F.col("ivf_cell").isin(probe)),
+        query,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+) -> list:
+    """Persist an IVF index: vectors parquet-partitioned BY CELL plus a
+    centroid sidecar table.  Probe queries then read only n_probe/n_cells
+    of the files (partition pruning — plan-tested).  Returns centroids.
+
+    Deterministic end-to-end: lowest-id seeding + fixed-iteration k-means
+    refinement; same input → byte-identical index."""
+    seeds = pick_centroids(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = refine_centroids(df, seeds, iters=kmeans_iters, vec_col=vec_col)
+    assigned = assign_ivf_cells(df, cents, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str) -> list:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [list(r["centroid"]) for r in rows]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF index: the probe-cell filter is a
+    literal predicate on the partition column, so only n_probe cell
+    directories are listed/scanned (partition pruning)."""
+    cents = read_ivf_centroids(spark, path)
+    probe = _probe_cells(query, cents, n_probe)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return cosine_topk(
+        vectors.filter(F.col("ivf_cell").isin(probe)),
         query,
         k,
         id_col=id_col,

@@ -129,6 +129,53 @@ def test_embedding_neardup(spark):
     assert lsh <= exact  # LSH may miss, never invents
 
 
+def test_embedding_neardup_blocked_brute_matches_single_block(spark):
+    """The blocked distributed brute path is exact: any block count gives
+    the same pair set (cross-block pairs oriented correctly)."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    sets = []
+    for nb in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"], r["cos"])
+            for r in embedding_neardup_pairs(
+                df, dim=8, threshold=0.2, use_lsh=False, n_blocks=nb
+            ).collect()
+        }
+        sets.append(got)
+    assert sets[0] == sets[1] == sets[2] and sets[0]
+
+
+def test_embedding_neardup_multitable_lsh_exact_dups(spark):
+    """Identical vectors collide in every table → recall 1 by
+    construction; verification keeps output ⊆ exact."""
+    import random
+
+    rng = random.Random(11)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    dup = [(i + 1000, v) for i, v in base]
+    df = spark.createDataFrame(base + dup, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, dim=8, threshold=0.999, use_lsh=True, n_planes=12, n_tables=3
+        ).collect()
+    }
+    assert {(i, i + 1000) for i, _ in base} <= got
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, dim=8, threshold=0.999, use_lsh=False
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_word_ngrams_short_text(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     grams = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()[0]["g"]

@@ -52,3 +52,31 @@ def test_ivf_topk_recall(spark, embeddings):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5  # label-clustered synthetic data probes well
     assert approx[0] == 7
+
+
+def test_ivf_index_persists_and_prunes(spark, embeddings, tmp_path):
+    """build_ivf_index writes cell-partitioned parquet; a probe query
+    lists/scans ONLY the probed cell directories (partition pruning)."""
+    from datatest_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        read_ivf_centroids,
+    )
+
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(embeddings, path, n_centroids=8, kmeans_iters=1)
+    assert len(cents) == 8
+    assert read_ivf_centroids(spark, path) == cents
+
+    q = [float(x) for x in embeddings.filter("vec_id = 7").first()["embedding"]]
+    top = ivf_topk_indexed(spark, path, q, k=10, n_probe=2)
+    # the probe-cell predicate must hit the PARTITION index (never a
+    # post-scan data filter): 2 of 8 cells listed, (c−p)/c files skipped
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    pf_part = pf[0].split("PartitionFilters")[1].split("]")[0]
+    assert "ivf_cell" in pf_part and " IN " in pf_part
+    # and results agree with the unpersisted probe at the same centroids
+    direct = ivf_topk(embeddings, q, k=10, centroids=cents, n_probe=2)
+    assert [r["vec_id"] for r in top.collect()] == [r["vec_id"] for r in direct.collect()]
