@@ -31,5 +31,6 @@ from .operators.validation import (  # noqa: F401
     valid,
     validate,
 )
+from .sources.ingest import normalize, register_accessors  # noqa: F401
 
 __version__ = "0.1.0"

@@ -57,6 +57,12 @@ class _Validate:
         requirement: Any,
         **kw,
     ) -> DataFrame:
+        if not isinstance(df, DataFrame):
+            # reference validate() accepts pandas/numpy/dict/cursor/iterable
+            # inputs — adapt via the _normalize.py analogue
+            from ..sources.ingest import normalize
+
+            df = normalize(df)
         if isinstance(requirement, (Set, set, frozenset)) and not isinstance(
             requirement, (str, bytes)
         ):

@@ -1,0 +1,126 @@
+"""Ingestion adapters — the reference's ``datatest/_normalize.py`` surface.
+
+The reference's ``validate()`` accepts pandas DataFrames/Series/Indexes,
+numpy 1-D/2-D arrays, DBAPI2 cursors, mappings, and plain iterables.
+``normalize()`` adapts each of those to a Spark DataFrame so the same
+inputs flow into this engine; ``validate()`` calls it automatically when
+handed a non-Spark input (with the active session).
+
+Shape rules (pinned to the reference's documented behavior):
+
+* pandas DataFrame         → columns as-is
+* pandas Series / Index    → one column (series name or ``value``)
+* numpy 1-D                → one ``value`` column
+* numpy 2-D                → tuple rows ``f0..fn``
+* mapping                  → (``key``, ``value``) rows; a non-string
+  iterable value explodes to one row per element (keyed groups)
+* DBAPI2 cursor            → column names from ``cursor.description``
+* iterable of tuples       → multi-column ``f0..fn``
+* iterable of scalars      → one ``value`` column
+
+``register_accessors()`` mirrors ``datatest.register_accessors()``: it
+patches a ``.datatest.validate(...)`` accessor onto pandas objects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _spark(spark: Optional[SparkSession]) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("normalize() needs a SparkSession (none active)")
+    return s
+
+
+def normalize(data: Any, spark: Optional[SparkSession] = None) -> DataFrame:
+    """Adapt ``data`` to a Spark DataFrame (see module docstring)."""
+    if isinstance(data, DataFrame):
+        return data
+    s = _spark(spark)
+
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover - pandas ships with pyspark
+        pd = None
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        np = None
+
+    if pd is not None:
+        if isinstance(data, pd.DataFrame):
+            return s.createDataFrame(data)
+        if isinstance(data, pd.Series):
+            name = str(data.name) if data.name is not None else "value"
+            return s.createDataFrame(data.to_frame(name=name))
+        if isinstance(data, pd.Index):
+            name = str(data.name) if data.name is not None else "value"
+            return s.createDataFrame(pd.DataFrame({name: data}))
+
+    if np is not None and isinstance(data, np.ndarray):
+        if data.ndim == 1:
+            return s.createDataFrame([(v.item() if hasattr(v, "item") else v,) for v in data], ["value"])
+        if data.ndim == 2:
+            cols = [f"f{i}" for i in range(data.shape[1])]
+            return s.createDataFrame([tuple(r.tolist()) for r in data], cols)
+        raise ValueError(f"cannot normalize a {data.ndim}-D array")
+
+    # DBAPI2 cursor: description + fetchall
+    if hasattr(data, "fetchall") and hasattr(data, "description"):
+        cols = [d[0] for d in (data.description or [])]
+        rows = [tuple(r) for r in data.fetchall()]
+        if not cols:
+            raise ValueError("cursor has no description (run a query first)")
+        return s.createDataFrame(rows, cols)
+
+    if isinstance(data, Mapping):
+        rows = []
+        for k, v in data.items():
+            if isinstance(v, Iterable) and not isinstance(v, (str, bytes)):
+                rows += [(k, x) for x in v]
+            else:
+                rows.append((k, v))
+        return s.createDataFrame(rows, ["key", "value"])
+
+    if isinstance(data, Iterable) and not isinstance(data, (str, bytes)):
+        rows = list(data)
+        if rows and isinstance(rows[0], tuple):
+            cols = [f"f{i}" for i in range(len(rows[0]))]
+            return s.createDataFrame(rows, cols)
+        return s.createDataFrame([(v,) for v in rows], ["value"])
+
+    raise TypeError(f"cannot normalize {type(data).__name__!r} to a DataFrame")
+
+
+def register_accessors() -> None:
+    """Patch a ``.datatest`` accessor onto pandas DataFrame/Series —
+    mirror of the reference's ``register_accessors()``; uses the active
+    SparkSession.
+
+    >>> pdf.datatest.validate("col", {"a", "b"})   # doctest: +SKIP
+    """
+    import pandas as pd
+
+    from ..operators.validation import validate as _validate
+
+    class _Accessor:
+        def __init__(self, obj):
+            self._obj = obj
+
+        def validate(self, *args, **kw):
+            df = normalize(self._obj)
+            return _validate(df, *args, **kw)
+
+    for reg, name in (
+        (pd.api.extensions.register_dataframe_accessor, "datatest"),
+        (pd.api.extensions.register_series_accessor, "datatest"),
+    ):
+        try:
+            reg(name)(_Accessor)
+        except Exception:  # pragma: no cover - re-registration warning only
+            pass

@@ -1,0 +1,78 @@
+"""Ingestion adapters — reference _normalize.py parity (pandas / numpy /
+dict / DBAPI cursor / iterable → DataFrame), and validate() auto-adapt."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from datatest_spark import normalize, validate
+
+from .conftest import diff_multiset
+
+
+def test_pandas_dataframe(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = normalize(pdf, spark)
+    assert df.columns == ["a", "b"] and df.count() == 2
+
+
+def test_pandas_series_and_index(spark):
+    s = pd.Series([1, 2, 3], name="n")
+    assert normalize(s, spark).columns == ["n"]
+    idx = pd.Index(["a", "b"])
+    df = normalize(idx, spark)
+    assert df.columns == ["value"] and df.count() == 2
+
+
+def test_numpy_1d_2d(spark):
+    a = np.array([1, 2, 3])
+    assert normalize(a, spark).columns == ["value"]
+    m = np.array([[1, 2], [3, 4]])
+    df = normalize(m, spark)
+    assert df.columns == ["f0", "f1"] and df.count() == 2
+
+
+def test_mapping_explodes_keyed_groups(spark):
+    data = {"A": [1, 2], "B": 3}
+    df = normalize(data, spark)
+    got = sorted((r["key"], r["value"]) for r in df.collect())
+    assert got == [("A", 1), ("A", 2), ("B", 3)]
+
+
+def test_dbapi_cursor(spark):
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (k TEXT, v INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [("a", 1), ("b", 2)])
+    cur = con.execute("SELECT k, v FROM t ORDER BY k")
+    df = normalize(cur, spark)
+    assert df.columns == ["k", "v"]
+    assert [tuple(r) for r in df.orderBy("k").collect()] == [("a", 1), ("b", 2)]
+
+
+def test_iterables(spark):
+    assert normalize(["x", "y"], spark).columns == ["value"]
+    t = normalize([(1, "a"), (2, "b")], spark)
+    assert t.columns == ["f0", "f1"]
+
+
+def test_validate_auto_normalizes(spark):
+    """Reference entry-point parity: validate(plain_python_data, req)."""
+    got = diff_multiset(validate(["a", "b", "q"], "value", {"a", "b"}))
+    assert got == [("extra", None, "q", None, None)]
+    # keyed dict input through the mapping dispatcher
+    got2 = diff_multiset(
+        validate(
+            {"A": [1, 2], "B": [3]},
+            "value",
+            {"A": {1, 2}, "B": {4}},
+            key_columns="key",
+            value_column="value",
+        )
+    )
+    assert got2 == [
+        ("extra", "B", "3", None, None),
+        ("missing", "B", "4", None, None),
+    ]
