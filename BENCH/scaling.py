@@ -188,56 +188,79 @@ def run_worker(cpus: int, rows: int, out_path: str) -> None:
     spark.stop()
 
 
-def run_driver(rows: int, levels: list[int]) -> None:
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def run_driver(rows: int, levels: list[int], repeats: int = 3) -> None:
+    """Run the FULL ladder ``repeats`` times (interleaved, fresh JVM per
+    worker) and report the MEDIAN efficiency per N→4N pair plus the
+    per-ladder spread — best-of reporting hides the sandbox VM's
+    1.5-3× run-to-run noise; median-of-ladders quantifies it."""
     print(f"[scaling] preparing input parquet ({rows:,} rows) ...", file=sys.stderr)
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--prepare", "--rows", str(rows)],
         check=True, cwd=REPO,
     )
-    results = {}
-    for cpus in levels:
-        out = f"/tmp/scaling_result_{cpus}.json"
-        print(f"[scaling] running local[{cpus}] on {rows:,} rows ...", file=sys.stderr)
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cpus", str(cpus), "--rows", str(rows), "--out", out],
-            check=True, cwd=REPO,
-        )
-        with open(out) as fh:
-            results[cpus] = json.load(fh)
-        print(f"[scaling] local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    ladders: list[dict] = []
+    for r in range(repeats):
+        results = {}
+        for cpus in levels:
+            out = f"/tmp/scaling_result_{r}_{cpus}.json"
+            print(f"[scaling] ladder {r + 1}/{repeats}: local[{cpus}] on {rows:,} rows ...", file=sys.stderr)
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--cpus", str(cpus), "--rows", str(rows), "--out", out],
+                check=True, cwd=REPO,
+            )
+            with open(out) as fh:
+                results[cpus] = json.load(fh)
+            print(f"[scaling] ladder {r + 1} local[{cpus}]: {results[cpus]}", file=sys.stderr)
+        ladders.append(results)
 
-    pairs = [(lo, lo * 4) for lo in levels if lo * 4 in results]
-    shas = {r["violations_sha256"] for r in results.values()}
+    pairs = [(lo, lo * 4) for lo in levels if lo * 4 in levels]
+    shas = {r["violations_sha256"] for res in ladders for r in res.values()}
     identical = len(shas) == 1
 
     rows_md = "\n".join(
-        f"| local[{c}] | {results[c]['elapsed_sec']} | {results[c]['files_per_sec']:,} "
-        f"| {results[c]['n_violations']} | `{results[c]['violations_sha256'][:16]}…` |"
+        f"| local[{c}] | {' / '.join(str(l[c]['elapsed_sec']) for l in ladders)} "
+        f"| {_median([l[c]['files_per_sec'] for l in ladders]):,.0f} "
+        f"| {ladders[0][c]['n_violations']} | `{ladders[0][c]['violations_sha256'][:16]}…` |"
         for c in levels
     )
-    def fmt_pair(lo, hi):
-        s = results[lo]["elapsed_sec"] / results[hi]["elapsed_sec"]
-        e = s / (hi / lo)
-        line = (
-            f"- **{lo}→{hi} threads:** speedup {s:.2f}× of ideal 4× → scaling "
-            f"efficiency **{e:.3f}**"
-        )
-        if results[lo].get("scan_sec") and results[hi].get("scan_sec"):
-            hs = results[lo]["scan_sec"] / results[hi]["scan_sec"]
-            he = hs / (hi / lo)
-            line += (
-                f"; bare parquet-decode ceiling on this box scales {hs:.2f}× "
-                f"(eff {he:.3f}) → engine-relative efficiency "
-                f"**{min(e / he, 1.0):.3f}**"
-            )
-        return line
 
-    pair_md = "\n".join(fmt_pair(lo, hi) for lo, hi in pairs)
+    def pair_stats(lo, hi):
+        effs, rel_effs = [], []
+        for l in ladders:
+            e = (l[lo]["elapsed_sec"] / l[hi]["elapsed_sec"]) / (hi / lo)
+            effs.append(e)
+            if l[lo].get("scan_sec") and l[hi].get("scan_sec"):
+                he = (l[lo]["scan_sec"] / l[hi]["scan_sec"]) / (hi / lo)
+                rel_effs.append(min(e / he, 1.0))
+        return effs, rel_effs
+
+    pair_lines = []
+    for lo, hi in pairs:
+        effs, rel_effs = pair_stats(lo, hi)
+        line = (
+            f"- **{lo}→{hi} threads:** per-ladder efficiency "
+            f"{' / '.join(f'{e:.3f}' for e in effs)} → median **{_median(effs):.3f}** "
+            f"(min {min(effs):.3f}, max {max(effs):.3f})"
+        )
+        if rel_effs:
+            line += (
+                f"; engine-relative (÷ bare parquet-decode ceiling per ladder): "
+                f"{' / '.join(f'{e:.3f}' for e in rel_effs)} → median "
+                f"**{_median(rel_effs):.3f}**"
+            )
+        pair_lines.append(line)
+    pair_md = "\n".join(pair_lines)
 
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north_rule, sandbox form)
 
-Generated by `python BENCH/scaling.py --rows {rows} --levels {",".join(map(str, levels))}` —
+Generated by `python BENCH/scaling.py --rows {rows} --levels {",".join(map(str, levels))} --repeats {repeats}` —
 the flagship validation suite (6 checks: lang subset, content type,
 size interval, hash-compacted (repo,path,commit) uniqueness, repo referential
 integrity, commit regex; plus per-row `sha2(content,256)` and the
@@ -246,9 +269,12 @@ fused column-stats pass) over the synthetic `code_files` table
 generated ONCE to parquet with a {GEN_PARTITIONS}-file layout — every
 parallelism level validates the same table bytes).  Each level runs in a fresh
 JVM (`local[N]`, fixed shuffle.partitions=64, AQE on, untimed JIT
-warm-up pass at 1/80 scale before the measured run).
+warm-up pass before the measured run).  The ladder of levels is run
+**{repeats}× end-to-end (interleaved, median reported)** — the sandbox VM
+has 1.5-3× run-to-run I/O noise, so single-ladder numbers are not
+trustworthy; per-ladder values quantify the spread.
 
-| parallelism | wall (s) | throughput (files/s) | violations | sha256(violations) |
+| parallelism | wall (s) per ladder | median files/s | violations | sha256(violations) |
 |---|---|---|---|---|
 {rows_md}
 
@@ -256,19 +282,18 @@ N → 4N pairs (north_rule requires efficiency ≥ 0.8):
 
 {pair_md}
 
-- **Byte-identical violation rows across all parallelism levels:**
-  **{'YES' if identical else 'NO'}** (sha256 `{next(iter(shas))}`)
+- **Byte-identical violation rows across ALL {repeats * len(levels)} runs at every
+  parallelism level:** **{'YES' if identical else 'NO'}** (sha256 `{next(iter(shas))}`)
 
 Caveat on the sandbox form: a real cluster adds memory bandwidth and
 page cache with every executor; a single 32-core box does not.  The
 dominant cost here is decoding the 1.4 KB `content` strings out of
-parquet, and that BARE scan (no validation at all) is what the
-per-pair "ceiling" line measures — on this box it saturates DRAM well
-below 32 threads.  The engine-relative efficiency (suite scaling ÷
-bare-scan scaling) shows how much serial overhead the ENGINE itself
-adds on top of the hardware; on a real cluster, where scan bandwidth
-scales with executors, that relative figure is the transferable one.
-The lower N→4N pair is the cleaner absolute proxy; both are reported.
+parquet, and that BARE scan (no validation at all) is the per-ladder
+"ceiling" — on this box it saturates DRAM below 32 threads.  The
+engine-relative efficiency (suite scaling ÷ bare-scan scaling, capped
+at 1) shows the serial overhead the ENGINE adds on top of the
+hardware; on a real cluster, where scan bandwidth scales with
+executors, that relative figure is the transferable one.
 
 Reference baseline: the reference library publishes no benchmark
 numbers (single-process, in-memory; see SURVEY.md §6) — the
@@ -289,15 +314,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rows", type=int, default=DEFAULT_ROWS)
     ap.add_argument("--out", default="/tmp/scaling_result.json")
-    ap.add_argument("--levels", default="4,8,16,32",
+    ap.add_argument("--levels", default="8,32",
                     help="comma-separated local[N] levels; N→4N pairs are reported")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="full-ladder repetitions; MEDIAN efficiency is reported")
     args = ap.parse_args()
     if args.prepare:
         prepare_input(args.rows)
     elif args.worker:
         run_worker(args.cpus, args.rows, args.out)
     else:
-        run_driver(args.rows, [int(x) for x in args.levels.split(",")])
+        run_driver(args.rows, [int(x) for x in args.levels.split(",")], args.repeats)
 
 
 if __name__ == "__main__":

@@ -9,10 +9,12 @@ The ledger is an append-only parquet table:
      lineage_hash, engine_version)
 
 * ``completed()`` — partitions already validated OK (latest status wins).
-* ``filter_pending(df)`` — drops completed partitions from the input via
-  a broadcast anti-join on partition_id BEFORE any check runs: with a
-  partition-aligned source (Iceberg partition column) Catalyst turns
-  this into partition pruning and skipped partitions are never read.
+* ``filter_pending(df)`` — drops completed partitions from the input
+  BEFORE any check runs.  Default mode compiles the (tiny) completed
+  set into a literal predicate on the partition column, so on a
+  catalog/Iceberg table resume IS static partition pruning — skipped
+  partitions are never listed or scanned (tests/test_catalog.py);
+  ``mode='anti'`` keeps a broadcast anti-join for unbounded ledgers.
 * ``lineage_hash`` — order-independent content hash of a partition's
   violation rows (sum of per-row xxhash64 over the canonical struct), so
   a resumed run can prove it reproduced identical output without
