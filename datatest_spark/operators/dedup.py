@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vector import cosine, lit_vector
+from ..functions.vector import cosine
 from .textstats import normalize_text, tokens
 
 SEED = 42
@@ -555,19 +555,32 @@ def embedding_neardup_pairs(
     thr = float(threshold)
 
     if use_lsh:
-        from ..functions.vector import dot as vdot
+        import pandas as pd
 
         rng = np.random.RandomState(SEED)
-        bucket_cols = []
-        for t in range(n_tables):
-            planes = rng.normal(size=(n_planes, dim))
-            bucket = None
-            for p in range(n_planes):
-                s = (vdot(F.col("_v"), lit_vector(planes[p])) > 0).cast("long")
-                bucket = s if bucket is None else bucket * 2 + s
-            bucket_cols.append(bucket)
+        planes_all = rng.normal(size=(n_tables * n_planes, dim))  # (T·p, dim)
+
+        def _buckets(s):
+            # one Arrow batch matmul for ALL tables' hyperplane signs:
+            # bits = V @ Pᵀ > 0, packed per table MSB-first (plane 0 first,
+            # matching the bucket*2+s chain of the Column formulation; an
+            # unrolled Column form exceeds the 64 KB codegen method limit)
+            if not len(s):
+                return pd.Series([], dtype="object")
+            mat = np.stack(s.to_numpy()).astype(np.float64)
+            bits = (mat @ planes_all.T) > 0  # (n, T·p)
+            out = np.zeros((len(mat), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                val = np.zeros(len(mat), dtype=np.int64)
+                for j in range(n_planes):
+                    val = val * 2 + bits[:, t * n_planes + j]
+                out[:, t] = val
+            return pd.Series(list(out))
+
+        _buckets.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        bucket_udf = F.pandas_udf(_buckets, T.ArrayType(T.LongType()))
         b = v.select(
-            "id", "_v", F.posexplode(F.array(*bucket_cols)).alias("_table", "_bucket")
+            "id", "_v", F.posexplode(bucket_udf(F.col("_v"))).alias("_table", "_bucket")
         )
         if max_bucket_size:
             sizes = b.groupBy("_table", "_bucket").agg(F.count(F.lit(1)).alias("_n"))
