@@ -1,0 +1,64 @@
+"""spark-submit --py-files deployment (north_rule: "Deployed via
+spark-submit --py-files on multi-executor clusters").
+
+The engine is pure Python over the public DataFrame API — no JVM
+extensions — so the whole deploy artifact is one zip of the package.
+This test builds that zip, runs a validation job in a FRESH spark-submit
+process whose only source of ``datatest_spark`` is the ``--py-files``
+zip (cwd outside the repo, PYTHONPATH scrubbed), and asserts the
+difference rows."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import textwrap
+import zipfile
+
+import pyspark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_py_files_deploy(tmp_path):
+    zpath = tmp_path / "datatest_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "datatest_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        textwrap.dedent(
+            """
+            from pyspark.sql import SparkSession
+
+            import datatest_spark
+            assert "datatest_spark.zip" in datatest_spark.__file__, datatest_spark.__file__
+            from datatest_spark import validate
+
+            spark = SparkSession.builder.getOrCreate()
+            li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            d = validate.set(li, "l_returnflag", {"A", "N", "Z"})
+            rows = sorted((r["diff_kind"], r["value"]) for r in d.collect())
+            assert rows == [("extra", "R"), ("missing", "Z")], rows
+            print("SUBMIT_OK", len(rows))
+            spark.stop()
+            """
+        )
+    )
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", str(zpath), str(job)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(tmp_path),  # repo dir NOT importable: the zip is the deploy
+    )
+    assert "SUBMIT_OK 2" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
