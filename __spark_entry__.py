@@ -536,6 +536,10 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
     dim = len(e.select("embedding").first()["embedding"])
+    # recall is provable only for the injected exact copies; natural pairs
+    # at cos ≥ 0.999 would make this probabilistic — none exist in this
+    # corpus (max natural pair ≈ 0.5, brute-verified), and the brute-path
+    # tests guard the general-recall story
     return embedding_neardup_pairs(
         doubled, dim=dim, threshold=0.999, use_lsh=True, n_planes=16, n_tables=2
     )
@@ -792,9 +796,11 @@ def q_fuzzy_doc_normalization(spark, sf_dir):
 
 
 SQL_FUZZY_SUFFIX = """
-SELECT 'invalid' AS diff_kind, sha256(substr(text, 1, 150)) AS value_sha
+SELECT 'invalid' AS diff_kind,
+       sha256(coalesce(substr(text, 1, 150), '')) AS value_sha
 FROM documents
-WHERE 2.0 * len(substr(text, 1, 150)) / (2 * len(substr(text, 1, 150)) + 30) < 0.9
+WHERE text IS NULL
+   OR 2.0 * len(substr(text, 1, 150)) / (2 * len(substr(text, 1, 150)) + 30) < 0.9
 """
 
 
@@ -980,12 +986,22 @@ def q_ivf_topk_embeddings(spark, sf_dir):
         ivf_topk_indexed,
     )
 
+    import glob
+    import hashlib
+
     e = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
-    path = f"/tmp/dts_ivf/{os.path.basename(sf_dir.rstrip('/'))}_embeddings"
-    # the index is a persisted offline artifact over static testdata —
-    # build once per sf_dir, reuse thereafter (deterministic build, so a
-    # reused index is byte-identical to a fresh one)
+    # the index is a persisted offline artifact — cache keyed on a
+    # FINGERPRINT of the source files (path+size+mtime), so regenerated
+    # or colliding inputs can never silently reuse a stale index
+    src = f"{sf_dir}/embeddings.parquet"
+    files = sorted(glob.glob(f"{src}/*")) or [src]
+    fp = hashlib.sha256(
+        "|".join(
+            f"{f}:{os.path.getsize(f)}:{int(os.path.getmtime(f))}" for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/dts_ivf/{fp}"
     if not os.path.exists(f"{path}/centroids/_SUCCESS"):
         build_ivf_index(e, path, n_centroids=16, kmeans_iters=2)
     ivf = ivf_topk_indexed(spark, path, q, k=10, n_probe=8)

@@ -135,6 +135,8 @@ class _QuotaAcceptance(Acceptance):
     deterministically — required for byte-identical output.
     """
 
+    _seq = 0  # class-level counter: fresh helper column per prepare()
+
     def __init__(self, inner: Optional[Column], n: int, group_cols: Sequence[str], scope: str):
         self.inner = inner
         self.n = n
@@ -151,6 +153,11 @@ class _QuotaAcceptance(Acceptance):
         return inner
 
     def prepare(self, df: DataFrame, gate: Optional[Column] = None) -> DataFrame:
+        # fresh per-prepare state: the SAME instance may appear in several
+        # branches of one composition (q | q) or in sequential applies —
+        # a reused helper column would be silently overwritten
+        _QuotaAcceptance._seq += 1
+        self._rs_col = f"_quota_rs_{id(self)}_{_QuotaAcceptance._seq}"
         self._gate = gate
         if self.group_cols:
             return df  # per-group window is already partitioned — scalable
@@ -236,20 +243,29 @@ class _Combined(Acceptance):
         )
 
     def prepare(self, df: DataFrame, gate: Optional[Column] = None) -> DataFrame:
+        # CAPTURE each branch's mark right after its prepare: a stateful
+        # branch (quota) re-prepared later — e.g. the same instance on
+        # both sides of q | q — would otherwise have its state
+        # overwritten before mark() runs
         df = self._first.prepare(df, gate=gate)
-        fm = F.coalesce(self._first.mark(df), F.lit(False))
+        self._fm = F.coalesce(self._first.mark(df), F.lit(False))
         if self.how == "or":
             # the higher-scope branch must not consume quota on rows the
             # lower-scope branch already accepts
-            g2 = ~fm if gate is None else (gate & ~fm)
+            g2 = ~self._fm if gate is None else (gate & ~self._fm)
         else:
             # under & the quota consumes only rows the sibling also accepts
-            g2 = fm if gate is None else (gate & fm)
-        return self._second.prepare(df, gate=g2)
+            g2 = self._fm if gate is None else (gate & self._fm)
+        df = self._second.prepare(df, gate=g2)
+        self._sm = F.coalesce(self._second.mark(df), F.lit(False))
+        return df
 
     def mark(self, df: DataFrame) -> Column:
-        ma = F.coalesce(self._first.mark(df), F.lit(False))
-        mb = F.coalesce(self._second.mark(df), F.lit(False))
+        ma = getattr(self, "_fm", None)
+        mb = getattr(self, "_sm", None)
+        if ma is None or mb is None:  # mark() without prepare(): stateless use
+            ma = F.coalesce(self._first.mark(df), F.lit(False))
+            mb = F.coalesce(self._second.mark(df), F.lit(False))
         return (ma & mb) if self.how == "and" else (ma | mb)
 
 

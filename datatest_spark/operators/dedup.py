@@ -188,11 +188,10 @@ def ngram_jaccard_pairs(
             r["_gram"]
             for r in g.select("_gram").distinct().limit(66).collect()
         ]
-        n_docs_bounded = (
-            len(vocab) <= 64
-            and df.select(id_col).limit(BITSET_MAX_DOCS + 1).count() <= BITSET_MAX_DOCS
-        )
-        if len(vocab) <= 64 and n_docs_bounded:
+        small_vocab = len(vocab) <= 64
+        if small_vocab and (
+            df.select(id_col).limit(BITSET_MAX_DOCS + 1).count() <= BITSET_MAX_DOCS
+        ):
             idx_df = df.sparkSession.createDataFrame(
                 [(t, i) for i, t in enumerate(sorted(vocab))], "_gram string, _bit int"
             )

@@ -819,10 +819,63 @@ def _check_mapping_multi(
     if seqs and order_by is None:
         raise ValueError("sequence-valued mapping requirements need order_by=")
 
+    # typed member comparison: members compatible with the value column's
+    # type family are coerced INTO that family and both sides are rendered
+    # by Spark's own cast on the SAME type (so 1 matches 1.0 in a double
+    # column, like the reference's Python ==, and NaN/date/timestamp
+    # renderings agree).  Incompatible literals can never equal a value
+    # (reference: 1 != "1") and are reported unconditionally.  A pure
+    # Python-side string canon would break numeric cross-type equality
+    # ('1' vs '1.0') — caught by review, pinned in tests.
+    import datetime as _dtmod
+
+    numeric_value = is_numeric_dtype(value_dt)
+    member_dt = T.DoubleType() if numeric_value else value_dt
+
+    def _member_compat(m) -> bool:
+        if m is None:
+            return True
+        if numeric_value:
+            return isinstance(m, (int, float)) and not isinstance(m, bool)
+        if isinstance(value_dt, T.StringType):
+            return isinstance(m, str)
+        if isinstance(value_dt, T.BooleanType):
+            return isinstance(m, bool)
+        if isinstance(value_dt, T.TimestampType):
+            return isinstance(m, _dtmod.datetime)
+        if isinstance(value_dt, T.DateType):
+            return isinstance(m, _dtmod.date) and not isinstance(m, _dtmod.datetime)
+        if isinstance(value_dt, T.BinaryType):
+            return isinstance(m, (bytes, bytearray))
+        return False
+
+    def _member_typed(m):
+        if m is None:
+            return None
+        return float(m) if numeric_value else m
+
+    def _mkey(col: Column) -> Column:
+        """Null-safe, Spark-rendered string key over the unified type."""
+        return F.coalesce(col.cast(member_dt).cast("string"), F.lit(_NULL_SENTINEL))
+
     key_schema = T.StructType(
         [T.StructField(n, dt, True) for n, dt in zip(rk_names, key_dts)]
     )
     req_keys = spark.createDataFrame([key_tuple(k) for k in requirement], key_schema)
+
+    def filter_to_keys(d: DataFrame, keys) -> DataFrame:
+        """Restrict to the given requirement keys via a broadcast
+        semi-join (scales to arbitrarily large key sets — a per-key OR
+        chain would blow plan size); eqNullSafe OR fallback only when a
+        requirement key is NULL-containing (rare, tiny)."""
+        kts = [key_tuple(k) for k in keys]
+        if any(x is None for kt in kts for x in kt):
+            cond = any_key(keys)
+            return d.filter(cond)
+        kdf = spark.createDataFrame(kts, key_schema).select(
+            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)]
+        )
+        return d.join(F.broadcast(kdf), key_names, "left_semi")
 
     parts = []
 
@@ -842,14 +895,10 @@ def _check_mapping_multi(
         )
     )
 
-    # requirement keys present in data: the scan is filtered to the
-    # (small) requirement key set FIRST, so the distinct is bounded by
+    # requirement keys present in data: the scan is semi-joined to the
+    # requirement key set FIRST, so the distinct is bounded by
     # |requirement| and broadcasts
-    present = (
-        df.filter(any_key(requirement))
-        .select(*rk_aliases)
-        .distinct()
-    )
+    present = filter_to_keys(df, list(requirement)).select(*rk_aliases).distinct()
 
     # 2) requirement keys absent from data → Missing per expectation
     #    (per member/element for set/sequence; predicate repr otherwise)
@@ -916,19 +965,37 @@ def _check_mapping_multi(
             )
         )
     if other_scalars:
+        # typed compare on the unified family; a type-incompatible scalar
+        # (e.g. "1" against a numeric column) can never match — every row
+        # of that key is Invalid (reference: 1 != "1")
         sch = T.StructType(
-            list(key_schema.fields) + [T.StructField("_expected", T.StringType(), True)]
+            list(key_schema.fields)
+            + [
+                T.StructField("_expected_t", member_dt, True),
+                T.StructField("_expected_disp", T.StringType(), True),
+                T.StructField("_compat", T.BooleanType(), False),
+            ]
         )
-        lk = spark.createDataFrame(
-            [(*key_tuple(k), _canon_py(v)) for k, v in other_scalars.items()], sch
-        ).select(
-            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)], "_expected"
+        rows = [
+            (
+                *key_tuple(k),
+                _member_typed(v) if _member_compat(v) else None,
+                _canon_py(v),
+                _member_compat(v),
+            )
+            for k, v in other_scalars.items()
+        ]
+        lk = spark.createDataFrame(rows, sch).select(
+            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)],
+            "_expected_t",
+            "_expected_disp",
+            "_compat",
         )
         j = df.join(F.broadcast(lk), key_names)
-        vs = canon_col(F.col(value_column))
-        bad = j.filter(
-            ~F.coalesce(vs == F.col("_expected"), vs.isNull() & F.col("_expected").isNull())
+        match = F.col("_compat") & (
+            _mkey(F.col(value_column)) == _mkey(F.col("_expected_t"))
         )
+        bad = j.filter(~F.coalesce(match, F.lit(False)))
         parts.append(
             make_differences(
                 bad,
@@ -936,48 +1003,58 @@ def _check_mapping_multi(
                 kind=KIND_INVALID,
                 key=key_enc,
                 value=F.col(value_column),
-                expected=F.col("_expected"),
+                expected=F.col("_expected_disp"),
                 partition_id=partition_id,
             )
         )
 
-    # 4) set family — per-key membership via null-safe member joins
+    # 4) set family — per-key membership via typed, null-safe member joins
     if sets:
-        member_rows = [
-            (*key_tuple(k), _canon_py(m) if m is not None else _NULL_SENTINEL)
-            for k, v in sets.items()
-            for m in v
-        ]
-        set_df = spark.createDataFrame(member_rows, expect_schema)
+        compat_rows, incompat_rows = [], []
+        for k, v in sets.items():
+            for m in v:
+                if _member_compat(m):
+                    compat_rows.append((*key_tuple(k), _member_typed(m), _canon_py(m)))
+                else:
+                    incompat_rows.append((*key_tuple(k), _canon_py(m)))
+        set_sch = T.StructType(
+            list(key_schema.fields)
+            + [
+                T.StructField("_mt", member_dt, True),
+                T.StructField("_mdisp", T.StringType(), True),
+            ]
+        )
+        set_df = spark.createDataFrame(compat_rows, set_sch).select(
+            *rk_names, "_mdisp", _mkey(F.col("_mt")).alias("_mkey")
+        )
         data_sub = (
-            df.filter(any_key(sets))
+            filter_to_keys(df, sets)
             .select(
                 *rk_aliases,
-                F.coalesce(canon_col(F.col(value_column)), F.lit(_NULL_SENTINEL)).alias(
-                    "_mval"
-                ),
+                canon_col(F.col(value_column)).alias("_mdisp"),
+                _mkey(F.col(value_column)).alias("_mkey"),
             )
             .distinct()
         )
-        show = F.when(F.col("_mval") != _NULL_SENTINEL, F.col("_mval"))
-        extra_in = data_sub.join(F.broadcast(set_df), rk_names + ["_mval"], "left_anti")
+        set_keys_only = set_df.select(*rk_names, "_mkey")
+        extra_in = data_sub.join(F.broadcast(set_keys_only), rk_names + ["_mkey"], "left_anti")
         parts.append(
             make_differences(
                 extra_in,
                 check_id=check_id,
                 kind=KIND_EXTRA,
                 key=rk_enc,
-                value=show,
+                value=F.col("_mdisp"),
             )
         )
         # missing members, only for keys that ARE in the data (absent keys
         # were fully reported in step 2)
-        data_in_req = data_sub.join(
-            F.broadcast(set_df), rk_names + ["_mval"], "left_semi"
+        data_in_req = data_sub.select(*rk_names, "_mkey").join(
+            F.broadcast(set_keys_only), rk_names + ["_mkey"], "left_semi"
         )
         present_set_keys = data_sub.select(*rk_names).distinct()
         missing_in = set_df.join(
-            F.broadcast(data_in_req), rk_names + ["_mval"], "left_anti"
+            F.broadcast(data_in_req), rk_names + ["_mkey"], "left_anti"
         ).join(F.broadcast(present_set_keys), rk_names, "left_semi")
         parts.append(
             make_differences(
@@ -985,9 +1062,23 @@ def _check_mapping_multi(
                 check_id=check_id,
                 kind=KIND_MISSING,
                 key=rk_enc,
-                value=show,
+                value=F.col("_mdisp"),
             )
         )
+        if incompat_rows:
+            # members that can never equal a value of this column type:
+            # unconditionally Missing for keys present in the data
+            inc_df = spark.createDataFrame(incompat_rows, expect_schema)
+            inc_missing = inc_df.join(F.broadcast(present), rk_names, "left_semi")
+            parts.append(
+                make_differences(
+                    inc_missing,
+                    check_id=check_id,
+                    kind=KIND_MISSING,
+                    key=rk_enc,
+                    value=F.col("_mval"),
+                )
+            )
 
     # 5) predicate family — one compiled CASE over all predicate keys
     if preds:
@@ -1021,47 +1112,69 @@ def _check_mapping_multi(
             list(key_schema.fields)
             + [
                 T.StructField("_sidx", T.LongType(), False),
-                T.StructField("_sexp", T.StringType(), True),
+                T.StructField("_sexp_t", member_dt, True),
+                T.StructField("_sexp_disp", T.StringType(), True),
+                T.StructField("_scompat", T.BooleanType(), False),
             ]
         )
         seq_lit = spark.createDataFrame(
             [
-                (*key_tuple(k), i, _canon_py(v))
+                (
+                    *key_tuple(k),
+                    i,
+                    _member_typed(v) if _member_compat(v) else None,
+                    _canon_py(v),
+                    _member_compat(v),
+                )
                 for k, s in seqs.items()
                 for i, v in enumerate(s)
             ],
             seq_schema,
-        )
+        ).withColumn("_sp", F.lit(1))
         w = Window.partitionBy(*[F.col(n) for n in key_names]).orderBy(
             *[F.col(n) for n in order_names]
         )
         data_seq = (
-            df.filter(any_key(seqs))
+            filter_to_keys(df, seqs)
             .withColumn("_sidx", (F.row_number().over(w) - 1).cast("long"))
-            .select(*rk_aliases, "_sidx", canon_col(F.col(value_column)).alias("_sact"))
+            .select(
+                *rk_aliases,
+                "_sidx",
+                _mkey(F.col(value_column)).alias("_sact_key"),
+                canon_col(F.col(value_column)).alias("_sact_disp"),
+                F.lit(1).alias("_dp"),
+            )
         )
         seq_present = seq_lit.join(
             F.broadcast(data_seq.select(*rk_names).distinct()), rk_names, "left_semi"
         )
         joined = data_seq.join(seq_present, rk_names + ["_sidx"], "full_outer")
-        mism = joined.filter(~F.col("_sact").eqNullSafe(F.col("_sexp")))
+        # typed positional equality (both sides rendered on the unified
+        # type); incompatible expected elements never match
+        match = (
+            F.col("_dp").isNotNull()
+            & F.col("_sp").isNotNull()
+            & F.coalesce(F.col("_scompat"), F.lit(False))
+            & (F.col("_sact_key") == _mkey(F.col("_sexp_t")))
+        )
+        mism = joined.filter(~F.coalesce(match, F.lit(False)))
         enc = lambda v: F.to_json(F.array(F.col("_sidx").cast("string"), v))
         parts.append(
             make_differences(
-                mism.filter(F.col("_sexp").isNotNull()),
+                mism.filter(F.col("_sp").isNotNull()),
                 check_id=check_id,
                 kind=KIND_MISSING,
                 key=rk_enc,
-                value=enc(F.col("_sexp")),
+                value=enc(F.col("_sexp_disp")),
             )
         )
         parts.append(
             make_differences(
-                mism.filter(F.col("_sact").isNotNull()),
+                mism.filter(F.col("_dp").isNotNull() & F.col("_sact_disp").isNotNull()),
                 check_id=check_id,
                 kind=KIND_EXTRA,
                 key=rk_enc,
-                value=enc(F.col("_sact")),
+                value=enc(F.col("_sact_disp")),
             )
         )
 

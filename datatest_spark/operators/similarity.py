@@ -136,13 +136,24 @@ def refine_centroids(
     cents = [list(c) for c in centroids]
     for _ in range(iters):
         assigned = assign_ivf_cells(df, cents, vec_col=vec_col)
+        # sum in DECIMAL: decimal addition is exact, so the per-cell mean
+        # is independent of partial-aggregation order — the index build
+        # stays byte-identical across parallelism levels (a double sum
+        # would drift in the last ulp with partitioning)
         means = (
             assigned.select(
                 F.col("ivf_cell"),
                 F.posexplode(to_double_array(F.col(vec_col))).alias("_p", "_x"),
             )
             .groupBy("ivf_cell", "_p")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(38,18)"))
+                    / F.count(F.lit(1)).cast("decimal(38,0)")
+                )
+                .cast("double")
+                .alias("_m")
+            )
             .collect()
         )
         new = [list(c) for c in cents]

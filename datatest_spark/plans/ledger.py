@@ -87,8 +87,14 @@ class Ledger:
 
     def completed_ids(self) -> list:
         """The completed partition values (the ledger is per-PARTITION —
-        bounded by partition count, not data size)."""
-        return sorted(r["partition_id"] for r in self.completed().collect())
+        bounded by partition count, not data size).  A NULL partition_id
+        is dropped: no equality form (isin OR anti-join) can match NULL,
+        so a null-keyed partition is never treated as completed."""
+        return sorted(
+            r["partition_id"]
+            for r in self.completed().collect()
+            if r["partition_id"] is not None
+        )
 
     def filter_pending(
         self, df: DataFrame, partition_col: str = "partition_id", *, mode: str = "auto"

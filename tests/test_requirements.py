@@ -300,6 +300,53 @@ def test_mapping_per_key_sequence(spark):
     ]
 
 
+def test_mapping_per_key_set_numeric_cross_type(spark):
+    """Reference parity: 1 == 1.0 (Python ==) — int members must match a
+    double column; typed comparison, not string canon (review finding)."""
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.5)], "k string, v double"
+    )
+    got = diff_multiset(
+        validate(df, "v", {"A": {1, 2}, "B": {3.5}}, key_columns="k", value_column="v")
+    )
+    assert got == []
+    # and 1 != "1": a string member against a numeric column never matches
+    got2 = diff_multiset(
+        validate(df, "v", {"B": {"3.5", 3.5}}, key_columns="k", value_column="v")
+    )
+    assert got2 == [
+        ("extra", "A", "1.0", None, None),
+        ("extra", "A", "2.0", None, None),
+        ("missing", "B", "3.5", None, None),  # the STRING member, never matchable
+    ]
+
+
+def test_mapping_per_key_scalar_string_vs_numeric_column(spark):
+    """A type-incompatible scalar ('1' vs numeric) is Invalid on every
+    row — string-canon comparison would wrongly match '1.0' forms."""
+    df = spark.createDataFrame([("A", 1.0)], "k string, v double")
+    got = diff_multiset(
+        validate(df, "v", {"A": "1.0", "Z": {1}}, key_columns="k", value_column="v")
+    )
+    assert got == [
+        ("invalid", "A", "1.0", "1.0", None),
+        ("missing", "Z", "1", None, None),
+    ]
+
+
+def test_mapping_per_key_sequence_numeric_cross_type(spark):
+    df = spark.createDataFrame(
+        [("S", 0, 10.0), ("S", 1, 20.0)], "k string, i long, v double"
+    )
+    got = diff_multiset(
+        validate(df, "v", {"S": [10, 21]}, key_columns="k", value_column="v", order_by="i")
+    )
+    assert got == [
+        ("extra", "S", '["1","20.0"]', None, None),
+        ("missing", "S", '["1","21"]', None, None),
+    ]
+
+
 def test_mapping_multi_requires_order_by_for_sequences(spark):
     df = spark.createDataFrame([("S", "a")], "k string, v string")
     import pytest as _pytest

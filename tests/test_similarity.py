@@ -54,6 +54,40 @@ def test_ivf_topk_recall(spark, embeddings):
     assert approx[0] == 7
 
 
+def test_vector_literal_forms_match_fold(spark):
+    """The unrolled codegen forms (dot_literal / cosine_literal) agree
+    with the sequential fold forms and stay inside whole-stage codegen —
+    the documented dim-bounded fast path."""
+    from datatest_spark.functions.vector import (
+        cosine,
+        cosine_literal,
+        dot,
+        dot_literal,
+        lit_vector,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 0.0, 0.0]), (3, [-1.0, 0.5, 2.5])],
+        "id long, v array<double>",
+    )
+    q = [0.5, -1.0, 2.0]
+    rows = df.select(
+        F.round(dot(F.col("v"), lit_vector(q)), 9).alias("d1"),
+        F.round(dot_literal(F.col("v"), q), 9).alias("d2"),
+        F.round(cosine(F.col("v"), lit_vector(q)), 9).alias("c1"),
+        F.round(cosine_literal(F.col("v"), q), 9).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["d1"] == r["d2"] and r["c1"] == r["c2"]
+    plan = (
+        df.select(dot_literal(F.col("v"), q))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
 def test_ivf_index_persists_and_prunes(spark, embeddings, tmp_path):
     """build_ivf_index writes cell-partitioned parquet; a probe query
     lists/scans ONLY the probed cell directories (partition pruning)."""

@@ -169,6 +169,32 @@ def _partitioned_suite():
     )
 
 
+def test_ledger_null_partition_never_completes(spark, tmp_path):
+    """A completed NULL partition_id must neither crash the isin mode nor
+    drop pending rows (review finding: sorted() over None and NULL-isin
+    three-valued logic)."""
+    ledger = Ledger(spark, str(tmp_path / "ledger_null"))
+    ledger.record(
+        spark.createDataFrame(
+            [("r", None, "ok", 0, 0, None, "0.1.0"), ("r", "b1", "ok", 0, 0, None, "0.1.0")],
+            "run_id string, partition_id string, status string, n_rows long, n_violations long, lineage_hash string, engine_version string",
+        )
+    )
+    df = spark.createDataFrame(
+        [("b1", 1), ("b2", 2), (None, 3)], "partition_id string, v long"
+    )
+    def rows_of(d):
+        return sorted(
+            ((r["partition_id"], r["v"]) for r in d.collect()),
+            key=lambda t: (t[0] is None, t[0] or "", t[1]),
+        )
+
+    pending = rows_of(ledger.filter_pending(df, "partition_id"))
+    # b1 completed → dropped; b2 and the NULL-partition row stay pending
+    assert pending == [("b2", 2), (None, 3)]
+    assert rows_of(ledger.filter_pending(df, "partition_id", mode="anti")) == pending
+
+
 def test_ledger_resume_skips_validated(spark, tmp_path):
     ledger = Ledger(spark, str(tmp_path / "ledger"))
     t = _tables(spark, "clean")
