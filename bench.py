@@ -126,14 +126,21 @@ def run_code_files_suite(spark, n_rows: int) -> float:
     stats = column_stats(narrow, ["repo", "lang", "content_sha"], table_name="code_files")
     from concurrent.futures import ThreadPoolExecutor
 
-    t0 = time.monotonic()
-    narrow.count()
-    with ThreadPoolExecutor(2) as ex:
-        f1 = ex.submit(force, diffs)
-        f2 = ex.submit(force, stats)
-        f1.result()
-        f2.result()
-    elapsed = time.monotonic() - t0
+    def timed_run() -> float:
+        narrow.unpersist()
+        t0 = time.monotonic()
+        narrow.persist().count()
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(force, diffs)
+            f2 = ex.submit(force, stats)
+            f1.result()
+            f2.result()
+        return time.monotonic() - t0
+
+    # best-of-2: this VM shows 1.5-3× run-to-run noise (noisy neighbors);
+    # min-of-trials measures the engine, not the noise window — same
+    # policy as BENCH/scaling.py workers
+    elapsed = min(timed_run() for _ in range(2))
     narrow.unpersist()
     return elapsed
 

@@ -155,7 +155,7 @@ def stateful_unique_stream(
     *,
     check_id: str = "stream_unique",
     state_timeout_ms: Optional[int] = None,
-    shards: int = 64,
+    shards: int = 512,
 ) -> DataFrame:
     """Cross-batch uniqueness: Extra(key) whenever a key reappears —
     the stateful streaming analogue of ``validate.unique``.
