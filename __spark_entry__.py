@@ -940,6 +940,47 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_split_documents(spark, sf_dir):
+    """Deterministic train/val/test split (training-pipeline op).  The
+    contract variant buckets by doc_id modulus so DuckDB reproduces it
+    exactly; the xxhash64 variant is pytest-pinned (disjoint/complete/
+    partitioning-invariant)."""
+    from datatest_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", method="mod"
+    )
+    return s.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_SPLIT_DOCUMENTS = """
+SELECT CASE WHEN doc_id % 1000000 < 800000 THEN 'train'
+            WHEN doc_id % 1000000 < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_stratified_cap_documents(spark, sf_dir):
+    """Balanced sampling: at most 3 documents per (lang, source) group,
+    picked in deterministic doc_id order (training-pipeline op)."""
+    from datatest_spark.operators.sampling import stratified_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_cap(d, ["lang", "source"], 3, order_by="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_STRATIFIED_CAP = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 3
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -1051,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_percent_psize": q_acceptance_percent_psize,
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "split_documents": q_split_documents,
+        "stratified_cap_documents": q_stratified_cap_documents,
         "acceptance_count_discount": q_acceptance_count_discount,
     }
 
@@ -1092,5 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "acceptance_percent_psize": SQL_ACCEPT_PERCENT,
         # multimodal_features: rows-only (binary payload digests not in DuckDB)
         "ivf_topk_embeddings": SQL_IVF_CONTAINMENT,
+        "split_documents": SQL_SPLIT_DOCUMENTS,
+        "stratified_cap_documents": SQL_STRATIFIED_CAP,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,
     }

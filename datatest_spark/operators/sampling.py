@@ -1,0 +1,121 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Every operator here is a pure function of row content — no RNG state,
+no wall clock — so splits are stable across runs, partitionings, and
+cluster sizes (the same determinism contract as the violation sink):
+
+* ``hash_split`` — train/val/test assignment from the key's 64-bit hash
+  against cumulative weight thresholds.  Scan-local projection: no
+  shuffle, pushdown-friendly, reproducible forever given (keys, salt).
+  ``method="mod"`` buckets a numeric key by modulus instead (useful
+  where an external system must reproduce the split without xxhash64).
+* ``proportional_sample`` — keep fraction p of rows deterministically
+  (hash bucket < p·10⁶).  Scan-local filter.
+* ``stratified_cap`` — at most n rows per group, chosen by an explicit
+  deterministic order; the window is partitioned BY GROUP (scalable —
+  never a global window).  The standard "balance by language/source"
+  step before training.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+ColumnsArg = Union[str, Sequence[str]]
+
+
+def _cols(columns: ColumnsArg) -> list:
+    return [columns] if isinstance(columns, str) else list(columns)
+
+
+def _bucket(df_cols: Sequence[str], salt: int, method: str) -> Column:
+    if method == "hash":
+        return F.pmod(F.xxhash64(*[F.col(c) for c in df_cols], F.lit(salt)), F.lit(_BUCKETS))
+    if method == "mod":
+        if len(df_cols) != 1:
+            raise ValueError("method='mod' needs exactly one numeric key column")
+        return F.pmod(F.col(df_cols[0]), F.lit(_BUCKETS))
+    raise ValueError(f"unknown split method {method!r}")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_cols: ColumnsArg,
+    *,
+    salt: int = 42,
+    method: str = "hash",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` assigning each row to a named split.
+
+    ``weights`` are normalized; assignment is by the key's bucket in
+    [0, 10⁶) against cumulative thresholds, so splits are disjoint,
+    complete, and deterministic at any parallelism.
+    """
+    if not weights:
+        raise ValueError("hash_split needs at least one split weight")
+    names = _cols(key_cols)
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bucket = _bucket(names, salt, method)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        thr = int(round(acc * _BUCKETS))
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def proportional_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: ColumnsArg,
+    *,
+    salt: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (hash-bucket filter —
+    scan-local, reproducible, no RNG)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    names = _cols(key_cols)
+    bucket = _bucket(names, salt, "hash")
+    return df.filter(bucket < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: ColumnsArg,
+    n: int,
+    *,
+    order_by: Optional[ColumnsArg] = None,
+    salt: int = 42,
+) -> DataFrame:
+    """At most ``n`` rows per group, picked deterministically.
+
+    ``order_by`` gives the explicit pick order; default is the row hash
+    (an unbiased deterministic shuffle within each group).  The window
+    is partitioned by the group columns — parallel across groups.
+    """
+    groups = _cols(group_cols)
+    if order_by is not None:
+        order = [F.col(c) for c in _cols(order_by)]
+    else:
+        order = [F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt)), F.lit(_BUCKETS))]
+    w = Window.partitionBy(*[F.col(c) for c in groups]).orderBy(*order)
+    return (
+        df.withColumn("_scap_rn", F.row_number().over(w))
+        .filter(F.col("_scap_rn") <= n)
+        .drop("_scap_rn")
+    )

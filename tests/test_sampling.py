@@ -1,0 +1,67 @@
+"""Deterministic sampling/splitting (training-pipeline ops): splits are
+disjoint, complete, partitioning-invariant, and reproducible."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.sampling import (
+    hash_split,
+    proportional_sample,
+    stratified_cap,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_split_disjoint_complete_deterministic(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(d, w, "doc_id")
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(w) and sum(counts.values()) == d.count()
+    # roughly proportional (hash uniformity)
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    # partitioning-invariant: same assignment at different parallelism
+    s2 = hash_split(d.repartition(13), w, "doc_id")
+    a1 = sorted((r["doc_id"], r["split"]) for r in s1.select("doc_id", "split").collect())
+    a2 = sorted((r["doc_id"], r["split"]) for r in s2.select("doc_id", "split").collect())
+    assert a1 == a2
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {(r["doc_id"], r["split"]) for r in hash_split(d, w, "doc_id", salt=1).select("doc_id", "split").collect()}
+    s2 = {(r["doc_id"], r["split"]) for r in hash_split(d, w, "doc_id", salt=2).select("doc_id", "split").collect()}
+    assert s1 != s2  # different salt → different (still deterministic) split
+
+
+def test_hash_split_is_scan_local(spark):
+    """The split must add NO shuffle — a pure projection on the scan."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s = hash_split(d, {"a": 0.5, "b": 0.5}, "doc_id")
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_proportional_sample_fraction(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n = d.count()
+    kept = proportional_sample(d, 0.25, "doc_id").count()
+    assert abs(kept / n - 0.25) < 0.15  # hash-uniform within tolerance
+    assert proportional_sample(d, 0.0, "doc_id").count() == 0
+    assert proportional_sample(d, 1.0, "doc_id").count() == n
+
+
+def test_stratified_cap_respects_groups_and_order(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = stratified_cap(d, ["lang", "source"], 2, order_by="doc_id")
+    sizes = capped.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    assert all(r["n"] <= 2 for r in sizes.collect())
+    # deterministic pick: the lowest doc_ids of each group
+    first = (
+        d.groupBy("lang", "source").agg(F.min("doc_id").alias("doc_id"))
+    )
+    picked = {r["doc_id"] for r in capped.collect()}
+    assert {r["doc_id"] for r in first.collect()} <= picked
