@@ -981,6 +981,33 @@ QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 3
 """
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing (training-pipeline op): documents concatenated
+    per lang in doc_id order; pack_id = the 2000-token pack where each
+    document's first token falls."""
+    from datatest_spark.operators.sampling import pack_by_budget
+    from datatest_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    p = pack_by_budget(d, 2000, "n_tokens", order_by="doc_id", group_cols="lang")
+    return p.select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+SQL_PACK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -1094,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "split_documents": q_split_documents,
         "stratified_cap_documents": q_stratified_cap_documents,
+        "pack_documents": q_pack_documents,
         "acceptance_count_discount": q_acceptance_count_discount,
     }
 
@@ -1137,5 +1165,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": SQL_IVF_CONTAINMENT,
         "split_documents": SQL_SPLIT_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP,
+        "pack_documents": SQL_PACK_DOCUMENTS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,
     }

@@ -94,6 +94,41 @@ def proportional_sample(
     return df.filter(bucket < F.lit(int(round(fraction * _BUCKETS))))
 
 
+def pack_by_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    *,
+    order_by: ColumnsArg,
+    group_cols: Optional[ColumnsArg] = None,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-budget packs (sequence packing for
+    training): concatenate documents in the explicit deterministic order
+    and give each one the pack where its FIRST token falls —
+    ``pack_id = floor((cumsum(tokens) − tokens) / budget)``.
+
+    This is exact-concatenation packing semantics (a document straddling
+    a boundary starts in that pack, so a pack may run over by less than
+    one document).  One window per group, PARTITIONED BY GROUP — packs
+    parallelize across groups; use a real grouping (lang/source/shard)
+    at scale rather than a single global stream.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = [F.col(c) for c in _cols(order_by)]
+    groups = [F.col(c) for c in _cols(group_cols)] if group_cols is not None else []
+    w = (
+        Window.partitionBy(*groups).orderBy(*order)
+        if groups
+        else Window.partitionBy().orderBy(*order)
+    )
+    cum = F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(
+        out_col, F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long")
+    )
+
+
 def stratified_cap(
     df: DataFrame,
     group_cols: ColumnsArg,

@@ -54,6 +54,29 @@ def test_proportional_sample_fraction(spark):
     assert proportional_sample(d, 1.0, "doc_id").count() == n
 
 
+def test_pack_by_budget_semantics(spark):
+    from datatest_spark.operators.sampling import pack_by_budget
+
+    rows = [("g", 1, 50), ("g", 2, 60), ("g", 3, 10), ("g", 4, 100), ("h", 5, 10)]
+    df = spark.createDataFrame(rows, "grp string, i long, toks long")
+    p = {
+        r["i"]: r["pack_id"]
+        for r in pack_by_budget(
+            df, 100, "toks", order_by="i", group_cols="grp"
+        ).collect()
+    }
+    # g: starts at offsets 0, 50, 110, 120 → packs 0, 0, 1, 1; h restarts
+    assert p == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    # partitioning-invariant
+    p2 = {
+        r["i"]: r["pack_id"]
+        for r in pack_by_budget(
+            df.repartition(7), 100, "toks", order_by="i", group_cols="grp"
+        ).collect()
+    }
+    assert p == p2
+
+
 def test_stratified_cap_respects_groups_and_order(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     capped = stratified_cap(d, ["lang", "source"], 2, order_by="doc_id")
