@@ -181,6 +181,10 @@ def main() -> None:
         "cpus": CPUS,
         "code_files_rows": CODE_FILES_ROWS,
         "validated_files_per_sec": files_per_sec,
+        # BASELINE.json metric wording: "validated files/sec + per-partition
+        # pass/fail wall-time" — the flagship suite time IS the wall-time to
+        # produce every per-partition verdict (checks + verdict agg fused)
+        "per_partition_verdict_wall_sec": timings.get("code_files_suite"),
     }
     if failures:
         out["failures"] = sorted(failures)
