@@ -1008,6 +1008,75 @@ FROM t
 """
 
 
+def q_decontam_documents(spark, sf_dir):
+    """Eval-set decontamination (training-pipeline op): word 3-gram
+    overlap of the corpus slice (doc_id % 11 != 0) against the eval
+    slice (doc_id % 11 == 0); eval grams broadcast, corpus shuffle-free
+    until the hit-only pair agg."""
+    from datatest_spark.operators.decontam import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+    ev = d.filter(F.col("doc_id") % 11 == 0)
+    return contamination_pairs(corpus, ev, ngram=3, min_frac=0.0)
+
+
+SQL_DECONTAM_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) >= 3 THEN list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)])
+    ELSE [array_to_string(ts, ' ')] END AS gs
+  FROM toks
+), cg AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 11 != 0),
+eg AS (SELECT doc_id AS eval_id, unnest(gs) AS gram FROM grams WHERE doc_id % 11 = 0),
+ec AS (SELECT doc_id AS eval_id, CAST(len(gs) AS BIGINT) AS eval_grams FROM grams WHERE doc_id % 11 = 0),
+hits AS (SELECT cg.doc_id, eg.eval_id, CAST(count(*) AS BIGINT) AS shared_grams
+         FROM cg JOIN eg USING (gram) GROUP BY 1, 2)
+SELECT doc_id, eval_id, shared_grams, eval_grams,
+       round(shared_grams * 1.0 / eval_grams, 6) AS overlap_frac
+FROM hits JOIN ec USING (eval_id)
+"""
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the exact unigram-Jaccard near-dup
+    pairs (iterative min-label propagation); oracle is a DuckDB
+    recursive-CTE transitive closure over the identical edge set —
+    a full value oracle for an iterative, non-single-query algorithm."""
+    from datatest_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_clusters(ngram_jaccard_pairs(d, ngram=1, threshold=0.8))
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS tok
+  FROM documents
+), counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON id_a = ca.doc_id
+  JOIN counts cb ON id_b = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+), edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -1122,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "stratified_cap_documents": q_stratified_cap_documents,
         "pack_documents": q_pack_documents,
+        "decontam_documents": q_decontam_documents,
+        "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
     }
 
@@ -1166,5 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "split_documents": SQL_SPLIT_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP,
         "pack_documents": SQL_PACK_DOCUMENTS,
+        "decontam_documents": SQL_DECONTAM_DOCUMENTS,
+        "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,
     }

@@ -1,0 +1,163 @@
+"""Eval-set decontamination for training-data pipelines.
+
+Before training, a corpus must be scrubbed of documents that overlap
+the evaluation sets (benchmark leakage).  The standard recipe (GPT-3
+appendix C / PaLM / Llama reports) is word n-gram overlap: a training
+document is contaminated when it shares >= some fraction of an eval
+document's distinct n-grams.
+
+Scale shape (the asymmetry is the whole design):
+
+* The corpus is huge (the 100 TB side); the eval sets are tiny
+  (thousands of documents, at most a few million distinct n-grams).
+* Eval grams are therefore **broadcast** — the corpus side never
+  shuffles for the join; each scan task probes a local hash map.
+* Only hit rows (corpus gram ∈ eval grams) survive the join, so the
+  one real shuffle — the (doc, eval) pair aggregation — sees only the
+  contaminated sliver, with map-side partial aggregation on top.
+* The per-doc verdict (``flag_contaminated``) is a groupBy over that
+  same sliver keyed by doc alone.
+
+Shares the shingle definition (``word_ngrams`` — normalized, distinct)
+with the dedup family so dedup and decontamination agree on what an
+n-gram is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_ngrams
+
+
+def _gram_side(
+    df: DataFrame, id_col: str, text_col: str, ngram: int, out_id: str
+) -> DataFrame:
+    """(out_id, gram) — exploded distinct n-grams of each document."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    ngram: int = 5,
+    min_frac: float = 0.0,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, eval_id, shared_grams, eval_grams, overlap_frac) for every
+    corpus x eval pair sharing at least one distinct word ``ngram``-gram
+    and with ``overlap_frac = shared/eval_grams >= min_frac``.
+
+    ``overlap_frac`` is relative to the EVAL document (the thing being
+    leaked), per the published recipes.  Rounded to 6 places for stable
+    cross-engine comparison.
+
+    ``broadcast_eval=True`` (default) is the 100 TB plan: eval grams and
+    eval gram-counts both broadcast, corpus stays shuffle-free until the
+    hit-only pair agg.  Set it False only if the "eval" side is itself
+    huge (then this degenerates into a plain gram join, same shape as
+    ``ngram_jaccard_pairs``).
+    """
+    ev = _gram_side(eval_df, eval_id_col, eval_text_col, ngram, "eval_id")
+    ev_counts = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.size(word_ngrams(F.col(eval_text_col), ngram)).cast("long").alias("eval_grams"),
+    )
+    if broadcast_eval:
+        ev, ev_counts = F.broadcast(ev), F.broadcast(ev_counts)
+
+    hits = _gram_side(corpus, id_col, text_col, ngram, "doc_id").join(ev, "gram")
+    pairs = (
+        hits.groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .join(ev_counts, "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            "shared_grams",
+            "eval_grams",
+            F.round(F.col("shared_grams") / F.col("eval_grams"), 6).alias("overlap_frac"),
+        )
+    )
+    if min_frac > 0.0:
+        pairs = pairs.filter(F.col("overlap_frac") >= min_frac)
+    return pairs
+
+
+def flag_contaminated(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    ngram: int = 5,
+    min_frac: float = 0.5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-doc contamination verdict: (doc_id, worst_eval_id,
+    worst_frac, n_eval_hits) for docs whose best overlap >= min_frac.
+
+    ``worst_eval_id`` is the minimum eval id among those tied at the
+    worst fraction (deterministic).  Anti-join the corpus against this
+    to produce the decontaminated training set.
+    """
+    pairs = contamination_pairs(
+        corpus,
+        eval_df,
+        id_col=id_col,
+        text_col=text_col,
+        eval_id_col=eval_id_col,
+        eval_text_col=eval_text_col,
+        ngram=ngram,
+        min_frac=min_frac,
+        broadcast_eval=broadcast_eval,
+    )
+    # struct max is lexicographic: worst fraction first, then -eval_id so
+    # ties resolve to the MIN eval id — one agg, no window
+    best = F.max(F.struct(F.col("overlap_frac"), (-F.col("eval_id")).alias("neg")))
+    return (
+        pairs.groupBy("doc_id")
+        .agg(best.alias("_b"), F.count(F.lit(1)).cast("long").alias("n_eval_hits"))
+        .select(
+            "doc_id",
+            (-F.col("_b.neg")).alias("worst_eval_id"),
+            F.col("_b.overlap_frac").alias("worst_frac"),
+            "n_eval_hits",
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    ngram: int = 5,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """The corpus minus contaminated docs (left_anti on the verdict)."""
+    bad = flag_contaminated(
+        corpus,
+        eval_df,
+        id_col=id_col,
+        text_col=text_col,
+        eval_id_col=eval_id_col,
+        eval_text_col=eval_text_col,
+        ngram=ngram,
+        min_frac=min_frac,
+    ).select(F.col("doc_id").alias(id_col))
+    return corpus.join(bad, id_col, "left_anti")

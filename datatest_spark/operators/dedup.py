@@ -649,3 +649,80 @@ def embedding_neardup_pairs(
     return rep.groupBy("_i", "_j").applyInPandas(
         block_pair, schema="id_a long, id_b long, cos double"
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS.
+
+    Input: an undirected edge list (any of the pair generators above —
+    ``ngram_jaccard_pairs``, ``minhash_dedup_pairs``,
+    ``embedding_neardup_pairs``...).  Output: ``(doc_id, cluster_id)``
+    for every doc appearing in a pair, where ``cluster_id`` is the
+    minimum doc id of its connected component — so "keep one per
+    cluster" is simply ``filter(doc_id == cluster_id)`` and the rest
+    are droppable duplicates.
+
+    Algorithm: Pregel-style min-label propagation as iterated
+    DataFrame joins — each round every node takes the min of its own
+    label and its neighbors' labels; a fixpoint is a component-wide
+    minimum.  Rounds needed = graph diameter, and near-dup similarity
+    graphs are dense clique-ish clusters (diameter ~1-3), so this
+    converges in a handful of rounds.  For adversarially long chains
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce") halves diameter per round;
+    not needed for dedup workloads.
+
+    Scale notes: per round = one shuffle join (labels x edges, both
+    sides hash-partitioned on the node key — co-partitioned across
+    rounds so AQE reuses the layout) + one min-agg with map-side
+    partial agg.  ``localCheckpoint`` truncates the growing lineage
+    each round (swap for reliable ``checkpoint`` on a real cluster).
+    Convergence is detected with a single scalar: sum(labels) is
+    strictly monotone decreasing until the fixpoint, so an unchanged
+    sum IS convergence — no expensive old-vs-new join.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
+    )
+    sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.repartition("s").persist()
+
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    # decimal(38,0) sum: overflow-proof convergence scalar for any id range
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        new_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(pathologically long chain? raise max_iter or use star-contraction)"
+        )
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

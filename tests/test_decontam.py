@@ -1,0 +1,120 @@
+"""Eval-set decontamination + duplicate-cluster connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.decontam import (
+    contamination_pairs,
+    decontaminate,
+    flag_contaminated,
+)
+from datatest_spark.operators.dedup import duplicate_clusters
+
+CORPUS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy of eval 100
+    (1, "alpha beta gamma delta something else entirely here"),  # partial overlap
+    (2, "totally unrelated words with no shared trigrams at all"),
+    (3, "short text"),  # < ngram tokens -> whole-text gram
+]
+EVAL = [
+    (100, "alpha beta gamma delta epsilon zeta eta theta"),
+    (101, "short text"),
+    (102, "nothing matches this benchmark question whatsoever friends"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark):
+    return spark.createDataFrame(EVAL, "doc_id long, text string")
+
+
+def test_contamination_pairs_fractions(spark, corpus, eval_df):
+    rows = {
+        (r["doc_id"], r["eval_id"]): r
+        for r in contamination_pairs(corpus, eval_df, ngram=3).collect()
+    }
+    # doc 0 == eval 100: all 6 trigrams shared
+    assert rows[(0, 100)]["shared_grams"] == 6
+    assert rows[(0, 100)]["overlap_frac"] == 1.0
+    # doc 1 shares exactly 'alpha beta gamma','beta gamma delta' with eval 100
+    assert rows[(1, 100)]["shared_grams"] == 2
+    assert rows[(1, 100)]["overlap_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    # doc 3 (< 3 tokens) matches eval 101 via the whole-text fallback gram
+    assert rows[(3, 101)]["shared_grams"] == 1
+    assert rows[(3, 101)]["eval_grams"] == 1
+    # no spurious pairs
+    assert set(rows) == {(0, 100), (1, 100), (3, 101)}
+
+
+def test_min_frac_filters(spark, corpus, eval_df):
+    got = contamination_pairs(corpus, eval_df, ngram=3, min_frac=0.5).collect()
+    assert {(r["doc_id"], r["eval_id"]) for r in got} == {(0, 100), (3, 101)}
+
+
+def test_flag_and_decontaminate(spark, corpus, eval_df):
+    flagged = {r["doc_id"]: r for r in flag_contaminated(corpus, eval_df, ngram=3, min_frac=0.5).collect()}
+    assert set(flagged) == {0, 3}
+    assert flagged[0]["worst_eval_id"] == 100 and flagged[0]["worst_frac"] == 1.0
+    clean = decontaminate(corpus, eval_df, ngram=3, min_frac=0.5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+
+
+def test_worst_eval_tie_is_min_id(spark):
+    # one corpus doc fully contained in TWO eval docs -> min eval id wins
+    c = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    e = spark.createDataFrame(
+        [(200, "a b c d e"), (100, "a b c d e")], "doc_id long, text string"
+    )
+    got = flag_contaminated(c, e, ngram=3, min_frac=0.5).collect()
+    assert len(got) == 1
+    assert got[0]["worst_eval_id"] == 100 and got[0]["n_eval_hits"] == 2
+
+
+def test_eval_side_broadcast(spark, corpus, eval_df):
+    plan = contamination_pairs(corpus, eval_df, ngram=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters
+# ---------------------------------------------------------------------------
+
+
+def _clusters(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(df, **kw).collect()
+    }
+
+
+def test_clusters_two_components(spark):
+    got = _clusters(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_clusters_chain_needs_propagation(spark):
+    # a 7-node path: min label must travel the diameter
+    edges = [(i, i + 1) for i in range(1, 7)]
+    got = _clusters(spark, edges)
+    assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_clusters_reversed_edge_orientation(spark):
+    # orientation-insensitive: high id on the left
+    got = _clusters(spark, [(5, 2), (2, 9)])
+    assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_clusters_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(1, 9)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(
+            spark.createDataFrame(edges, "id_a long, id_b long"), max_iter=1
+        ).collect()
