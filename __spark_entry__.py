@@ -483,11 +483,42 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only check (blake2b not in SQL)."""
+    """SimHash near-dup pairs.  Full value oracle: the token hash is
+    md5_number_upper('dtspark1'||tok), so DuckDB recomputes the exact
+    fingerprints; with max_hamming=6 < n_bands=8 the band buckets have
+    provably exact recall (pigeonhole), so the banded output equals the
+    oracle's brute-force hamming join."""
     from datatest_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, max_hamming=6, n_bands=8)
+
+
+SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, b.j,
+         CASE WHEN sum(cnt * (CASE WHEN (md5_number_upper('dtspark1' || tok) >> b.j) & 1 = 1
+                                   THEN 1 ELSE -1 END)) > 0
+              THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit
+  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j) b
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id, CAST(sum(bit << j) AS UBIGINT) AS h FROM sig GROUP BY 1
+  UNION ALL
+  SELECT doc_id, 0::UBIGINT FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM toks)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -1216,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": SQL_DEDUP_EXACT,
         "token_jaccard_pairs": SQL_TOKEN_JACCARD,
         "minhash_lsh_neardup": SQL_MINHASH_NEARDUP,
-        # simhash_pairs: rows-only (blake2b hashing not SQL-expressible)
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,

@@ -409,13 +409,19 @@ def minhash_dedup_pairs(
 def _simhash_udf():
     """Vectorized 64-bit Charikar simhash over token multisets.
 
-    numpy per Arrow batch: token → blake2b-64 (deterministic, salted),
-    per-bit ±count majority vote → sign bits.  The one Python crossing
-    in the dedup family; everything downstream is Column math.
+    numpy per Arrow batch: token → 64-bit hash, per-bit ±count majority
+    vote → sign bits.  The one Python crossing in the dedup family;
+    everything downstream is Column math.
+
+    The token hash is the first 8 bytes (little-endian) of
+    md5("dtspark1" + token) — exactly DuckDB's
+    ``md5_number_upper('dtspark1' || tok)``, which makes the whole
+    simhash (and therefore the near-dup pairs) replicable as a SQL
+    value oracle.
     """
     import numpy as np
     import pandas as pd
-    from hashlib import blake2b
+    from hashlib import md5
 
     _shifts = np.arange(64, dtype=np.uint64)
     _signs: dict = {}  # token → ±1 bit-sign vector, cached per worker
@@ -427,8 +433,7 @@ def _simhash_udf():
                 _signs.clear()  # bound worker memory on adversarial vocab
             h = np.uint64(
                 int.from_bytes(
-                    blake2b(tok.encode(), digest_size=8, salt=b"dtspark1").digest(),
-                    "big",
+                    md5(b"dtspark1" + tok.encode()).digest()[:8], "little"
                 )
             )
             v = (((h >> _shifts) & np.uint64(1)).astype(np.int64) * 2) - 1
