@@ -1039,6 +1039,53 @@ FROM t
 """
 
 
+def q_schema_documents(spark, sf_dir):
+    """Metadata-level schema requirement (validate.schema): expected
+    columns + dtypes vs the actual documents schema.  The oracle
+    derives the same differences from DuckDB's information_schema over
+    the identical parquet — a genuine cross-engine introspection check,
+    not a hardcoded literal."""
+    from datatest_spark import validate
+
+    d = _t(spark, sf_dir, "documents")
+    spec = {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int",  # actually bigint -> Invalid
+        "license": "string",  # absent -> Missing
+    }
+    diff = validate.schema(d, spec, check_id="doc_schema")
+    return diff.select("check_id", "diff_kind", "key", "value", "expected")
+
+
+SQL_SCHEMA_DOCUMENTS = """
+WITH actual AS (
+  SELECT column_name AS col,
+         CASE lower(data_type)
+           WHEN 'bigint' THEN 'bigint' WHEN 'integer' THEN 'int'
+           WHEN 'smallint' THEN 'smallint' WHEN 'tinyint' THEN 'tinyint'
+           WHEN 'varchar' THEN 'string' WHEN 'double' THEN 'double'
+           WHEN 'float' THEN 'float' WHEN 'boolean' THEN 'boolean'
+           WHEN 'blob' THEN 'binary' WHEN 'date' THEN 'date'
+           ELSE lower(data_type) END AS col_typ
+  FROM information_schema.columns WHERE table_name = 'documents'
+), expected(col, exp_typ) AS (VALUES
+  ('doc_id','bigint'),('text','string'),('lang','string'),
+  ('source','string'),('n_chars','int'),('license','string'))
+SELECT 'doc_schema' AS check_id, 'missing' AS diff_kind, e.col AS key,
+       CAST(NULL AS VARCHAR) AS value, e.exp_typ AS expected
+FROM expected e LEFT JOIN actual a USING (col) WHERE a.col IS NULL
+UNION ALL
+SELECT 'doc_schema', 'invalid', e.col, a.col_typ, e.exp_typ
+FROM expected e JOIN actual a USING (col) WHERE a.col_typ != e.exp_typ
+UNION ALL
+SELECT 'doc_schema', 'extra', a.col, a.col_typ, CAST(NULL AS VARCHAR)
+FROM actual a LEFT JOIN expected e USING (col) WHERE e.col IS NULL
+"""
+
+
 def q_decontam_documents(spark, sf_dir):
     """Eval-set decontamination (training-pipeline op): word 3-gram
     overlap of the corpus slice (doc_id % 11 != 0) against the eval
@@ -1222,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "stratified_cap_documents": q_stratified_cap_documents,
         "pack_documents": q_pack_documents,
+        "schema_documents": q_schema_documents,
         "decontam_documents": q_decontam_documents,
         "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
@@ -1268,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "split_documents": SQL_SPLIT_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP,
         "pack_documents": SQL_PACK_DOCUMENTS,
+        "schema_documents": SQL_SCHEMA_DOCUMENTS,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,

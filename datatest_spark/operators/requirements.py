@@ -1290,3 +1290,82 @@ def check_order_exact(
         kind_col=F.col("diff_kind"),
         value=F.col("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# schema requirement (metadata-level: columns + dtypes)
+# ---------------------------------------------------------------------------
+
+#: Python builtin → acceptable Spark simpleString type names
+_PY_TYPE_FAMILIES = {
+    int: ("tinyint", "smallint", "int", "bigint"),
+    float: ("float", "double"),
+    str: ("string",),
+    bool: ("boolean",),
+    bytes: ("binary",),
+}
+
+
+def check_schema(
+    df: DataFrame,
+    expected: "Mapping[str, object]",
+    *,
+    strict: bool = True,
+    check_id: str = "schema",
+) -> DataFrame:
+    """Validate the DataFrame's SCHEMA (columns + dtypes), not its rows.
+
+    ``expected`` maps column name → expected type, given as a Spark
+    type string (``"bigint"``, ``"array<double>"``), a ``DataType``
+    instance, or a Python builtin (``int``/``float``/``str``/``bool``/
+    ``bytes`` — accepts the whole Spark family, e.g. ``int`` matches
+    any integral width).  Differences (reference semantics, applied to
+    the shape): a required column absent → Missing(col); dtype
+    mismatch → Invalid(actual_type, expected=expected_type); with
+    ``strict=True`` a column not in ``expected`` → Extra(col).
+
+    Purely driver-side metadata — no Spark job is ever triggered; the
+    result is a literal difference DataFrame, so it composes with
+    acceptances/sinks like every other check.  (Reference analogue:
+    ``validate(df.dtypes, {...})`` over a mapping requirement.)
+    """
+    from collections.abc import Mapping as _Mapping
+
+    if not isinstance(expected, _Mapping):
+        raise TypeError("expected must map column name -> type")
+
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for col, want in expected.items():
+        if col not in actual:
+            rows.append((KIND_MISSING, col, None, _expected_str(want)))
+            continue
+        if not _type_ok(actual[col], want):
+            rows.append((KIND_INVALID, col, actual[col], _expected_str(want)))
+    if strict:
+        for col in actual:
+            if col not in expected:
+                rows.append((KIND_EXTRA, col, actual[col], None))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (check_id, kind, col, value, exp, None, None, None, None, None)
+            for kind, col, value, exp in rows
+        ],
+        DIFF_SCHEMA,
+    )
+
+
+def _expected_str(want) -> str:
+    if isinstance(want, type) and want in _PY_TYPE_FAMILIES:
+        return "|".join(_PY_TYPE_FAMILIES[want])
+    if isinstance(want, T.DataType):
+        return want.simpleString()
+    return str(want).strip().lower()
+
+
+def _type_ok(actual: str, want) -> bool:
+    if isinstance(want, type) and want in _PY_TYPE_FAMILIES:
+        return actual in _PY_TYPE_FAMILIES[want]
+    return actual == _expected_str(want)

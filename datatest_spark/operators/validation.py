@@ -97,6 +97,7 @@ class _Validate:
     mapping = staticmethod(R.check_mapping)
     order = staticmethod(R.check_order)
     order_exact = staticmethod(R.check_order_exact)
+    schema = staticmethod(R.check_schema)
 
 
 validate = _Validate()

@@ -398,3 +398,73 @@ def test_autodispatch_predicate(spark):
     df = sdf(spark, ["x", "z"])
     got = diff_multiset(validate(df, "v", "x"))
     assert got == [("invalid", None, "z", None, None)]
+
+
+# ---------------------------------------------------------------------------
+# schema requirement
+# ---------------------------------------------------------------------------
+
+
+class TestCheckSchema:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 1.5)], "id bigint, name string, score double"
+        )
+
+    def test_conforming_schema_is_valid(self, spark):
+        from datatest_spark import valid, validate
+
+        d = validate.schema(
+            self._df(spark), {"id": "bigint", "name": str, "score": float}
+        )
+        assert valid(d)
+
+    def test_missing_invalid_extra(self, spark):
+        from datatest_spark import validate
+
+        got = {
+            (r["diff_kind"], r["key"]): r
+            for r in validate.schema(
+                self._df(spark), {"id": str, "absent": "date"}, check_id="sch"
+            ).collect()
+        }
+        assert set(got) == {
+            ("invalid", "id"),
+            ("missing", "absent"),
+            ("extra", "name"),
+            ("extra", "score"),
+        }
+        assert got[("invalid", "id")]["value"] == "bigint"
+        assert got[("invalid", "id")]["expected"] == "string"
+        assert got[("missing", "absent")]["expected"] == "date"
+        assert all(r["check_id"] == "sch" for r in got.values())
+
+    def test_non_strict_ignores_extra_columns(self, spark):
+        from datatest_spark import valid, validate
+
+        assert valid(validate.schema(self._df(spark), {"id": int}, strict=False))
+
+    def test_python_type_families(self, spark):
+        from datatest_spark import valid, validate
+
+        df = spark.createDataFrame([(1,)], "x int")  # 32-bit int
+        assert valid(validate.schema(df, {"x": int}))
+        assert not valid(validate.schema(df, {"x": "bigint"}))
+
+    def test_datatype_instance_and_complex_types(self, spark):
+        from pyspark.sql import types as T
+
+        from datatest_spark import valid, validate
+
+        df = spark.createDataFrame([([1.0],)], "emb array<double>")
+        assert valid(validate.schema(df, {"emb": "array<double>"}))
+        assert valid(validate.schema(df, {"emb": T.ArrayType(T.DoubleType())}))
+        assert not valid(validate.schema(df, {"emb": "array<float>"}))
+
+    def test_no_job_triggered(self, spark):
+        from datatest_spark import validate
+
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        validate.schema(self._df(spark), {"id": int})  # build only
+        assert tracker.getJobIdsForGroup(None) == before
