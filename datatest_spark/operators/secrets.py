@@ -1,0 +1,115 @@
+"""Leaked-credential scanning for source-code corpora.
+
+The north-star domain is a code-repository table at 10^12-file scale;
+shipping a training corpus with live credentials in it is a release
+blocker, so secret scanning is a first-class validation check next to
+lang/size/uniqueness.
+
+Detection is the published-pattern approach (the same format families
+git-secrets / truffleHog / GitHub push protection document publicly):
+anchored regexes for well-known token shapes plus a generic
+assignment heuristic.  All patterns are evaluated in ONE scan-local
+projection (``regexp_extract_all`` per pattern, arrays of matches
+exploded in-plan) — pure Column work, whole-stage codegen, zero
+shuffle, no Python.
+
+Findings are MASKED by default (first 8 chars + length): the
+violations sink must not re-leak the secret it found.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.differences import KIND_INVALID, make_differences
+
+#: Published credential formats (pattern sources: AWS/GitHub/Slack docs,
+#: git-secrets / truffleHog rule sets — all public knowledge).
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_access_key_id": r"AKIA[0-9A-Z]{16}",
+    "github_token": r"gh[pousr]_[0-9a-zA-Z]{36}",
+    "slack_token": r"xox[baprs]-[0-9a-zA-Z-]{10,48}",
+    "private_key_block": r"-----BEGIN (?:RSA |EC |DSA |OPENSSH )?PRIVATE KEY-----",
+    "jwt": r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}",
+    "generic_api_key": r"(?i)(?:api_?key|secret|token)\s*[:=]\s*['\"][A-Za-z0-9_\-]{16,}['\"]",
+}
+
+
+def mask_secret(col: Column) -> Column:
+    """First 8 chars + total length — enough to locate, safe to store."""
+    return F.concat(
+        F.substring(col, 1, 8), F.lit("…("), F.length(col).cast("string"), F.lit(")")
+    )
+
+
+def scan_secrets(
+    df: DataFrame,
+    text_col: str = "content",
+    *,
+    patterns: Optional[Mapping[str, str]] = None,
+    keep_cols: Optional[Sequence[str]] = None,
+    mask: bool = True,
+) -> DataFrame:
+    """One row per (input row, pattern kind, match): (*keep_cols,
+    secret_kind, secret) — ``secret`` masked unless ``mask=False``.
+
+    Single projection evaluates every pattern; rows with no match in
+    any pattern cost one regex pass each and emit nothing (explode of
+    empty arrays).  Scan-local: no shuffle, no UDF.
+    """
+    pats = dict(patterns) if patterns is not None else SECRET_PATTERNS
+    ids = list(keep_cols) if keep_cols is not None else [c for c in df.columns if c != text_col]
+    col = F.col(text_col)
+    per_kind = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("secret_kind"),
+                F.regexp_extract_all(col, F.lit(pat), 0).alias("_ms"),
+            )
+            for kind, pat in pats.items()
+        ]
+    )
+    out = (
+        df.select(*ids, F.explode(per_kind).alias("_p"))
+        .select(*ids, F.col("_p.secret_kind").alias("secret_kind"), F.explode("_p._ms").alias("secret"))
+    )
+    if mask:
+        out = out.withColumn("secret", mask_secret(F.col("secret")))
+    return out
+
+
+def check_no_secrets(
+    df: DataFrame,
+    column: str = "content",
+    *,
+    patterns: Optional[Mapping[str, str]] = None,
+    check_id: str = "no_secrets",
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """Difference rows (Invalid) for every secret found: key = the
+    pattern kind, value = the MASKED match, expected = 'no-secret'.
+    Composes with acceptances / suite / sinks like any requirement
+    check."""
+    prov = provenance if provenance is not None else {
+        c: c for c in ("repo", "path", "commit") if c in df.columns
+    }
+    src = df
+    keep = [c for c in prov.values() if isinstance(c, str)]
+    if partition_id is not None:
+        src = src.withColumn("_pid", partition_id)
+        keep.append("_pid")
+    found = scan_secrets(src, column, patterns=patterns, keep_cols=keep, mask=True)
+    return make_differences(
+        found,
+        check_id=check_id,
+        kind=KIND_INVALID,
+        key=F.col("secret_kind"),
+        value=F.col("secret"),
+        expected=F.lit("no-secret"),
+        provenance={k: v for k, v in prov.items()},
+        partition_id=F.col("_pid") if partition_id is not None else None,
+    )
