@@ -955,13 +955,17 @@ FROM d WHERE abs(deviation / bound) > 0.2
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary media plumbing — rows-only check (payload is sha512-derived
-    binary; fake encoder is blake/sha digest math not expressible in the
-    oracle): schema-stable feature extraction over synthetic media."""
+    """Binary media — rows-only check (payloads are generated binary,
+    not oracle-expressible).  Image/audio rows carry WELL-FORMED
+    PPM/WAV payloads and go through the REAL decoders (numpy header
+    parse + sample math); video rows (codec formats, stubbed decode)
+    use the digest feature path."""
     from datatest_spark.operators.multimodal import extract_features, synthetic_media
 
-    m = synthetic_media(spark, 3000, partitions=8)
-    f = extract_features(m, decoder="fake")
+    m = synthetic_media(spark, 3000, partitions=8, payload_format="media")
+    real = extract_features(m.filter(F.col("kind") != "video"), decoder="real")
+    fake = extract_features(m.filter(F.col("kind") == "video"), decoder="fake")
+    f = real.unionByName(fake)
     return f.select(
         "media_id",
         "kind",

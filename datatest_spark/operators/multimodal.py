@@ -1,20 +1,30 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema contract, Arrow
-batch shape, partitioning behavior; the actual media decode is stubbed
-(image/audio libraries are not in this container): ``decoder='fake'``
-produces deterministic synthetic features from the bytes, ``'real'``
-raises NotImplementedError with the integration point documented.
+Media ops are ``mapInPandas`` batch iterators — each Arrow batch crosses
+into Python once, the decode step processes the batch, features come
+back columnar.  Nothing here shuffles; media pipelines stay scan-local
+until an aggregation.
 
-Pattern: media ops are ``mapInPandas`` batch iterators — each Arrow
-batch crosses into Python once, the decode library (PIL/torchaudio/
-ffmpeg) processes the batch, features come back columnar.  Nothing here
-shuffles; media pipelines stay scan-local until an aggregation.
+Decode support is split by what the format requires:
+
+* **Container-free formats decode for REAL** with numpy/stdlib alone:
+  PPM (P6) images and WAV (RIFF PCM16) audio — header parse + raw
+  sample math, no codec library.  ``synthetic_media(payload_format=
+  "media")`` generates well-formed PPM/WAV payloads deterministically,
+  so decode, feature extraction, and resize are exercised end-to-end
+  on real bytes.
+* **Codec formats (JPEG/MP3/H.264...) are a documented stub**: the
+  libraries are not in this container; ``decoder='real'`` on a payload
+  that is not PPM/WAV raises with the integration point named
+  (PIL / torchaudio / ffmpeg).  ``decoder='fake'`` produces
+  deterministic digest-derived features for pipeline testing.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
@@ -50,27 +60,144 @@ _FEATURES_SCHEMA = (
     f"features array<double>"
 )
 
+#: deterministic synthetic-media geometry, shared by the Column
+#: expressions and the payload builder (must agree for payload_format
+#: ="media": the meta columns describe the actual bytes)
+_SR = 8000
 
-def synthetic_media(spark, n_rows: int, partitions: Optional[int] = None) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+
+def _geom(i: int):
+    return 8 + i % 24, 8 + i % 18  # width, height
+
+
+def _dur_ms(i: int) -> int:
+    return 20 + i % 180
+
+
+def _pix_bytes(i: int, w: int, h: int) -> bytes:
+    h0 = hashlib.sha256(b"pix:%d" % i).digest()
+    reps = (w * h * 3) // len(h0) + 1
+    return (h0 * reps)[: w * h * 3]
+
+
+def _ppm_payload(i: int) -> bytes:
+    w, h = _geom(i)
+    return b"P6\n%d %d\n255\n" % (w, h) + _pix_bytes(i, w, h)
+
+
+def _wav_payload(i: int) -> bytes:
+    n = _SR * _dur_ms(i) // 1000
+    h0 = hashlib.sha256(b"pcm:%d" % i).digest()
+    reps = (n * 2) // len(h0) + 1
+    pcm = (h0 * reps)[: n * 2]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(_SR)
+        wv.writeframes(pcm)
+    return buf.getvalue()
+
+
+def synthetic_media(
+    spark,
+    n_rows: int,
+    partitions: Optional[int] = None,
+    payload_format: str = "digest",
+) -> DataFrame:
+    """Deterministic fake media table.
+
+    ``payload_format="digest"`` (default): payload = seeded pseudo-bytes
+    (cheap, any size).  ``"media"``: payload = a WELL-FORMED PPM image /
+    WAV clip built from the row id — real bytes for the real decoders
+    (video rows keep digest payloads; no container format is writable
+    without codecs)."""
+    if payload_format not in ("digest", "media"):
+        raise ValueError("payload_format must be 'digest' or 'media'")
     df = spark.range(0, n_rows, 1, partitions or 4)
+    rid = F.col("id")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        (F.pmod(rid, F.lit(3)) + 1).cast("int"),
     )
-    payload = F.sha2(F.concat(F.lit("media:"), F.col("id").cast("string")), 512).cast(
-        "binary"
-    )
-    meta = F.struct(
-        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
-        F.lit(16000).alias("sample_rate"),
-        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
-        F.lit("synthetic").alias("format"),
-    )
+    if payload_format == "digest":
+        payload = F.sha2(F.concat(F.lit("media:"), rid.cast("string")), 512).cast("binary")
+        meta = F.struct(
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("format"),
+        )
+    else:
+        import pandas as pd
+
+        def _build(ids):
+            out = []
+            for i in ids:
+                k = i % 3
+                if k == 0:
+                    out.append(_ppm_payload(i))
+                elif k == 1:
+                    out.append(_wav_payload(i))
+                else:
+                    out.append(hashlib.sha512(b"media:%d" % i).digest())
+            return pd.Series(out)
+
+        _build.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        payload = F.pandas_udf(_build, T.BinaryType())(rid)
+        w, h = (8 + F.pmod(rid, F.lit(24))).cast("int"), (8 + F.pmod(rid, F.lit(18))).cast("int")
+        dur = (20 + F.pmod(rid, F.lit(180))).cast("int")
+        meta = F.struct(
+            F.when(kind == "image", w).alias("width"),
+            F.when(kind == "image", h).alias("height"),
+            F.when(kind == "audio", F.lit(_SR)).cast("int").alias("sample_rate"),
+            F.when(kind.isin("audio", "video"), dur).alias("duration_ms"),
+            F.when(kind == "image", F.lit("ppm"))
+            .when(kind == "audio", F.lit("wav"))
+            .otherwise(F.lit("synthetic"))
+            .alias("format"),
+        )
     return df.select(
         F.col("id").alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
     )
+
+
+# ---------------------------------------------------------------------------
+# real decoders (container-free formats only — numpy/stdlib, no codecs)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(b: bytes):
+    """P6 PPM → (H, W, 3) uint8 array.  Raises ValueError on non-PPM."""
+    import numpy as np
+
+    if not b or not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6\n{w} {h}\n255\n then raw RGB (maxsplit=3 keeps pixel newlines)
+    parts = b.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    arr = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    return arr.reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    return b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]) + arr.tobytes()
+
+
+def decode_wav(b: bytes):
+    """RIFF PCM16 WAV → (int16 samples, sample_rate).  ValueError on non-WAV."""
+    import numpy as np
+
+    if not b or not b.startswith(b"RIFF"):
+        raise ValueError("not a RIFF/WAV payload")
+    with wave.open(io.BytesIO(b), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        samples = np.frombuffer(wv.readframes(wv.getnframes()), dtype=np.int16)
+        return samples, wv.getframerate()
 
 
 def _fake_features(payload: bytes) -> list:
@@ -82,13 +209,54 @@ def _fake_features(payload: bytes) -> list:
     ]
 
 
+def _real_features(kind: str, payload: bytes) -> list:
+    """Real features for real bytes: image → geometry + channel stats;
+    audio → rate/duration/energy stats.  Codec formats are the
+    documented integration point (PIL / torchaudio / ffmpeg)."""
+    import numpy as np
+
+    if kind == "image" and payload and payload.startswith(b"P6"):
+        a = decode_ppm(payload).astype(np.float64)
+        gray = a.mean(axis=2)
+        return [
+            float(a.shape[1]),
+            float(a.shape[0]),
+            float(a[:, :, 0].mean()),
+            float(a[:, :, 1].mean()),
+            float(a[:, :, 2].mean()),
+            float(gray.mean()),
+            float(gray.std()),
+            float(np.abs(np.diff(gray, axis=1)).mean()),  # horizontal detail
+        ]
+    if kind == "audio" and payload and payload.startswith(b"RIFF"):
+        s, rate = decode_wav(payload)
+        x = s.astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+        return [
+            float(rate),
+            len(x) / rate,
+            float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+            float(np.abs(x).max()) if len(x) else 0.0,
+            zc,
+            float(x.mean()) if len(x) else 0.0,
+            float(x.std()) if len(x) else 0.0,
+            float(len(x)),
+        ]
+    raise NotImplementedError(
+        f"decode of kind={kind!r} payload requires a codec library "
+        "(PIL / torchaudio / ffmpeg) — not available in this container; "
+        "container-free formats (PPM, PCM WAV) decode natively"
+    )
+
+
 def extract_features(
     df: DataFrame, *, decoder: str = "fake", batch_hint: int = 1024
 ) -> DataFrame:
     """Decode + feature-extract media payloads via mapInPandas.
 
-    ``decoder='real'`` is the integration point for PIL/torchaudio —
-    deliberately NotImplemented in this container."""
+    ``decoder='real'`` decodes PPM/WAV payloads natively (numpy/stdlib)
+    and raises NotImplementedError for codec formats; ``'fake'``
+    produces digest-derived features for any payload."""
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
 
@@ -96,15 +264,13 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            if decoder == "real":
-                # Integration point: PIL.Image.open(io.BytesIO(b)) /
-                # torchaudio.load(...) per payload, batched.  Not available
-                # in this container by design.
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs; "
-                    "use decoder='fake' for pipeline testing"
-                )
             payloads = pdf["payload"]
+            if decoder == "real":
+                feats = [
+                    _real_features(k, b) for k, b in zip(pdf["kind"], payloads)
+                ]
+            else:
+                feats = payloads.map(_fake_features)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -113,23 +279,34 @@ def extract_features(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "n_bytes": payloads.map(lambda b: len(b or b"")),
-                    "features": payloads.map(_fake_features),
+                    "features": feats,
                 }
             )
 
     return df.mapInPandas(op, schema=_FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: filters to kind='image', rewrites meta.
-    Payload transform is stubbed (deterministic passthrough digest)."""
+def resize_images(df: DataFrame, width: int, height: int, *, decoder: str = "fake") -> DataFrame:
+    """Image resize.  ``decoder='real'``: nearest-neighbor resample of
+    PPM payloads (numpy index math) re-encoded as PPM — an actual
+    payload transform.  ``'fake'``: passthrough bytes, meta fixed (the
+    plumbing-only mode)."""
 
     def op(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            # real impl: PIL resize per payload; stub keeps bytes, fixes meta
             pdf = pdf.copy()
+            if decoder == "real":
+
+                def _rs(b):
+                    a = decode_ppm(b)
+                    yi = (np.arange(height) * a.shape[0] // height).astype(np.int64)
+                    xi = (np.arange(width) * a.shape[1] // width).astype(np.int64)
+                    return encode_ppm(a[yi][:, xi])
+
+                pdf["payload"] = pdf["payload"].map(_rs)
             pdf["meta"] = pdf["meta"].map(
                 lambda m: {**(m if isinstance(m, dict) else m.asDict()), "width": width, "height": height}
             )

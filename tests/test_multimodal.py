@@ -54,3 +54,78 @@ def test_sample_frames(spark):
     vids = df.filter("kind = 'video'").select("media_id", "meta.duration_ms").collect()
     expected = sum(1 + (r["duration_ms"] - 1) // 10_000 for r in vids)
     assert frames.count() == expected
+
+
+# ---------------------------------------------------------------------------
+# real decode (container-free formats: PPM / WAV)
+# ---------------------------------------------------------------------------
+
+
+def test_real_media_payloads_decode(spark):
+    from datatest_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30, payload_format="media")
+    rows = {r["media_id"]: r for r in media.collect()}
+    # image rows are real PPMs whose meta matches the decoded bytes
+    img = rows[0]
+    arr = decode_ppm(bytes(img["payload"]))
+    assert (arr.shape[1], arr.shape[0]) == (img["meta"]["width"], img["meta"]["height"])
+    # audio rows are real WAVs at the declared rate/duration
+    aud = rows[1]
+    samples, rate = decode_wav(bytes(aud["payload"]))
+    assert rate == aud["meta"]["sample_rate"]
+    assert len(samples) == rate * aud["meta"]["duration_ms"] // 1000
+
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(
+            media.filter("kind != 'video'"), decoder="real"
+        ).collect()
+    }
+    # image features: [w, h, meanR, meanG, meanB, meanGray, stdGray, detail]
+    assert feats[0][0] == img["meta"]["width"]
+    assert feats[0][1] == img["meta"]["height"]
+    assert 0.0 <= feats[0][2] <= 255.0
+    # audio features: [rate, duration_s, rms, peak, zcr, mean, std, n]
+    assert feats[1][0] == rate
+    assert 0.0 < feats[1][2] <= 1.0
+    # deterministic across executions
+    feats2 = {
+        r["media_id"]: r["features"]
+        for r in extract_features(
+            media.filter("kind != 'video'"), decoder="real"
+        ).collect()
+    }
+    assert feats == feats2
+
+
+def test_real_decode_codec_formats_still_stubbed(spark):
+    import pytest as _pytest
+
+    from datatest_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 9, payload_format="media").filter("kind = 'video'")
+    with _pytest.raises(Exception) as ei:
+        extract_features(media, decoder="real").collect()
+    assert "codec" in str(ei.value)
+
+
+def test_real_resize_transforms_payload(spark):
+    from datatest_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12, payload_format="media")
+    out = resize_images(media, 16, 10, decoder="real").collect()
+    assert out  # image rows survive
+    for r in out:
+        arr = decode_ppm(bytes(r["payload"]))
+        assert arr.shape == (10, 16, 3)
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 10
