@@ -29,16 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_ngrams
-
-
-def _gram_side(
-    df: DataFrame, id_col: str, text_col: str, ngram: int, out_id: str
-) -> DataFrame:
-    """(out_id, gram) — exploded distinct n-grams of each document."""
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
-    )
+from .textstats import normalize_text, tokens
 
 
 def contamination_pairs(
@@ -54,8 +45,16 @@ def contamination_pairs(
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """(doc_id, eval_id, shared_grams, eval_grams, overlap_frac) for every
-    corpus x eval pair sharing at least one distinct word ``ngram``-gram
-    and with ``overlap_frac = shared/eval_grams >= min_frac``.
+    corpus x eval pair sharing at least one distinct word n-gram and
+    with ``overlap_frac = shared/eval_grams >= min_frac``.
+
+    The gram size per EVAL doc is ``min(ngram, its token count)`` — a
+    benchmark item shorter than ``ngram`` tokens is matched by its full
+    token sequence, so short eval items embedded inside longer corpus
+    docs are still caught (a fixed-size gram would silently miss them).
+    The corpus side emits grams at every size the eval set actually
+    uses (discovered by a deliberate plan-time job on the tiny eval
+    side) — typically just {ngram}, so the common case stays one scan.
 
     ``overlap_frac`` is relative to the EVAL document (the thing being
     leaked), per the published recipes.  Rounded to 6 places for stable
@@ -67,17 +66,54 @@ def contamination_pairs(
     huge (then this degenerates into a plain gram join, same shape as
     ``ngram_jaccard_pairs``).
     """
-    ev = _gram_side(eval_df, eval_id_col, eval_text_col, ngram, "eval_id")
-    ev_counts = eval_df.select(
+    eff = F.greatest(
+        F.lit(1),
+        F.least(F.lit(ngram), F.size(tokens(normalize_text(F.col(eval_text_col))))),
+    )
+    ev_sized = eval_df.select(
         F.col(eval_id_col).alias("eval_id"),
-        F.size(word_ngrams(F.col(eval_text_col), ngram)).cast("long").alias("eval_grams"),
+        F.col(eval_text_col).alias("_t"),
+        eff.alias("_gs"),
+    )
+    # plan-time probe of the (small, by contract) eval side: which gram
+    # sizes exist.  Almost always [ngram] — every eval doc long enough.
+    sizes = sorted(
+        r["_gs"] for r in ev_sized.select("_gs").distinct().collect() if r["_gs"]
+    ) or [ngram]
+
+    ev = None
+    cnt_expr = None
+    for s in sizes:
+        part = ev_sized.filter(F.col("_gs") == s).select(
+            "eval_id",
+            F.lit(s).alias("_gs"),
+            F.explode(word_ngrams(F.col("_t"), s)).alias("gram"),
+        )
+        ev = part if ev is None else ev.unionByName(part)
+        branch = F.size(word_ngrams(F.col("_t"), s))
+        cnt_expr = (
+            F.when(F.col("_gs") == s, branch)
+            if cnt_expr is None
+            else cnt_expr.when(F.col("_gs") == s, branch)
+        )
+    ev_counts = ev_sized.select(
+        "eval_id", cnt_expr.cast("long").alias("eval_grams")
     )
     if broadcast_eval:
         ev, ev_counts = F.broadcast(ev), F.broadcast(ev_counts)
 
-    hits = _gram_side(corpus, id_col, text_col, ngram, "doc_id").join(ev, "gram")
+    cg = None
+    for s in sizes:
+        part = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(s).alias("_gs"),
+            F.explode(word_ngrams(F.col(text_col), s)).alias("gram"),
+        )
+        cg = part if cg is None else cg.unionByName(part)
+
     pairs = (
-        hits.groupBy("doc_id", "eval_id")
+        cg.join(ev, ["_gs", "gram"])
+        .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .join(ev_counts, "eval_id")
         .select(
@@ -148,6 +184,7 @@ def decontaminate(
     eval_text_col: str = "text",
     ngram: int = 5,
     min_frac: float = 0.5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """The corpus minus contaminated docs (left_anti on the verdict)."""
     bad = flag_contaminated(
@@ -159,5 +196,6 @@ def decontaminate(
         eval_text_col=eval_text_col,
         ngram=ngram,
         min_frac=min_frac,
+        broadcast_eval=broadcast_eval,
     ).select(F.col("doc_id").alias(id_col))
     return corpus.join(bad, id_col, "left_anti")

@@ -702,32 +702,35 @@ def duplicate_clusters(
     )
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.repartition("s").persist()
-
-    labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
-    )
-    # decimal(38,0) sum: overflow-proof convergence scalar for any id range
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    for _ in range(max_iter):
-        msgs = sym.join(labels, sym["s"] == labels["node"]).select(
-            F.col("d").alias("node"), "label"
+    try:
+        labels = (
+            sym.select(F.col("s").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint()
         )
-        new_labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        new_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds "
-            "(pathologically long chain? raise max_iter or use star-contraction)"
-        )
-    sym.unpersist()
+        # decimal(38,0) sum: overflow-proof convergence scalar for any ids
+        prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym["s"] == labels["node"]).select(
+                F.col("d").alias("node"), "label"
+            )
+            new_labels = (
+                labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+            ).localCheckpoint()
+            new_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iter} rounds "
+                "(pathologically long chain? raise max_iter or use star-contraction)"
+            )
+    finally:
+        sym.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -64,14 +64,17 @@ _FEATURES_SCHEMA = (
 #: expressions and the payload builder (must agree for payload_format
 #: ="media": the meta columns describe the actual bytes)
 _SR = 8000
+_W_BASE, _W_MOD = 8, 24
+_H_BASE, _H_MOD = 8, 18
+_DUR_BASE, _DUR_MOD = 20, 180
 
 
 def _geom(i: int):
-    return 8 + i % 24, 8 + i % 18  # width, height
+    return _W_BASE + i % _W_MOD, _H_BASE + i % _H_MOD  # width, height
 
 
 def _dur_ms(i: int) -> int:
-    return 20 + i % 180
+    return _DUR_BASE + i % _DUR_MOD
 
 
 def _pix_bytes(i: int, w: int, h: int) -> bytes:
@@ -146,8 +149,10 @@ def synthetic_media(
 
         _build.__annotations__ = {"ids": pd.Series, "return": pd.Series}
         payload = F.pandas_udf(_build, T.BinaryType())(rid)
-        w, h = (8 + F.pmod(rid, F.lit(24))).cast("int"), (8 + F.pmod(rid, F.lit(18))).cast("int")
-        dur = (20 + F.pmod(rid, F.lit(180))).cast("int")
+        # same constants as _geom/_dur_ms: meta must describe the bytes
+        w = (_W_BASE + F.pmod(rid, F.lit(_W_MOD))).cast("int")
+        h = (_H_BASE + F.pmod(rid, F.lit(_H_MOD))).cast("int")
+        dur = (_DUR_BASE + F.pmod(rid, F.lit(_DUR_MOD))).cast("int")
         meta = F.struct(
             F.when(kind == "image", w).alias("width"),
             F.when(kind == "image", h).alias("height"),
@@ -196,6 +201,10 @@ def decode_wav(b: bytes):
     with wave.open(io.BytesIO(b), "rb") as wv:
         if wv.getsampwidth() != 2:
             raise ValueError("only PCM16 supported")
+        if wv.getnchannels() != 1:
+            # interleaved multi-channel would silently double duration /
+            # corrupt RMS stats — refuse rather than guess a downmix
+            raise ValueError("only mono PCM16 supported; downmix before decode")
         samples = np.frombuffer(wv.readframes(wv.getnframes()), dtype=np.int16)
         return samples, wv.getframerate()
 

@@ -1362,7 +1362,13 @@ def _expected_str(want) -> str:
         return "|".join(_PY_TYPE_FAMILIES[want])
     if isinstance(want, T.DataType):
         return want.simpleString()
-    return str(want).strip().lower()
+    if isinstance(want, str):
+        # normalize whitespace so 'decimal(10, 2)' matches simpleString
+        return re.sub(r"\s+", "", want.lower())
+    raise TypeError(
+        f"unsupported expected type {want!r}: pass a Spark type string, "
+        "a DataType, or one of " + "/".join(t.__name__ for t in _PY_TYPE_FAMILIES)
+    )
 
 
 def _type_ok(actual: str, want) -> bool:

@@ -94,11 +94,23 @@ def check_no_secrets(
     pattern kind, value = the MASKED match, expected = 'no-secret'.
     Composes with acceptances / suite / sinks like any requirement
     check."""
-    prov = provenance if provenance is not None else {
+    prov_in = provenance if provenance is not None else {
         c: c for c in ("repo", "path", "commit") if c in df.columns
     }
     src = df
-    keep = [c for c in prov.values() if isinstance(c, str)]
+    prov: dict = {}
+    keep = []
+    for k, v in prov_in.items():
+        if isinstance(v, Column):
+            # materialize Column provenance so it survives the scan
+            name = f"_prov_{k}"
+            src = src.withColumn(name, v)
+            prov[k] = name
+        elif isinstance(v, str):
+            prov[k] = v
+        else:
+            raise TypeError(f"provenance[{k!r}] must be a column name or Column")
+        keep.append(prov[k])
     if partition_id is not None:
         src = src.withColumn("_pid", partition_id)
         keep.append("_pid")

@@ -55,6 +55,12 @@ def column_stats(
     percentiles (small-scale oracle mode); default uses
     ``approx_count_distinct`` + ``percentile_approx`` sketches, both
     mergeable and constant-memory at 10^12-row scale.
+
+    Exact mode scans the source twice (see the split below), so it
+    assumes a deterministic, immutable input (a parquet/table
+    snapshot) — with a non-deterministic column or a concurrently
+    changing table the two passes could disagree.  Sketch mode — the
+    scale path — is strictly one scan.
     """
     cols = list(columns) if columns else df.columns
     aggs: list[Column] = [F.count(F.lit(1)).alias("_rc")]

@@ -118,3 +118,28 @@ def test_clusters_nonconvergence_raises(spark):
         duplicate_clusters(
             spark.createDataFrame(edges, "id_a long, id_b long"), max_iter=1
         ).collect()
+
+
+def test_short_eval_doc_found_inside_longer_corpus_doc(spark):
+    # eval item with < ngram tokens must be caught when embedded in a
+    # longer corpus doc (the primary leak shape for short benchmarks)
+    c = spark.createDataFrame(
+        [(0, "question: what is two plus two answer: four")],
+        "doc_id long, text string",
+    )
+    e = spark.createDataFrame([(100, "what is two plus")], "doc_id long, text string")
+    got = contamination_pairs(c, e, ngram=5).collect()
+    assert [(r["doc_id"], r["eval_id"], r["overlap_frac"]) for r in got] == [(0, 100, 1.0)]
+
+
+def test_mixed_eval_sizes_keep_long_doc_semantics(spark):
+    c = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "x y z")], "doc_id long, text string"
+    )
+    e = spark.createDataFrame(
+        [(100, "a b c d e f g h"), (101, "y z")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["eval_id"]): r for r in contamination_pairs(c, e, ngram=5).collect()}
+    assert got[(0, 100)]["overlap_frac"] == 1.0  # normal 5-gram path
+    assert got[(1, 101)]["overlap_frac"] == 1.0  # 2-token eval inside 3-token doc
+    assert set(got) == {(0, 100), (1, 101)}

@@ -129,3 +129,21 @@ def test_real_resize_transforms_payload(spark):
         arr = decode_ppm(bytes(r["payload"]))
         assert arr.shape == (10, 16, 3)
         assert r["meta"]["width"] == 16 and r["meta"]["height"] == 10
+
+
+def test_stereo_wav_rejected(spark):
+    import io
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from datatest_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"\x00\x01" * 32)
+    with _pytest.raises(ValueError, match="mono"):
+        decode_wav(buf.getvalue())

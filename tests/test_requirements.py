@@ -468,3 +468,15 @@ class TestCheckSchema:
         before = tracker.getJobIdsForGroup(None)
         validate.schema(self._df(spark), {"id": int})  # build only
         assert tracker.getJobIdsForGroup(None) == before
+
+    def test_unsupported_expected_type_raises(self, spark):
+        from datatest_spark import validate
+
+        with pytest.raises(TypeError, match="unsupported expected type"):
+            validate.schema(self._df(spark), {"id": list})
+
+    def test_type_string_whitespace_normalized(self, spark):
+        from datatest_spark import valid, validate
+
+        df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS amt")
+        assert valid(validate.schema(df, {"amt": "decimal(10, 2)"}))

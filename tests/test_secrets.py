@@ -74,3 +74,17 @@ def test_check_no_secrets_differences(spark, files):
 def test_scan_is_shuffle_free(spark, files):
     plan = scan_secrets(files)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_column_provenance_is_materialized(spark, files):
+    renamed = files.withColumnRenamed("repo", "repository")
+    d = check_no_secrets(
+        renamed,
+        provenance={"repo": F.col("repository"), "path": "path"},
+        check_id="sec",
+    )
+    rows = d.collect()
+    assert len(rows) == 7 and {r["repo"] for r in rows} == {"r1", "r2"}
+
+    with pytest.raises(TypeError, match="provenance"):
+        check_no_secrets(files, provenance={"repo": 42})
