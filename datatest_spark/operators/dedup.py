@@ -703,10 +703,11 @@ def duplicate_clusters(
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.repartition("s").persist()
     try:
+        # init = round one fused: label(v) = min(v, min neighbor) in the
+        # same agg that discovers the node set (one fewer join round)
         labels = (
-            sym.select(F.col("s").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("label"))
+            sym.groupBy(F.col("s").alias("node"))
+            .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("label"))
             .localCheckpoint()
         )
         # decimal(38,0) sum: overflow-proof convergence scalar for any ids
