@@ -998,6 +998,37 @@ FROM documents GROUP BY 1
 """
 
 
+def q_mixture_documents(spark, sf_dir):
+    """Data-mixture resampling (training-pipeline op): down-sample
+    sources to a 50/25/25 target over src0/src1/src2, dropping the
+    rest.  method='md5' — a scrambled bucket DuckDB reproduces exactly
+    via md5_number_lower (parity pinned in tests/test_sampling.py)."""
+    from datatest_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    m = mixture_sample(
+        d,
+        "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        "doc_id",
+        method="md5",
+    )
+    return m.select("doc_id", "source")
+
+
+SQL_MIXTURE_DOCUMENTS = """
+WITH tgt(source, tshare) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+fracs AS (
+  SELECT t.source, t.tshare * (min(coalesce(c.n, 0) / t.tshare) OVER ()) / c.n AS keep
+  FROM tgt t LEFT JOIN counts c USING (source)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN fracs f USING (source)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < floor(f.keep * 1000000)
+"""
+
+
 def q_stratified_cap_documents(spark, sf_dir):
     """Balanced sampling: at most 3 documents per (lang, source) group,
     picked in deterministic doc_id order (training-pipeline op)."""
@@ -1329,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "split_documents": q_split_documents,
+        "mixture_documents": q_mixture_documents,
         "stratified_cap_documents": q_stratified_cap_documents,
         "pack_documents": q_pack_documents,
         "schema_documents": q_schema_documents,
@@ -1377,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: rows-only (binary payload digests not in DuckDB)
         "ivf_topk_embeddings": SQL_IVF_CONTAINMENT,
         "split_documents": SQL_SPLIT_DOCUMENTS,
+        "mixture_documents": SQL_MIXTURE_DOCUMENTS,
         "stratified_cap_documents": SQL_STRATIFIED_CAP,
         "pack_documents": SQL_PACK_DOCUMENTS,
         "schema_documents": SQL_SCHEMA_DOCUMENTS,

@@ -40,6 +40,16 @@ def _bucket(df_cols: Sequence[str], salt: int, method: str) -> Column:
         if len(df_cols) != 1:
             raise ValueError("method='mod' needs exactly one numeric key column")
         return F.pmod(F.col(df_cols[0]), F.lit(_BUCKETS))
+    if method == "md5":
+        # scrambled like 'hash' but externally reproducible: equals
+        # DuckDB's md5_number_lower(key) % 10^6 (last 8 md5 bytes,
+        # little-endian).  Use where an external system must reproduce
+        # row selection AND the key is sequential (mod would not mix).
+        if len(df_cols) != 1:
+            raise ValueError("method='md5' needs exactly one key column")
+        h = F.md5(F.col(df_cols[0]).cast("string"))
+        le = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+        return F.pmod(F.conv(le, 16, 10).cast("decimal(20,0)"), F.lit(_BUCKETS)).cast("long")
     raise ValueError(f"unknown split method {method!r}")
 
 
@@ -153,4 +163,61 @@ def stratified_cap(
         df.withColumn("_scap_rn", F.row_number().over(w))
         .filter(F.col("_scap_rn") <= n)
         .drop("_scap_rn")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    target_shares: Mapping[str, float],
+    key_cols: ColumnsArg,
+    *,
+    salt: int = 42,
+    method: str = "hash",
+) -> DataFrame:
+    """Resample a multi-source corpus toward target mixture proportions
+    (the pre-training "data mixture" step) by deterministic per-source
+    DOWN-sampling — never up-samples, never duplicates.
+
+    The output is the largest corpus whose per-source shares equal
+    ``target_shares``: with n_s rows per source and normalized target
+    t_s, total N = min_s(n_s / t_s) and each source keeps fraction
+    t_s·N / n_s (the binding source keeps everything).  Sources absent
+    from ``target_shares`` are dropped; a target source absent from the
+    data makes the result empty (the mixture is unsatisfiable) — check
+    shares against reality before shipping.
+
+    Fully lazy: per-source counts are a tiny aggregate joined back via
+    broadcast, the min is a window over that k-row relation (k =
+    #sources, never the data), and row selection is the same
+    deterministic hash-bucket filter as ``proportional_sample`` — so
+    the selected rows are stable across runs, partitionings, and
+    cluster sizes.
+    """
+    if not target_shares:
+        raise ValueError("mixture_sample needs at least one target share")
+    total = float(sum(target_shares.values()))
+    if total <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, v / total) for k, v in target_shares.items()],
+        f"{source_col} string, _tshare double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # LEFT join from targets: a target source with no rows keeps n=0,
+    # zeroing the whole mixture (unsatisfiable) instead of being
+    # silently ignored.  Global window over the k-source relation
+    # (bounded, never the data).
+    m = F.min(F.coalesce(F.col("_n"), F.lit(0)) / F.col("_tshare")).over(
+        Window.partitionBy()
+    )
+    fracs = tgt.join(counts, source_col, "left").select(
+        source_col, (F.col("_tshare") * m / F.col("_n")).alias("_keep")
+    )
+    bucket = _bucket(_cols(key_cols), salt, method)
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(bucket < F.floor(F.col("_keep") * _BUCKETS))
+        .drop("_keep")
     )

@@ -88,3 +88,84 @@ def test_stratified_cap_respects_groups_and_order(spark):
     )
     picked = {r["doc_id"] for r in capped.collect()}
     assert {r["doc_id"] for r in first.collect()} <= picked
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+class TestMixtureSample:
+    def _df(self, spark, counts):
+        rows = []
+        i = 0
+        for src, n in counts.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_target_proportions_and_binding_source(self, spark):
+        from datatest_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark, {"a": 100, "b": 100, "c": 50})
+        out = mixture_sample(
+            df, "source", {"a": 0.5, "b": 0.25}, "doc_id", method="md5"
+        )
+        got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # N = min(100/(2/3), 100/(1/3)) = 150 -> a keeps all 100 (binding,
+        # keep=1.0 exactly); b keeps bucket<0.5 of its 100 (deterministic,
+        # hash-approximate)
+        assert got["a"] == 100
+        assert 30 <= got["b"] <= 70
+        assert "c" not in got  # absent from targets -> dropped
+
+    def test_unsatisfiable_target_source_empty(self, spark):
+        from datatest_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark, {"a": 10})
+        out = mixture_sample(df, "source", {"a": 0.5, "zz": 0.5}, "doc_id")
+        assert out.count() == 0
+
+    def test_deterministic_across_partitioning(self, spark):
+        from datatest_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark, {"a": 200, "b": 100})
+        ids1 = sorted(
+            r["doc_id"]
+            for r in mixture_sample(df.repartition(13), "source", {"a": 0.6, "b": 0.4}, "doc_id").collect()
+        )
+        ids2 = sorted(
+            r["doc_id"]
+            for r in mixture_sample(df.coalesce(1), "source", {"a": 0.6, "b": 0.4}, "doc_id").collect()
+        )
+        assert ids1 == ids2 and ids1
+
+    def test_bad_args_raise(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark, {"a": 5})
+        with _pytest.raises(ValueError):
+            mixture_sample(df, "source", {}, "doc_id")
+        with _pytest.raises(ValueError):
+            mixture_sample(df, "source", {"a": -1.0, "b": 0.5}, "doc_id")
+
+    def test_md5_bucket_matches_duckdb(self, spark):
+        import duckdb
+
+        from datatest_spark.operators.sampling import _BUCKETS, _bucket, _cols
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        got = {
+            r["doc_id"]: r["b"]
+            for r in df.select("doc_id", _bucket(["doc_id"], 42, "md5").alias("b")).collect()
+        }
+        want = dict(
+            duckdb.sql(
+                "SELECT i, md5_number_lower(CAST(i AS VARCHAR)) % 1000000 "
+                "FROM range(200) t(i)"
+            ).fetchall()
+        )
+        assert got == {k: int(v) for k, v in want.items()}
