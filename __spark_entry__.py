@@ -1132,6 +1132,60 @@ FROM hits
 """
 
 
+def q_license_documents(spark, sf_dir):
+    """License detection (code-corpus compliance op).  Deterministic
+    SPDX tags / MIT header phrases planted in-query (pure modulus
+    selection — identical in both engines) exercise the tag-priority,
+    family-fallback, and UNKNOWN paths of the detector."""
+    from datatest_spark.operators.secrets import detect_license
+
+    d = _t(spark, sf_dir, "documents")
+    spdx = F.element_at(
+        F.array(F.lit("MIT"), F.lit("Apache-2.0"), F.lit("GPL-3.0-only")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\n# SPDX-License-Identifier: "), spdx),
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 == 0),
+                F.lit("\nPermission is hereby granted, free of charge"),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    return detect_license(planted).select("doc_id", "license")
+
+
+SQL_LICENSE_DOCUMENTS = """
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '# SPDX-License-Identifier: ' ||
+         CASE doc_id % 3 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0' ELSE 'GPL-3.0-only' END
+       ELSE '' END
+    || CASE WHEN doc_id % 7 != 0 AND doc_id % 11 = 0
+            THEN chr(10) || 'Permission is hereby granted, free of charge' ELSE '' END
+    AS content
+  FROM documents
+)
+SELECT doc_id,
+  coalesce(
+    nullif(regexp_extract(content, 'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), ''),
+    CASE WHEN regexp_matches(content, 'Permission is hereby granted, free of charge') THEN 'MIT'
+         WHEN regexp_matches(content, 'Licensed under the Apache License, Version 2\\.0') THEN 'Apache-2.0'
+         WHEN regexp_matches(content, 'GNU General Public License') THEN 'GPL'
+         WHEN regexp_matches(content, 'Redistribution and use in source and binary forms') THEN 'BSD'
+    END,
+    'UNKNOWN') AS license
+FROM planted
+"""
+
+
 def q_schema_documents(spark, sf_dir):
     """Metadata-level schema requirement (validate.schema): expected
     columns + dtypes vs the actual documents schema.  The oracle
@@ -1365,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "schema_documents": q_schema_documents,
         "secrets_documents": q_secrets_documents,
+        "license_documents": q_license_documents,
         "decontam_documents": q_decontam_documents,
         "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
@@ -1414,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": SQL_PACK_DOCUMENTS,
         "schema_documents": SQL_SCHEMA_DOCUMENTS,
         "secrets_documents": SQL_SECRETS_DOCUMENTS,
+        "license_documents": SQL_LICENSE_DOCUMENTS,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,

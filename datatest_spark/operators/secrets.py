@@ -125,3 +125,68 @@ def check_no_secrets(
         provenance={k: v for k, v in prov.items()},
         partition_id=F.col("_pid") if partition_id is not None else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# license detection (code-corpus compliance: the other release blocker)
+# ---------------------------------------------------------------------------
+
+#: SPDX short identifiers and canonical header phrases (all public:
+#: spdx.org/licenses + the licenses' own standard headers)
+LICENSE_PATTERNS: dict[str, str] = {
+    "spdx_tag": r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)",
+    "mit": r"Permission is hereby granted, free of charge",
+    "apache2": r"Licensed under the Apache License, Version 2\.0",
+    "gpl": r"GNU General Public License",
+    "bsd": r"Redistribution and use in source and binary forms",
+}
+
+
+def detect_license(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Add a ``license`` column: the SPDX tag value when present, else
+    the first matching canonical header phrase's license family, else
+    'UNKNOWN'.  One scan-local projection (anchored regexp_extract per
+    pattern, coalesced in priority order) — no shuffle, no UDF."""
+    col = F.col(text_col)
+    spdx = F.nullif(F.regexp_extract(col, LICENSE_PATTERNS["spdx_tag"], 1), F.lit(""))
+    fam = (
+        F.when(col.rlike(LICENSE_PATTERNS["mit"]), "MIT")
+        .when(col.rlike(LICENSE_PATTERNS["apache2"]), "Apache-2.0")
+        .when(col.rlike(LICENSE_PATTERNS["gpl"]), "GPL")
+        .when(col.rlike(LICENSE_PATTERNS["bsd"]), "BSD")
+    )
+    return df.withColumn("license", F.coalesce(spdx, fam, F.lit("UNKNOWN")))
+
+
+def check_allowed_licenses(
+    df: DataFrame,
+    allowed: set,
+    *,
+    text_col: str = "content",
+    allow_unknown: bool = True,
+    check_id: str = "licenses",
+    provenance: "Optional[dict]" = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """Difference rows (Invalid) for files whose detected license is
+    outside ``allowed`` — value = the detected license.  'UNKNOWN'
+    (no license marker at all) violates only when ``allow_unknown``
+    is False."""
+    prov = provenance if provenance is not None else {
+        c: c for c in ("repo", "path", "commit") if c in df.columns
+    }
+    det = detect_license(df, text_col)
+    bad = ~F.col("license").isin(*[str(a) for a in allowed])
+    if allow_unknown:
+        bad = bad & (F.col("license") != "UNKNOWN")
+    viol = det.filter(bad)
+    return make_differences(
+        viol,
+        check_id=check_id,
+        kind=KIND_INVALID,
+        key=F.lit("license"),
+        value=F.col("license"),
+        expected=F.lit("|".join(sorted(str(a) for a in allowed))),
+        provenance=prov,
+        partition_id=partition_id,
+    )

@@ -88,3 +88,47 @@ def test_column_provenance_is_materialized(spark, files):
 
     with pytest.raises(TypeError, match="provenance"):
         check_no_secrets(files, provenance={"repo": 42})
+
+
+# ---------------------------------------------------------------------------
+# license detection
+# ---------------------------------------------------------------------------
+
+LIC_ROWS = [
+    ("r1", "a.py", "c1", "# SPDX-License-Identifier: Apache-2.0\ncode"),
+    ("r1", "b.py", "c2", "Permission is hereby granted, free of charge\ncode"),
+    ("r1", "c.py", "c3", "This file is under the GNU General Public License v3\ncode"),
+    ("r2", "d.py", "c4", "no license markers at all"),
+    # SPDX tag wins over a family phrase in the same file
+    ("r2", "e.py", "c5", "# SPDX-License-Identifier: MIT\nGNU General Public License"),
+]
+
+
+def test_detect_license(spark):
+    from datatest_spark.operators.secrets import detect_license
+
+    df = spark.createDataFrame(
+        LIC_ROWS, "repo string, path string, commit string, content string"
+    )
+    got = {r["path"]: r["license"] for r in detect_license(df).collect()}
+    assert got == {
+        "a.py": "Apache-2.0",
+        "b.py": "MIT",
+        "c.py": "GPL",
+        "d.py": "UNKNOWN",
+        "e.py": "MIT",
+    }
+
+
+def test_check_allowed_licenses(spark):
+    from datatest_spark.operators.secrets import check_allowed_licenses
+
+    df = spark.createDataFrame(
+        LIC_ROWS, "repo string, path string, commit string, content string"
+    )
+    viol = check_allowed_licenses(df, {"MIT", "Apache-2.0"}).collect()
+    assert [(r["path"], r["value"]) for r in viol] == [("c.py", "GPL")]
+    assert viol[0]["expected"] == "Apache-2.0|MIT"
+    # strict mode also flags UNKNOWN
+    strict = check_allowed_licenses(df, {"MIT", "Apache-2.0"}, allow_unknown=False)
+    assert sorted(r["path"] for r in strict.collect()) == ["c.py", "d.py"]
