@@ -2,12 +2,15 @@
 
 Embedding columns are ``array<float>`` / ``array<double>``.  Two tiers:
 
-* column-vs-LITERAL (query vectors, centroids, hyperplanes — the hot
-  scan paths): UNROLLED into a flat sum of ``element_at`` products,
-  which stays inside whole-stage codegen.  The generic
-  ``zip_with``+``aggregate`` fold is a non-codegen (interpreted)
-  Catalyst expression — measured 10-30× slower per row on 64-dim
-  vectors, which dominated IVF assignment and hyperplane bucketing.
+* column-vs-LITERAL (``*_literal``): UNROLLED into a flat sum of
+  ``element_at`` products.  NOTE — this tier is a SMALL-DIM FALLBACK,
+  not the production path: every hot scan (cosine_topk, IVF
+  assignment, hyperplane bucketing) now scores via numpy matmuls in
+  Arrow batches, which beat both this unrolling (>64 KB codegen
+  collapse past ~150 dims) and the interpreted ``zip_with`` +
+  ``aggregate`` fold (10-30× slower per row).  Reach for ``*_literal``
+  only when a pure-Column expression is required (e.g. inside a
+  streaming projection) and the dim is small.
 * column-vs-column (pair verification after LSH candidate generation —
   small row counts): the sequential fold, left-to-right, so results are
   bit-identical across partitionings (determinism requirement).

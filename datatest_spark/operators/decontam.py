@@ -159,17 +159,25 @@ def flag_contaminated(
         min_frac=min_frac,
         broadcast_eval=broadcast_eval,
     )
-    # struct max is lexicographic: worst fraction first, then -eval_id so
-    # ties resolve to the MIN eval id — one agg, no window
-    best = F.max(F.struct(F.col("overlap_frac"), (-F.col("eval_id")).alias("neg")))
+    # rank within each doc: worst fraction first, ties to the MIN eval id.
+    # A window (not an arithmetic-negation struct max) so eval ids of ANY
+    # type — string benchmark ids included — tie-break correctly.  The
+    # window partitions by doc over the hit-pairs sliver only, never the
+    # corpus.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap_frac").desc(), F.col("eval_id").asc()
+    )
     return (
-        pairs.groupBy("doc_id")
-        .agg(best.alias("_b"), F.count(F.lit(1)).cast("long").alias("n_eval_hits"))
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.col("_rn") == 1)
         .select(
             "doc_id",
-            (-F.col("_b.neg")).alias("worst_eval_id"),
-            F.col("_b.overlap_frac").alias("worst_frac"),
-            "n_eval_hits",
+            F.col("eval_id").alias("worst_eval_id"),
+            F.col("overlap_frac").alias("worst_frac"),
+            F.col("_nh").cast("long").alias("n_eval_hits"),
         )
     )
 

@@ -157,7 +157,10 @@ def stratified_cap(
     if order_by is not None:
         order = [F.col(c) for c in _cols(order_by)]
     else:
-        order = [F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt)), F.lit(_BUCKETS))]
+        # raw 64-bit hash, NOT bucketed: pmod(,1e6) guarantees ties in
+        # groups beyond ~1e3 rows (birthday) and row_number breaks ties
+        # by arrival order — nondeterministic across partitionings
+        order = [F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt))]
     w = Window.partitionBy(*[F.col(c) for c in groups]).orderBy(*order)
     return (
         df.withColumn("_scap_rn", F.row_number().over(w))
@@ -216,8 +219,11 @@ def mixture_sample(
         source_col, (F.col("_tshare") * m / F.col("_n")).alias("_keep")
     )
     bucket = _bucket(_cols(key_cols), salt, method)
+    # round, not floor: the binding source's _keep computes as
+    # 0.999…9/1.000…2 after the float round-trip t*min(n/t)/n — floor
+    # would shave bucket 999999 off the source that must keep everything
     return (
         df.join(F.broadcast(fracs), source_col)
-        .filter(bucket < F.floor(F.col("_keep") * _BUCKETS))
+        .filter(bucket < F.round(F.col("_keep") * _BUCKETS))
         .drop("_keep")
     )

@@ -180,6 +180,13 @@ def stateful_unique_stream(
     ``state_timeout_ms`` for long-running streams; a RocksDB list-state
     or bloom/HLL summary is the production follow-up for unbounded key
     cardinalities.
+
+    CHECKPOINT PINNING: ``shards`` is part of the state layout — state
+    is keyed by ``hash % shards``.  Restarting an existing checkpointed
+    stream with a different value routes keys to shards whose state
+    lacks their history, silently un-detecting duplicates.  Pin the
+    value the stream was started with (the default changed 64 → 512 in
+    round 2; resumed streams from before that must pass ``shards=64``).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

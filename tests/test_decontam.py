@@ -143,3 +143,15 @@ def test_mixed_eval_sizes_keep_long_doc_semantics(spark):
     assert got[(0, 100)]["overlap_frac"] == 1.0  # normal 5-gram path
     assert got[(1, 101)]["overlap_frac"] == 1.0  # 2-token eval inside 3-token doc
     assert set(got) == {(0, 100), (1, 101)}
+
+
+def test_flag_contaminated_string_eval_ids(spark):
+    # benchmark-style string ids must survive the worst-eval tie-break
+    c = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    e = spark.createDataFrame(
+        [("mmlu-2", "a b c d e"), ("mmlu-1", "a b c d e")],
+        "doc_id string, text string",
+    )
+    got = flag_contaminated(c, e, ngram=3, min_frac=0.5).collect()
+    assert len(got) == 1
+    assert got[0]["worst_eval_id"] == "mmlu-1" and got[0]["n_eval_hits"] == 2

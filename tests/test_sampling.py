@@ -169,3 +169,19 @@ class TestMixtureSample:
             ).fetchall()
         )
         assert got == {k: int(v) for k, v in want.items()}
+
+    def test_binding_source_keeps_everything_despite_float_roundtrip(self, spark):
+        from datatest_spark.operators.sampling import mixture_sample
+
+        # t*min(n/t)/n = 0.7*(1/0.7)/1 = 0.999...9 — floor() would drop
+        # bucket 999999 from the binding source
+        df = self._df(spark, {"a": 3, "b": 1})
+        out = mixture_sample(df, "source", {"a": 0.3, "b": 0.7}, "doc_id", method="md5")
+        got = {r["source"] for r in out.collect()}
+        frac = (
+            mixture_sample(df, "source", {"a": 0.3, "b": 0.7}, "doc_id")
+            .filter("source = 'b'")
+            .count()
+        )
+        assert frac == 1  # binding source b keeps its single row, any method
+        assert "b" in got
