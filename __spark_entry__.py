@@ -1233,6 +1233,38 @@ FROM actual a LEFT JOIN expected e USING (col) WHERE e.col IS NULL
 """
 
 
+def q_sketch_stats_documents(spark, sf_dir):
+    """Incremental stats path end-to-end: per-partition (lang) mergeable
+    stat sketches -> union -> merge, returning the EXACT components
+    (counts/min/max; the HLL distinct estimate is engine-specific so
+    excluded here and tolerance-tested in pytest).  Proves the
+    ledger-resume stats protocol gives the same answers as a full scan."""
+    from datatest_spark.operators.stats import (
+        merge_stat_sketches,
+        partition_stat_sketches,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sk = partition_stat_sketches(d, ["doc_id", "n_chars"], "lang")
+    return merge_stat_sketches(sk).select(
+        "column_name", "row_count", "null_count", "min_val", "max_val"
+    )
+
+
+SQL_SKETCH_STATS_DOCUMENTS = """
+SELECT 'doc_id' AS column_name, count(*) AS row_count,
+       count(*) - count(doc_id) AS null_count,
+       CAST(CAST(min(doc_id) AS DOUBLE) AS VARCHAR) AS min_val,
+       CAST(CAST(max(doc_id) AS DOUBLE) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       CAST(CAST(min(n_chars) AS DOUBLE) AS VARCHAR),
+       CAST(CAST(max(n_chars) AS DOUBLE) AS VARCHAR)
+FROM documents
+"""
+
+
 def q_decontam_documents(spark, sf_dir):
     """Eval-set decontamination (training-pipeline op): word 3-gram
     overlap of the corpus slice (doc_id % 11 != 0) against the eval
@@ -1428,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_documents": q_schema_documents,
         "secrets_documents": q_secrets_documents,
         "license_documents": q_license_documents,
+        "sketch_stats_documents": q_sketch_stats_documents,
         "decontam_documents": q_decontam_documents,
         "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
@@ -1478,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_documents": SQL_SCHEMA_DOCUMENTS,
         "secrets_documents": SQL_SECRETS_DOCUMENTS,
         "license_documents": SQL_LICENSE_DOCUMENTS,
+        "sketch_stats_documents": SQL_SKETCH_STATS_DOCUMENTS,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,

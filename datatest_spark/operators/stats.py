@@ -337,3 +337,92 @@ def check_stats_bounds(
     if not diffs:
         raise ValueError("no bounds given")
     return union_differences(*diffs)
+
+
+# ---------------------------------------------------------------------------
+# incremental per-partition stat sketches (mergeable — the resume path)
+# ---------------------------------------------------------------------------
+
+
+def partition_stat_sketches(
+    df: DataFrame,
+    columns: Sequence[str],
+    partition_col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-partition MERGEABLE stat state — the unit the ledger stores so
+    re-validation never rescans validated partitions.
+
+    One groupBy(partition) agg computes, per column: row/null counts,
+    native-typed min/max (numeric in ``*_num``, everything else as
+    string in ``*_str`` — both merge correctly, unlike casting numerics
+    to string first), and a DataSketches HLL sketch of the value set
+    (``hll_sketch_agg``, binary, union-mergeable).  Long-format output:
+    (partition_id, column_name, n_rows, n_nulls, min_num, max_num,
+    min_str, max_str, hll).
+
+    Incremental protocol: sketch NEW partitions only, union their rows
+    with the ledger's stored rows, and ``merge_stat_sketches`` yields
+    table-level stats from the (k-partitions x c-columns) relation —
+    no second pass over any data.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rc")]
+    for c in columns:
+        col = F.col(c)
+        numeric = is_numeric_dtype(df.schema[c].dataType)
+        aggs.append(F.count(col).alias(f"_nn_{c}"))
+        if numeric:
+            aggs.append(F.min(col).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"_mx_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_mx_{c}"))
+        aggs.append(F.min(col.cast("string")).alias(f"_mns_{c}"))
+        aggs.append(F.max(col.cast("string")).alias(f"_mxs_{c}"))
+        aggs.append(F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"_h_{c}"))
+
+    agg_df = df.groupBy(F.col(partition_col).alias("partition_id")).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_rc").cast("long").alias("n_rows"),
+            (F.col("_rc") - F.col(f"_nn_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"_mn_{c}").alias("min_num"),
+            F.col(f"_mx_{c}").alias("max_num"),
+            F.col(f"_mns_{c}").alias("min_str"),
+            F.col(f"_mxs_{c}").alias("max_str"),
+            F.col(f"_h_{c}").alias("hll"),
+        )
+        for c in columns
+    ]
+    return agg_df.select(
+        "partition_id", F.explode(F.array(*structs)).alias("s")
+    ).select("partition_id", "s.*")
+
+
+def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> DataFrame:
+    """Table-level stats from per-partition sketch rows — a tiny agg over
+    the sketch relation (never the data): exact row/null/min/max plus
+    the HLL-union distinct estimate.  Output matches ``column_stats``
+    minus quantiles: (table_name, column_name, row_count, null_count,
+    n_distinct, min_val, max_val) with n_distinct the sketch estimate.
+    """
+    merged = sketches.groupBy("column_name").agg(
+        F.sum("n_rows").cast("long").alias("row_count"),
+        F.sum("n_nulls").cast("long").alias("null_count"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll", True)).alias("n_distinct"),
+        F.min("min_num").alias("_mn"),
+        F.max("max_num").alias("_mx"),
+        F.min("min_str").alias("_mns"),
+        F.max("max_str").alias("_mxs"),
+    )
+    return merged.select(
+        F.lit(table_name).alias("table_name"),
+        "column_name",
+        "row_count",
+        "null_count",
+        "n_distinct",
+        F.coalesce(F.col("_mn").cast("string"), F.col("_mns")).alias("min_val"),
+        F.coalesce(F.col("_mx").cast("string"), F.col("_mxs")).alias("max_val"),
+    )

@@ -90,3 +90,63 @@ def test_snapshot_roundtrip(spark, tmp_path):
     s2, h2 = read_snapshot(spark, str(tmp_path / "snap"))
     assert s2.count() == 1 and h2.count() == 6
     assert s2.collect()[0]["snapshot_id"] == "s1"
+
+
+# ---------------------------------------------------------------------------
+# incremental per-partition stat sketches
+# ---------------------------------------------------------------------------
+
+
+class TestStatSketches:
+    def _df(self, spark):
+        rows = [
+            (i, f"p{i % 3}", float(i % 50), f"v{i % 97}" if i % 11 else None)
+            for i in range(3000)
+        ]
+        return spark.createDataFrame(rows, "id long, part string, num double, s string")
+
+    def test_merge_matches_full_scan_stats(self, spark):
+        from datatest_spark.operators.stats import (
+            merge_stat_sketches,
+            partition_stat_sketches,
+        )
+
+        df = self._df(spark)
+        sk = partition_stat_sketches(df, ["id", "num", "s"], "part")
+        assert sk.count() == 9  # 3 partitions x 3 columns
+        got = {r["column_name"]: r for r in merge_stat_sketches(sk).collect()}
+        assert got["id"]["row_count"] == 3000 and got["id"]["null_count"] == 0
+        assert got["id"]["min_val"] == "0.0" and got["id"]["max_val"] == "2999.0"
+        assert got["num"]["min_val"] == "0.0" and got["num"]["max_val"] == "49.0"
+        # string column: lexical min/max, null counting
+        assert got["s"]["null_count"] == 3000 // 11 + 1
+        assert got["s"]["min_val"] == "v0"  # i=97 -> 'v0' (97 % 11 != 0)
+        # HLL estimates within 5% of exact
+        for c, exact in [("id", 3000), ("num", 50), ("s", 97)]:
+            est = got[c]["n_distinct"]
+            assert abs(est - exact) / exact < 0.05, (c, est)
+
+    def test_incremental_union_equals_one_shot(self, spark):
+        from datatest_spark.operators.stats import (
+            merge_stat_sketches,
+            partition_stat_sketches,
+        )
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        # "already validated" partitions sketched earlier...
+        old = partition_stat_sketches(df.filter("part != 'p2'"), ["id", "num"], "part")
+        # ...only the NEW partition is scanned now
+        new = partition_stat_sketches(df.filter("part = 'p2'"), ["id", "num"], "part")
+        inc = {
+            r["column_name"]: r
+            for r in merge_stat_sketches(old.unionByName(new)).collect()
+        }
+        one = {
+            r["column_name"]: r
+            for r in merge_stat_sketches(
+                partition_stat_sketches(df, ["id", "num"], "part")
+            ).collect()
+        }
+        for c in ("id", "num"):
+            assert tuple(inc[c]) == tuple(one[c])
