@@ -426,3 +426,64 @@ def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> Da
         F.coalesce(F.col("_mn").cast("string"), F.col("_mns")).alias("min_val"),
         F.coalesce(F.col("_mx").cast("string"), F.col("_mxs")).alias("max_val"),
     )
+
+
+class StatSketchStore:
+    """Parquet-backed store of per-partition stat sketches — the stats
+    analogue of the validation ledger (``plans/ledger.py``).
+
+    ``update(df, columns, partition_col)`` sketches ONLY partitions not
+    yet stored (the same literal ``NOT isin`` predicate the ledger
+    compiles, so on a catalog table partitioned by ``partition_col``
+    the skip becomes static partition pruning), appends their rows,
+    and returns table-level stats merged from the full store — so a
+    resumed stats run costs one scan of the NEW partitions plus a
+    k-partitions x c-columns merge, never a rescan.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def stored_ids(self) -> list:
+        cur = self.read()
+        if cur is None:
+            return []
+        return [r[0] for r in cur.select("partition_id").distinct().collect()]
+
+    def update(
+        self,
+        df: DataFrame,
+        columns: Sequence[str],
+        partition_col: str,
+        *,
+        table_name: str = "table",
+        lg_k: int = 12,
+    ) -> DataFrame:
+        cur = self.read()
+        if cur is not None:
+            stored_cols = sorted(
+                r[0] for r in cur.select("column_name").distinct().collect()
+            )
+            if stored_cols != sorted(columns):
+                raise ValueError(
+                    f"store at {self.path} holds columns {stored_cols}, "
+                    f"asked for {sorted(columns)} — use a fresh path"
+                )
+        done = self.stored_ids()
+        pending = df
+        if done:
+            c = F.col(partition_col)
+            # NULL partitions are never stored-complete; keep them
+            pending = df.filter(c.isNull() | ~c.isin(done))
+        fresh = partition_stat_sketches(pending, columns, partition_col, lg_k=lg_k)
+        fresh.write.mode("append").parquet(self.path)
+        return merge_stat_sketches(
+            self.spark.read.parquet(self.path), table_name=table_name
+        )

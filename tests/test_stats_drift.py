@@ -150,3 +150,38 @@ class TestStatSketches:
         }
         for c in ("id", "num"):
             assert tuple(inc[c]) == tuple(one[c])
+
+    def test_sketch_store_resume_scans_only_new_partitions(self, spark, tmp_path):
+        from datatest_spark.operators.stats import StatSketchStore, merge_stat_sketches, partition_stat_sketches
+
+        df = self._df(spark)
+        store = StatSketchStore(spark, str(tmp_path / "sketches"))
+        # first run: p0/p1 exist
+        s1 = store.update(df.filter("part != 'p2'"), ["id", "num"], "part")
+        assert {r["column_name"] for r in s1.collect()} == {"id", "num"}
+        assert sorted(store.stored_ids()) == ["p0", "p1"]
+        # second run over the FULL table: only p2 is new
+        s2 = {r["column_name"]: r for r in store.update(df, ["id", "num"], "part").collect()}
+        assert sorted(store.stored_ids()) == ["p0", "p1", "p2"]
+        # merged result equals a one-shot full-table sketch pass
+        full = {
+            r["column_name"]: r
+            for r in merge_stat_sketches(
+                partition_stat_sketches(df, ["id", "num"], "part")
+            ).collect()
+        }
+        for c in ("id", "num"):
+            assert tuple(s2[c]) == tuple(full[c])
+        # store holds exactly one sketch row per (partition, column)
+        assert store.read().count() == 6
+
+    def test_sketch_store_column_mismatch_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from datatest_spark.operators.stats import StatSketchStore
+
+        df = self._df(spark)
+        store = StatSketchStore(spark, str(tmp_path / "sk2"))
+        store.update(df, ["id"], "part")
+        with _pytest.raises(ValueError, match="fresh path"):
+            store.update(df, ["id", "num"], "part")
