@@ -357,10 +357,13 @@ def partition_stat_sketches(
     One groupBy(partition) agg computes, per column: row/null counts,
     native-typed min/max (numeric in ``*_num``, everything else as
     string in ``*_str`` — both merge correctly, unlike casting numerics
-    to string first), and a DataSketches HLL sketch of the value set
-    (``hll_sketch_agg``, binary, union-mergeable).  Long-format output:
+    to string first), a DataSketches HLL sketch of the value set
+    (``hll_sketch_agg``, binary, union-mergeable), and for numeric
+    columns a KLL quantile sketch (``kll_sketch_agg_double`` — the
+    mergeable quantile state the north_star's "quantile sketches"
+    asks for; see PAPERS.md KLL±).  Long-format output:
     (partition_id, column_name, n_rows, n_nulls, min_num, max_num,
-    min_str, max_str, hll).
+    min_str, max_str, hll, kll).
 
     Incremental protocol: sketch NEW partitions only, union their rows
     with the ledger's stored rows, and ``merge_stat_sketches`` yields
@@ -375,9 +378,12 @@ def partition_stat_sketches(
         if numeric:
             aggs.append(F.min(col).cast("double").alias(f"_mn_{c}"))
             aggs.append(F.max(col).cast("double").alias(f"_mx_{c}"))
+            # mergeable quantile state (DataSketches KLL — PAPERS.md)
+            aggs.append(F.kll_sketch_agg_double(col.cast("double")).alias(f"_k_{c}"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"_mn_{c}"))
             aggs.append(F.lit(None).cast("double").alias(f"_mx_{c}"))
+            aggs.append(F.lit(None).cast("binary").alias(f"_k_{c}"))
         aggs.append(F.min(col.cast("string")).alias(f"_mns_{c}"))
         aggs.append(F.max(col.cast("string")).alias(f"_mxs_{c}"))
         aggs.append(F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"_h_{c}"))
@@ -393,6 +399,7 @@ def partition_stat_sketches(
             F.col(f"_mns_{c}").alias("min_str"),
             F.col(f"_mxs_{c}").alias("max_str"),
             F.col(f"_h_{c}").alias("hll"),
+            F.col(f"_k_{c}").alias("kll"),
         )
         for c in columns
     ]
@@ -404,9 +411,11 @@ def partition_stat_sketches(
 def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> DataFrame:
     """Table-level stats from per-partition sketch rows — a tiny agg over
     the sketch relation (never the data): exact row/null/min/max plus
-    the HLL-union distinct estimate.  Output matches ``column_stats``
-    minus quantiles: (table_name, column_name, row_count, null_count,
-    n_distinct, min_val, max_val) with n_distinct the sketch estimate.
+    the HLL-union distinct estimate and KLL-merged decile quantiles.
+    Output matches ``column_stats``: (table_name, column_name,
+    row_count, null_count, n_distinct, min_val, max_val, quantiles)
+    with n_distinct / quantiles the sketch estimates (quantiles NULL
+    for non-numeric columns).
     """
     merged = sketches.groupBy("column_name").agg(
         F.sum("n_rows").cast("long").alias("row_count"),
@@ -416,6 +425,13 @@ def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> Da
         F.max("max_num").alias("_mx"),
         F.min("min_str").alias("_mns"),
         F.max("max_str").alias("_mxs"),
+        F.kll_merge_agg_double("kll").alias("_k"),
+    )
+    # merging NULL kll rows (non-numeric columns) yields an EMPTY sketch
+    # (n=0), so gate the quantile read on the merged sketch's n
+    quantiles = F.when(
+        F.kll_sketch_get_n_double(F.col("_k")) > 0,
+        F.kll_sketch_get_quantile_double(F.col("_k"), F.lit(DECILES)),
     )
     return merged.select(
         F.lit(table_name).alias("table_name"),
@@ -425,6 +441,7 @@ def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> Da
         "n_distinct",
         F.coalesce(F.col("_mn").cast("string"), F.col("_mns")).alias("min_val"),
         F.coalesce(F.col("_mx").cast("string"), F.col("_mxs")).alias("max_val"),
+        quantiles.alias("quantiles"),
     )
 
 

@@ -125,6 +125,10 @@ class TestStatSketches:
         for c, exact in [("id", 3000), ("num", 50), ("s", 97)]:
             est = got[c]["n_distinct"]
             assert abs(est - exact) / exact < 0.05, (c, est)
+        # KLL quantiles: numeric columns get merged deciles, strings NULL
+        q = got["id"]["quantiles"]
+        assert q[0] == 0.0 and q[-1] == 2999.0 and abs(q[5] - 1500) < 150
+        assert got["s"]["quantiles"] is None
 
     def test_incremental_union_equals_one_shot(self, spark):
         from datatest_spark.operators.stats import (
@@ -149,7 +153,11 @@ class TestStatSketches:
             ).collect()
         }
         for c in ("id", "num"):
-            assert tuple(inc[c]) == tuple(one[c])
+            # exact fields identical; KLL quantiles compared with
+            # tolerance (merge order inside the hash agg is not fixed)
+            assert tuple(inc[c])[:-1] == tuple(one[c])[:-1]
+            for a, b in zip(inc[c]["quantiles"], one[c]["quantiles"]):
+                assert abs(a - b) <= 60.0
 
     def test_sketch_store_resume_scans_only_new_partitions(self, spark, tmp_path):
         from datatest_spark.operators.stats import StatSketchStore, merge_stat_sketches, partition_stat_sketches
@@ -171,7 +179,9 @@ class TestStatSketches:
             ).collect()
         }
         for c in ("id", "num"):
-            assert tuple(s2[c]) == tuple(full[c])
+            assert tuple(s2[c])[:-1] == tuple(full[c])[:-1]
+            for a, b in zip(s2[c]["quantiles"], full[c]["quantiles"]):
+                assert abs(a - b) <= 60.0
         # store holds exactly one sketch row per (partition, column)
         assert store.read().count() == 6
 
