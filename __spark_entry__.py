@@ -1265,6 +1265,42 @@ FROM documents
 """
 
 
+def q_domain_drift_documents(spark, sf_dir):
+    """Theta-sketch domain drift: the 'current' side prefixes source
+    with 'x' for doc_id%5==0 rows (in-query, both engines identical),
+    doubling the domain -> churn 0.5.  Theta sketches are EXACT below
+    4096 entries, so DuckDB's exact distinct-set math is a full value
+    oracle at this cardinality."""
+    from datatest_spark.operators.stats import check_domain_drift
+
+    d = _t(spark, sf_dir, "documents")
+    cur = d.select(
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("x"), F.col("source"))
+        ).otherwise(F.col("source")).alias("c")
+    )
+    base = d.select(F.col("source").alias("c"))
+    diff = check_domain_drift(cur, base, "c", threshold=0.2)
+    return diff.select("check_id", "diff_kind", "key", "value", "expected", "deviation")
+
+
+SQL_DOMAIN_DRIFT_DOCUMENTS = """
+WITH cur AS (
+  SELECT DISTINCT CASE WHEN doc_id % 5 = 0 THEN 'x' || source ELSE source END AS c
+  FROM documents
+), base AS (SELECT DISTINCT source AS c FROM documents),
+est AS (
+  SELECT (SELECT count(*) FROM (SELECT c FROM cur INTERSECT SELECT c FROM base)) AS ni,
+         (SELECT count(*) FROM (SELECT c FROM cur UNION SELECT c FROM base)) AS nu
+)
+SELECT 'domain_drift' AS check_id, 'deviation' AS diff_kind, 'c' AS key,
+       CAST(round(1.0 - ni * 1.0 / nu, 6) AS VARCHAR) AS value,
+       '0.2' AS expected,
+       round(1.0 - ni * 1.0 / nu - 0.2, 6) AS deviation
+FROM est WHERE 1.0 - ni * 1.0 / nu > 0.2
+"""
+
+
 def q_decontam_documents(spark, sf_dir):
     """Eval-set decontamination (training-pipeline op): word 3-gram
     overlap of the corpus slice (doc_id % 11 != 0) against the eval
@@ -1461,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_documents": q_secrets_documents,
         "license_documents": q_license_documents,
         "sketch_stats_documents": q_sketch_stats_documents,
+        "domain_drift_documents": q_domain_drift_documents,
         "decontam_documents": q_decontam_documents,
         "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
@@ -1512,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "secrets_documents": SQL_SECRETS_DOCUMENTS,
         "license_documents": SQL_LICENSE_DOCUMENTS,
         "sketch_stats_documents": SQL_SKETCH_STATS_DOCUMENTS,
+        "domain_drift_documents": SQL_DOMAIN_DRIFT_DOCUMENTS,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,

@@ -504,3 +504,49 @@ class StatSketchStore:
         return merge_stat_sketches(
             self.spark.read.parquet(self.path), table_name=table_name
         )
+
+
+def check_domain_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    threshold: float = 0.2,
+    check_id: str = "domain_drift",
+) -> DataFrame:
+    """Deviation row when a column's VALUE DOMAIN churns vs the baseline
+    (new values appeared / old ones vanished) — the set-shaped drift the
+    chi-square frequency test can miss when counts stay similar.
+
+    DataSketches Theta sketches give mergeable |A|, |B|, |A∩B|
+    estimates from one scan of each side; churn = 1 − |A∩B|/|A∪B|
+    (Jaccard distance of the domains).  The comparison itself is a
+    cross join of two single-row sketch relations — never the data.
+    A difference row (Deviation, deviation = churn − threshold) is
+    emitted only when churn exceeds ``threshold``.
+    """
+    a = current.agg(F.theta_sketch_agg(F.col(column).cast("string")).alias("_a"))
+    b = baseline.agg(F.theta_sketch_agg(F.col(column).cast("string")).alias("_b"))
+    est = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.col("_a")).alias("na"),
+        F.theta_sketch_estimate(F.col("_b")).alias("nb"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("_a"), F.col("_b"))
+        ).alias("ni"),
+        F.theta_sketch_estimate(F.theta_union(F.col("_a"), F.col("_b"))).alias("nu"),
+    )
+    churn = F.when(F.col("nu") > 0, 1.0 - F.col("ni") / F.col("nu")).otherwise(
+        F.lit(0.0)
+    )
+    viol = est.select(churn.alias("_churn"), "na", "nb").filter(
+        F.col("_churn") > threshold
+    )
+    return make_differences(
+        viol,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(column),
+        value=F.round(F.col("_churn"), 6).cast("string"),
+        expected=F.lit(str(threshold)),
+        deviation=F.round(F.col("_churn") - threshold, 6),
+    )

@@ -195,3 +195,23 @@ class TestStatSketches:
         store.update(df, ["id"], "part")
         with _pytest.raises(ValueError, match="fresh path"):
             store.update(df, ["id", "num"], "part")
+
+
+def test_domain_drift_theta(spark):
+    from datatest_spark.operators.stats import check_domain_drift
+
+    base = spark.createDataFrame([(f"v{i}",) for i in range(100)], "c string")
+    same = check_domain_drift(base, base, "c", threshold=0.05).collect()
+    assert same == []
+    # half the domain replaced -> Jaccard distance ~ 2/3
+    cur = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)] + [(f"w{i}",) for i in range(50)], "c string"
+    )
+    got = check_domain_drift(cur, base, "c", threshold=0.2).collect()
+    assert len(got) == 1
+    assert got[0]["diff_kind"] == "deviation" and got[0]["key"] == "c"
+    assert 0.6 < float(got[0]["value"]) < 0.72
+    # disjoint domains -> churn 1.0
+    disj = spark.createDataFrame([(f"z{i}",) for i in range(100)], "c string")
+    full = check_domain_drift(disj, base, "c", threshold=0.5).collect()
+    assert float(full[0]["value"]) == 1.0
