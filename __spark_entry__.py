@@ -1265,6 +1265,23 @@ FROM documents
 """
 
 
+def q_hot_keys_lineitem(spark, sf_dir):
+    """Heavy-hitter detection (the salting-decision input): returnflag
+    values holding >= 20% of lineitem rows, with exact shares."""
+    from datatest_spark.operators.stats import hot_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hot_keys(li, ["l_returnflag"], min_share=0.2)
+
+
+SQL_HOT_KEYS_LINEITEM = """
+WITH c AS (SELECT l_returnflag, count(*) AS key_count FROM lineitem GROUP BY 1),
+t AS (SELECT sum(key_count) AS tot FROM c)
+SELECT l_returnflag, key_count, round(key_count * 1.0 / tot, 6) AS key_share
+FROM c, t WHERE key_count >= tot * 0.2
+"""
+
+
 def q_domain_drift_documents(spark, sf_dir):
     """Theta-sketch domain drift: the 'current' side prefixes source
     with 'x' for doc_id%5==0 rows (in-query, both engines identical),
@@ -1498,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_documents": q_license_documents,
         "sketch_stats_documents": q_sketch_stats_documents,
         "domain_drift_documents": q_domain_drift_documents,
+        "hot_keys_lineitem": q_hot_keys_lineitem,
         "decontam_documents": q_decontam_documents,
         "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
@@ -1550,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "license_documents": SQL_LICENSE_DOCUMENTS,
         "sketch_stats_documents": SQL_SKETCH_STATS_DOCUMENTS,
         "domain_drift_documents": SQL_DOMAIN_DRIFT_DOCUMENTS,
+        "hot_keys_lineitem": SQL_HOT_KEYS_LINEITEM,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,

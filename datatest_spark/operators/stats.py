@@ -550,3 +550,39 @@ def check_domain_drift(
         expected=F.lit(str(threshold)),
         deviation=F.round(F.col("_churn") - threshold, 6),
     )
+
+
+def hot_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Heavy-hitter keys: (*key_cols, key_count, key_share) for keys
+    holding >= ``min_share`` of all rows — the input to the salting
+    decision (north_rule: "explicit skew mitigation for hot repos/
+    langs").  Feed the result into salted uniqueness/referential/agg
+    paths, or alert on it as a data-shape regression.
+
+    Scale shape: one groupBy shuffle whose volume is DISTINCT KEYS, not
+    rows — map-side partial agg collapses hot keys before the exchange
+    (the hotter the key, the better it compresses), and the share
+    denominator is a scalar agg over the counts relation cross-joined
+    back (no global window, no second data scan).
+    """
+    if not (0.0 < min_share <= 1.0):
+        raise ValueError("min_share must be in (0, 1]")
+    keys = [str(k) for k in key_cols]
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    total = counts.agg(F.sum("key_count").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("key_count") >= F.col("_tot") * min_share)
+        .select(
+            *keys,
+            "key_count",
+            F.round(F.col("key_count") / F.col("_tot"), 6).alias("key_share"),
+        )
+    )

@@ -215,3 +215,18 @@ def test_domain_drift_theta(spark):
     disj = spark.createDataFrame([(f"z{i}",) for i in range(100)], "c string")
     full = check_domain_drift(disj, base, "c", threshold=0.5).collect()
     assert float(full[0]["value"]) == 1.0
+
+
+def test_hot_keys_detects_skew(spark):
+    from datatest_spark.operators.stats import hot_keys
+
+    from datatest_spark.sources.fixtures import HOT_REPO, code_files
+
+    skewed = code_files(spark, 20_000, "skewed")
+    got = {r["repo"]: r for r in hot_keys(skewed, ["repo"], min_share=0.1).collect()}
+    assert list(got) == [HOT_REPO]  # only the planted hot repo crosses 10%
+    assert got[HOT_REPO]["key_share"] > 0.25
+    # clean variant has no >=10% repo
+    assert hot_keys(code_files(spark, 20_000, "clean"), ["repo"], min_share=0.1).count() == 0
+    with pytest.raises(ValueError):
+        hot_keys(skewed, ["repo"], min_share=0.0)
