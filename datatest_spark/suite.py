@@ -54,6 +54,8 @@ class SuiteResult:
     verdicts: DataFrame  # per (partition_id) pass/fail + metrics (lazy)
     n_violations: int
     n_partitions_checked: int
+    stats: Optional[DataFrame] = None  # merged table stats when a
+    # StatSketchStore was passed to run() (lazy)
 
     @property
     def passed(self) -> bool:
@@ -102,12 +104,25 @@ class ValidationSuite:
         sink_path: Optional[str] = None,
         single_file: bool = True,
         raise_on_failure: bool = False,
+        stats_store=None,
+        stats_columns: Optional[list] = None,
     ) -> SuiteResult:
         run_id = run_id or uuid.uuid4().hex[:12]
         main = tables[primary]
         if ledger is not None:
             main = ledger.filter_pending(main, self.partition_col)
             tables = {**tables, primary: main}
+
+        # per-partition stat sketches ride the SAME pruned input as the
+        # checks: resumed runs sketch only the partitions they validate
+        # (the store additionally skips its own already-stored ids)
+        merged_stats = None
+        if stats_store is not None:
+            merged_stats = stats_store.update(
+                main,
+                stats_columns or [c for c in main.columns if c != self.partition_col],
+                self.partition_col,
+            )
 
         diffs = self.build_differences(tables)
 
@@ -171,6 +186,7 @@ class ValidationSuite:
             verdicts=verdicts,
             n_violations=int(n_viol),
             n_partitions_checked=len(verdicts_rows),
+            stats=merged_stats,
         )
         if raise_on_failure and n_viol:
             raise_if_invalid(diffs, f"suite run {run_id} failed")

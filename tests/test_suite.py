@@ -235,3 +235,41 @@ def test_ledger_resume_partial(spark, tmp_path):
             r["n_violations"],
             r["lineage_hash"],
         )
+
+
+def test_suite_records_stat_sketches_with_ledger_resume(spark, tmp_path):
+    """stats_store= rides the suite run: sketches cover exactly the
+    partitions the run validates; a resumed run sketches only pending
+    partitions and still yields full-table stats."""
+    from datatest_spark import validate
+    from datatest_spark.operators.stats import StatSketchStore
+    from datatest_spark.plans.ledger import Ledger
+    from datatest_spark.sources.fixtures import code_files, with_partition_id
+    from datatest_spark.suite import Check, ValidationSuite
+
+    df = with_partition_id(code_files(spark, 2000, "clean"), buckets=4)
+    suite = ValidationSuite(
+        [Check("lang", lambda t: validate.subset(
+            t["cf"], "lang",
+            {"python", "java", "go", "rust", "sql", "markdown"},
+            check_id="lang"))],
+        partition_col="partition_id",
+    )
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    store = StatSketchStore(spark, str(tmp_path / "sk"))
+
+    # first run over HALF the partitions
+    half = df.filter(F.col("partition_id").isin("b0", "b1"))
+    r1 = suite.run({"cf": half}, primary="cf", ledger=ledger,
+                   stats_store=store, stats_columns=["lang", "repo"])
+    assert r1.passed and sorted(store.stored_ids()) == ["b0", "b1"]
+
+    # resumed run over the FULL table: ledger prunes b0/b1, store gains
+    # only the new partitions, merged stats cover everything
+    r2 = suite.run({"cf": df}, primary="cf", ledger=ledger,
+                   stats_store=store, stats_columns=["lang", "repo"])
+    assert sorted(store.stored_ids()) == ["b0", "b1", "b2", "b3"]
+    got = {r["column_name"]: r for r in r2.stats.collect()}
+    assert got["lang"]["row_count"] == 2000
+    assert got["repo"]["null_count"] == 0
+    assert 4 <= got["lang"]["n_distinct"] <= 7  # 6 langs, sketch estimate
