@@ -1254,13 +1254,13 @@ def q_sketch_stats_documents(spark, sf_dir):
 SQL_SKETCH_STATS_DOCUMENTS = """
 SELECT 'doc_id' AS column_name, count(*) AS row_count,
        count(*) - count(doc_id) AS null_count,
-       CAST(CAST(min(doc_id) AS DOUBLE) AS VARCHAR) AS min_val,
-       CAST(CAST(max(doc_id) AS DOUBLE) AS VARCHAR) AS max_val
+       CAST(min(doc_id) AS VARCHAR) AS min_val,
+       CAST(max(doc_id) AS VARCHAR) AS max_val
 FROM documents
 UNION ALL
 SELECT 'n_chars', count(*), count(*) - count(n_chars),
-       CAST(CAST(min(n_chars) AS DOUBLE) AS VARCHAR),
-       CAST(CAST(max(n_chars) AS DOUBLE) AS VARCHAR)
+       CAST(min(n_chars) AS VARCHAR),
+       CAST(max(n_chars) AS VARCHAR)
 FROM documents
 """
 

@@ -199,12 +199,17 @@ def mixture_sample(
     """
     if not target_shares:
         raise ValueError("mixture_sample needs at least one target share")
-    total = float(sum(target_shares.values()))
-    if total <= 0:
-        raise ValueError("target shares must sum to a positive value")
+    if any(float(v) < 0 for v in target_shares.values()):
+        raise ValueError("target shares must be >= 0")
+    # share 0 means "drop this source" — same as omitting it; keeping it
+    # in the relation would divide by zero under ANSI mode
+    shares = {k: float(v) for k, v in target_shares.items() if float(v) > 0}
+    if not shares:
+        raise ValueError("at least one target share must be > 0")
+    total = float(sum(shares.values()))
     spark = df.sparkSession
     tgt = spark.createDataFrame(
-        [(k, v / total) for k, v in target_shares.items()],
+        [(k, v / total) for k, v in shares.items()],
         f"{source_col} string, _tshare double",
     )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))

@@ -34,6 +34,9 @@ from ..plans.predicate import is_numeric_dtype
 
 DECILES = [i / 10.0 for i in range(11)]  # 0.0 .. 1.0
 
+#: sentinel partition id for NULL partition values in the sketch store
+NULL_PARTITION = "__null__"
+
 STATS_SCHEMA_DOC = (
     "(table_name, column_name, row_count, null_count, n_distinct, "
     "min_val, max_val, quantiles array<double>)"
@@ -363,7 +366,9 @@ def partition_stat_sketches(
     mergeable quantile state the north_star's "quantile sketches"
     asks for; see PAPERS.md KLL±).  Long-format output:
     (partition_id, column_name, n_rows, n_nulls, min_num, max_num,
-    min_str, max_str, hll, kll).
+    min_str, max_str, hll, kll) plus a dtype_family tag; NULL
+    partition values are normalized to the ``__null__`` sentinel so
+    they store and resume like any other partition.
 
     Incremental protocol: sketch NEW partitions only, union their rows
     with the ledger's stored rows, and ``merge_stat_sketches`` yields
@@ -371,9 +376,16 @@ def partition_stat_sketches(
     no second pass over any data.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("_rc")]
+    fams = {}
     for c in columns:
         col = F.col(c)
-        numeric = is_numeric_dtype(df.schema[c].dataType)
+        dt = df.schema[c].dataType
+        numeric = is_numeric_dtype(dt)
+        fams[c] = (
+            "int"
+            if dt.simpleString() in ("tinyint", "smallint", "int", "bigint")
+            else ("float" if numeric else "str")
+        )
         aggs.append(F.count(col).alias(f"_nn_{c}"))
         if numeric:
             aggs.append(F.min(col).cast("double").alias(f"_mn_{c}"))
@@ -388,10 +400,14 @@ def partition_stat_sketches(
         aggs.append(F.max(col.cast("string")).alias(f"_mxs_{c}"))
         aggs.append(F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"_h_{c}"))
 
-    agg_df = df.groupBy(F.col(partition_col).alias("partition_id")).agg(*aggs)
+    # NULL partitions get a stable sentinel id: they must be storable /
+    # resumable like any other partition (never silently re-sketched)
+    pid = F.coalesce(F.col(partition_col).cast("string"), F.lit(NULL_PARTITION))
+    agg_df = df.groupBy(pid.alias("partition_id")).agg(*aggs)
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),
+            F.lit(fams[c]).alias("dtype_family"),
             F.col("_rc").cast("long").alias("n_rows"),
             (F.col("_rc") - F.col(f"_nn_{c}")).cast("long").alias("n_nulls"),
             F.col(f"_mn_{c}").alias("min_num"),
@@ -426,6 +442,7 @@ def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> Da
         F.min("min_str").alias("_mns"),
         F.max("max_str").alias("_mxs"),
         F.kll_merge_agg_double("kll").alias("_k"),
+        F.first("dtype_family").alias("_fam"),
     )
     # merging NULL kll rows (non-numeric columns) yields an EMPTY sketch
     # (n=0), so gate the quantile read on the merged sketch's n
@@ -433,14 +450,24 @@ def merge_stat_sketches(sketches: DataFrame, *, table_name: str = "table") -> Da
         F.kll_sketch_get_n_double(F.col("_k")) > 0,
         F.kll_sketch_get_quantile_double(F.col("_k"), F.lit(DECILES)),
     )
+
+    def _render(num: Column, s: Column) -> Column:
+        # format numeric min/max in the source column's family so the
+        # output string-matches column_stats ('0' for a bigint, not '0.0')
+        return (
+            F.when(F.col("_fam") == "int", num.cast("long").cast("string"))
+            .when(F.col("_fam") == "float", num.cast("string"))
+            .otherwise(s)
+        )
+
     return merged.select(
         F.lit(table_name).alias("table_name"),
         "column_name",
         "row_count",
         "null_count",
         "n_distinct",
-        F.coalesce(F.col("_mn").cast("string"), F.col("_mns")).alias("min_val"),
-        F.coalesce(F.col("_mx").cast("string"), F.col("_mxs")).alias("max_val"),
+        _render(F.col("_mn"), F.col("_mns")).alias("min_val"),
+        _render(F.col("_mx"), F.col("_mxs")).alias("max_val"),
         quantiles.alias("quantiles"),
     )
 
@@ -463,10 +490,19 @@ class StatSketchStore:
         self.path = path
 
     def read(self) -> Optional[DataFrame]:
+        """The stored sketch relation, or None when the store does not
+        exist yet.  Only a missing path maps to None — any other read
+        failure (corruption, permissions, transient IO) propagates, so
+        a broken store can never be mistaken for an empty one and
+        double-appended."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     def stored_ids(self) -> list:
         cur = self.read()
@@ -482,23 +518,34 @@ class StatSketchStore:
         *,
         table_name: str = "table",
         lg_k: int = 12,
+        only_ids: Optional[Sequence[str]] = None,
     ) -> DataFrame:
+        """Sketch pending partitions, append, return merged table stats.
+
+        ``only_ids`` further restricts which (normalized, string-form)
+        partition ids may be sketched this call — the suite passes the
+        ids whose verdict came back ok, so failing partitions are never
+        frozen into the store with pre-fix data.
+        """
         cur = self.read()
+        done: list = []
         if cur is not None:
-            stored_cols = sorted(
-                r[0] for r in cur.select("column_name").distinct().collect()
-            )
+            # one read, one collect: pairs serve both the column-set
+            # guard and the done-set
+            pairs = cur.select("column_name", "partition_id").distinct().collect()
+            stored_cols = sorted({p["column_name"] for p in pairs})
             if stored_cols != sorted(columns):
                 raise ValueError(
                     f"store at {self.path} holds columns {stored_cols}, "
                     f"asked for {sorted(columns)} — use a fresh path"
                 )
-        done = self.stored_ids()
+            done = sorted({p["partition_id"] for p in pairs})
+        pid = F.coalesce(F.col(partition_col).cast("string"), F.lit(NULL_PARTITION))
         pending = df
         if done:
-            c = F.col(partition_col)
-            # NULL partitions are never stored-complete; keep them
-            pending = df.filter(c.isNull() | ~c.isin(done))
+            pending = pending.filter(~pid.isin(done))
+        if only_ids is not None:
+            pending = pending.filter(pid.isin([str(i) for i in only_ids]))
         fresh = partition_stat_sketches(pending, columns, partition_col, lg_k=lg_k)
         fresh.write.mode("append").parquet(self.path)
         return merge_stat_sketches(

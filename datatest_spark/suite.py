@@ -113,17 +113,6 @@ class ValidationSuite:
             main = ledger.filter_pending(main, self.partition_col)
             tables = {**tables, primary: main}
 
-        # per-partition stat sketches ride the SAME pruned input as the
-        # checks: resumed runs sketch only the partitions they validate
-        # (the store additionally skips its own already-stored ids)
-        merged_stats = None
-        if stats_store is not None:
-            merged_stats = stats_store.update(
-                main,
-                stats_columns or [c for c in main.columns if c != self.partition_col],
-                self.partition_col,
-            )
-
         diffs = self.build_differences(tables)
 
         # per-partition verdicts: rows checked vs violations found.
@@ -178,6 +167,31 @@ class ValidationSuite:
         if ledger is not None:
             ledger.record(
                 verdicts.sparkSession.createDataFrame(verdicts_rows, verdicts.schema)
+            )
+
+        # stat sketches are recorded AFTER the verdicts and only for
+        # partitions that PASSED this run: a failing partition stays out
+        # of the store (like the ledger keeps it pending), so fixed data
+        # is re-sketched on the passing re-run — never frozen pre-fix.
+        merged_stats = None
+        if stats_store is not None:
+            from .operators.stats import NULL_PARTITION
+
+            ok_ids = [
+                str(r["partition_id"])
+                for r in verdicts_rows
+                if r["status"] == "ok" and r["partition_id"] != "__global__"
+            ]
+            if any(
+                r["partition_id"] == "__global__" and r["status"] == "ok"
+                for r in verdicts_rows
+            ):
+                ok_ids.append(NULL_PARTITION)
+            merged_stats = stats_store.update(
+                main,
+                stats_columns or [c for c in main.columns if c != self.partition_col],
+                self.partition_col,
+                only_ids=ok_ids,
             )
 
         result = SuiteResult(

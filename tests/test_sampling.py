@@ -185,3 +185,15 @@ class TestMixtureSample:
         )
         assert frac == 1  # binding source b keeps its single row, any method
         assert "b" in got
+
+    def test_zero_share_drops_source(self, spark):
+        from datatest_spark.operators.sampling import mixture_sample
+
+        df = self._df(spark, {"a": 10, "b": 10})
+        out = mixture_sample(df, "source", {"a": 1.0, "b": 0.0}, "doc_id")
+        got = {r["source"] for r in out.collect()}
+        assert got == {"a"}  # zero share = drop, no ANSI divide-by-zero
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match=">= 0"):
+            mixture_sample(df, "source", {"a": 1.0, "b": -0.1}, "doc_id")

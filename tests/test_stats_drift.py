@@ -116,8 +116,8 @@ class TestStatSketches:
         assert sk.count() == 9  # 3 partitions x 3 columns
         got = {r["column_name"]: r for r in merge_stat_sketches(sk).collect()}
         assert got["id"]["row_count"] == 3000 and got["id"]["null_count"] == 0
-        assert got["id"]["min_val"] == "0.0" and got["id"]["max_val"] == "2999.0"
-        assert got["num"]["min_val"] == "0.0" and got["num"]["max_val"] == "49.0"
+        assert got["id"]["min_val"] == "0" and got["id"]["max_val"] == "2999"  # int family, native format
+        assert got["num"]["min_val"] == "0.0" and got["num"]["max_val"] == "49.0"  # float family keeps decimal form
         # string column: lexical min/max, null counting
         assert got["s"]["null_count"] == 3000 // 11 + 1
         assert got["s"]["min_val"] == "v0"  # i=97 -> 'v0' (97 % 11 != 0)
@@ -230,3 +230,37 @@ def test_hot_keys_detects_skew(spark):
     assert hot_keys(code_files(spark, 20_000, "clean"), ["repo"], min_share=0.1).count() == 0
     with pytest.raises(ValueError):
         hot_keys(skewed, ["repo"], min_share=0.0)
+
+
+def test_sketch_store_null_partitions_idempotent(spark, tmp_path):
+    """NULL partition values normalize to the __null__ sentinel: a
+    second update over the same data appends nothing and stats stay
+    exact (they used to double-count every resume)."""
+    from datatest_spark.operators.stats import StatSketchStore
+
+    df = spark.createDataFrame(
+        [(1, "p0"), (2, "p0"), (3, None), (4, None)], "id long, part string"
+    )
+    store = StatSketchStore(spark, str(tmp_path / "sknull"))
+    s1 = {r["column_name"]: r for r in store.update(df, ["id"], "part").collect()}
+    s2 = {r["column_name"]: r for r in store.update(df, ["id"], "part").collect()}
+    assert s1["id"]["row_count"] == 4 and s2["id"]["row_count"] == 4
+    assert sorted(store.stored_ids()) == ["__null__", "p0"]
+    assert store.read().count() == 2  # one sketch row per (partition, col)
+
+
+def test_sketch_store_read_error_propagates(spark, tmp_path):
+    """Only a MISSING path reads as an empty store; a corrupt store
+    raises instead of silently double-appending."""
+    from datatest_spark.operators.stats import StatSketchStore
+
+    p = tmp_path / "skcorrupt"
+    p.mkdir()
+    (p / "part-00000.parquet").write_bytes(b"this is not parquet")
+    store = StatSketchStore(spark, str(p))
+    with pytest.raises(Exception):
+        store.update(
+            spark.createDataFrame([(1, "a")], "id long, part string"), ["id"], "part"
+        )
+    # missing path is fine
+    assert StatSketchStore(spark, str(tmp_path / "absent")).read() is None

@@ -273,3 +273,33 @@ def test_suite_records_stat_sketches_with_ledger_resume(spark, tmp_path):
     assert got["lang"]["row_count"] == 2000
     assert got["repo"]["null_count"] == 0
     assert 4 <= got["lang"]["n_distinct"] <= 7  # 6 langs, sketch estimate
+
+
+def test_suite_stats_skip_failed_partitions(spark, tmp_path):
+    """A partition that FAILS validation is not frozen into the stats
+    store; after the data is fixed, the passing re-run sketches it."""
+    from datatest_spark import validate
+    from datatest_spark.operators.stats import StatSketchStore
+    from datatest_spark.suite import Check, ValidationSuite
+
+    bad = spark.createDataFrame(
+        [(1, "p0", "x"), (2, "p1", "BAD")], "id long, part string, v string"
+    )
+    suite = ValidationSuite(
+        [Check("v", lambda t: validate.predicate(
+            t["d"], "v", "x", check_id="v",
+            partition_id=F.col("part")))],
+        partition_col="part",
+    )
+    store = StatSketchStore(spark, str(tmp_path / "skok"))
+    r1 = suite.run({"d": bad}, primary="d", stats_store=store, stats_columns=["id"])
+    assert not r1.passed
+    assert sorted(store.stored_ids()) == ["p0"]  # p1 failed -> not stored
+    # fix p1's data; re-run stores it and stats cover both partitions
+    good = spark.createDataFrame(
+        [(1, "p0", "x"), (2, "p1", "x")], "id long, part string, v string"
+    )
+    r2 = suite.run({"d": good}, primary="d", stats_store=store, stats_columns=["id"])
+    assert r2.passed and sorted(store.stored_ids()) == ["p0", "p1"]
+    got = {r["column_name"]: r for r in r2.stats.collect()}
+    assert got["id"]["row_count"] == 2
