@@ -877,13 +877,35 @@ def _check_mapping_multi(
         )
         return d.join(F.broadcast(kdf), key_names, "left_semi")
 
+    # None-containing requirement keys break plain name equi-joins (SQL
+    # NULL never equals NULL), so every key join below switches to an
+    # explicit eqNullSafe condition when one is present.  Gated: the
+    # common NULL-free requirement keeps the unchanged name-join plans.
+    has_null_key = any(x is None for k in requirement for x in key_tuple(k))
+
+    def ns_join(left: DataFrame, right: DataFrame, names, how: str, extra=()):
+        """Null-safe key join (anti/semi: output = left columns only)."""
+        cond = None
+        for n in list(names) + list(extra):
+            c = left[n].eqNullSafe(right[n])
+            cond = c if cond is None else cond & c
+        return left.join(F.broadcast(right), cond, how)
+
     parts = []
 
-    # 1) data keys not in the requirement → Extra(value) per row
-    req_keys_named = req_keys.select(
-        *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)]
-    )
-    extra_rows = df.join(F.broadcast(req_keys_named), key_names, "left_anti")
+    # 1) data keys not in the requirement → Extra(value) per row.
+    #    A plain equi-key left_anti treats NULL join keys as
+    #    never-matching, so when the requirement itself contains a None
+    #    key the NULL-keyed data rows must instead use the eqNullSafe
+    #    fallback (consistent with filter_to_keys) or they'd be flagged
+    #    Extra AND still evaluated by their family check.
+    if has_null_key:
+        extra_rows = df.filter(~any_key(list(requirement)))
+    else:
+        req_keys_named = req_keys.select(
+            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)]
+        )
+        extra_rows = df.join(F.broadcast(req_keys_named), key_names, "left_anti")
     parts.append(
         make_differences(
             extra_rows,
@@ -920,7 +942,10 @@ def _check_mapping_multi(
         list(key_schema.fields) + [T.StructField("_mval", T.StringType(), True)]
     )
     expect_df = spark.createDataFrame(expect_rows, expect_schema)
-    missing_rows = expect_df.join(F.broadcast(present), rk_names, "left_anti")
+    if has_null_key:
+        missing_rows = ns_join(expect_df, present, rk_names, "left_anti")
+    else:
+        missing_rows = expect_df.join(F.broadcast(present), rk_names, "left_anti")
     parts.append(
         make_differences(
             missing_rows,
@@ -944,10 +969,19 @@ def _check_mapping_multi(
         )
         lk = spark.createDataFrame(
             [(*key_tuple(k), float(v)) for k, v in num_scalars.items()], sch
-        ).select(
-            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)], "_expected"
         )
-        j = df.join(F.broadcast(lk), key_names)
+        if has_null_key:
+            cond = None
+            for n, rn in zip(key_names, rk_names):
+                c = df[n].eqNullSafe(lk[rn])
+                cond = c if cond is None else cond & c
+            j = df.join(F.broadcast(lk), cond).drop(*rk_names)
+        else:
+            lk = lk.select(
+                *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)],
+                "_expected",
+            )
+            j = df.join(F.broadcast(lk), key_names)
         a = F.col(value_column).cast("double")
         e = F.col("_expected")
         bad = j.filter(~F.coalesce(a == e, a.isNull() & e.isNull()))
@@ -985,13 +1019,21 @@ def _check_mapping_multi(
             )
             for k, v in other_scalars.items()
         ]
-        lk = spark.createDataFrame(rows, sch).select(
-            *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)],
-            "_expected_t",
-            "_expected_disp",
-            "_compat",
-        )
-        j = df.join(F.broadcast(lk), key_names)
+        lk = spark.createDataFrame(rows, sch)
+        if has_null_key:
+            cond = None
+            for n, rn in zip(key_names, rk_names):
+                c = df[n].eqNullSafe(lk[rn])
+                cond = c if cond is None else cond & c
+            j = df.join(F.broadcast(lk), cond).drop(*rk_names)
+        else:
+            lk = lk.select(
+                *[F.col(rn).alias(n) for rn, n in zip(rk_names, key_names)],
+                "_expected_t",
+                "_expected_disp",
+                "_compat",
+            )
+            j = df.join(F.broadcast(lk), key_names)
         match = F.col("_compat") & (
             _mkey(F.col(value_column)) == _mkey(F.col("_expected_t"))
         )
@@ -1037,7 +1079,14 @@ def _check_mapping_multi(
             .distinct()
         )
         set_keys_only = set_df.select(*rk_names, "_mkey")
-        extra_in = data_sub.join(F.broadcast(set_keys_only), rk_names + ["_mkey"], "left_anti")
+        if has_null_key:
+            extra_in = ns_join(
+                data_sub, set_keys_only, rk_names, "left_anti", extra=["_mkey"]
+            )
+        else:
+            extra_in = data_sub.join(
+                F.broadcast(set_keys_only), rk_names + ["_mkey"], "left_anti"
+            )
         parts.append(
             make_differences(
                 extra_in,
@@ -1049,13 +1098,28 @@ def _check_mapping_multi(
         )
         # missing members, only for keys that ARE in the data (absent keys
         # were fully reported in step 2)
-        data_in_req = data_sub.select(*rk_names, "_mkey").join(
-            F.broadcast(set_keys_only), rk_names + ["_mkey"], "left_semi"
-        )
         present_set_keys = data_sub.select(*rk_names).distinct()
-        missing_in = set_df.join(
-            F.broadcast(data_in_req), rk_names + ["_mkey"], "left_anti"
-        ).join(F.broadcast(present_set_keys), rk_names, "left_semi")
+        if has_null_key:
+            data_in_req = ns_join(
+                data_sub.select(*rk_names, "_mkey"),
+                set_keys_only,
+                rk_names,
+                "left_semi",
+                extra=["_mkey"],
+            )
+            missing_in = ns_join(
+                ns_join(set_df, data_in_req, rk_names, "left_anti", extra=["_mkey"]),
+                present_set_keys,
+                rk_names,
+                "left_semi",
+            )
+        else:
+            data_in_req = data_sub.select(*rk_names, "_mkey").join(
+                F.broadcast(set_keys_only), rk_names + ["_mkey"], "left_semi"
+            )
+            missing_in = set_df.join(
+                F.broadcast(data_in_req), rk_names + ["_mkey"], "left_anti"
+            ).join(F.broadcast(present_set_keys), rk_names, "left_semi")
         parts.append(
             make_differences(
                 missing_in,
@@ -1069,7 +1133,12 @@ def _check_mapping_multi(
             # members that can never equal a value of this column type:
             # unconditionally Missing for keys present in the data
             inc_df = spark.createDataFrame(incompat_rows, expect_schema)
-            inc_missing = inc_df.join(F.broadcast(present), rk_names, "left_semi")
+            if has_null_key:
+                inc_missing = ns_join(inc_df, present, rk_names, "left_semi")
+            else:
+                inc_missing = inc_df.join(
+                    F.broadcast(present), rk_names, "left_semi"
+                )
             parts.append(
                 make_differences(
                     inc_missing,
@@ -1107,6 +1176,12 @@ def _check_mapping_multi(
     # 6) sequence family — positional compare per key; the index window
     #    is PARTITIONED BY KEY (bounded groups, never a global window)
     if seqs:
+        if any(x is None for k in seqs for x in key_tuple(k)):
+            raise NotImplementedError(
+                "sequence-valued requirement for a None-containing key is "
+                "not supported; filter the NULL-keyed rows and validate "
+                "them separately"
+            )
         order_names = _cols(order_by)
         seq_schema = T.StructType(
             list(key_schema.fields)

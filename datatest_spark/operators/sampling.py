@@ -33,6 +33,20 @@ def _cols(columns: ColumnsArg) -> list:
     return [columns] if isinstance(columns, str) else list(columns)
 
 
+def _hash_supported(dt) -> bool:
+    """True when xxhash64 accepts the type (maps are unhashable in
+    Spark, anywhere in a nested type)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hash_supported(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hash_supported(f.dataType) for f in dt.fields)
+    return True
+
+
 def _bucket(df_cols: Sequence[str], salt: int, method: str) -> Column:
     if method == "hash":
         return F.pmod(F.xxhash64(*[F.col(c) for c in df_cols], F.lit(salt)), F.lit(_BUCKETS))
@@ -159,8 +173,19 @@ def stratified_cap(
     else:
         # raw 64-bit hash, NOT bucketed: pmod(,1e6) guarantees ties in
         # groups beyond ~1e3 rows (birthday) and row_number breaks ties
-        # by arrival order — nondeterministic across partitionings
-        order = [F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt))]
+        # by arrival order — nondeterministic across partitionings.
+        # Hash-unsupported columns (MapType anywhere in the type) are
+        # excluded from the default pick hash: xxhash64 would raise
+        # AnalysisException on them even though they are irrelevant to
+        # the cap.  Pass order_by= explicitly if the surviving columns
+        # don't determine the row (duplicate rows still cap fine).
+        hashable = [c for c in df.columns if _hash_supported(df.schema[c].dataType)]
+        if not hashable:
+            raise ValueError(
+                "no hash-supported columns for the default pick order; "
+                "pass order_by= explicitly"
+            )
+        order = [F.xxhash64(*[F.col(c) for c in hashable], F.lit(salt))]
     w = Window.partitionBy(*[F.col(c) for c in groups]).orderBy(*order)
     return (
         df.withColumn("_scap_rn", F.row_number().over(w))

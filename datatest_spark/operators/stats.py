@@ -533,19 +533,37 @@ class StatSketchStore:
             # one read, one collect: pairs serve both the column-set
             # guard and the done-set
             pairs = cur.select("column_name", "partition_id").distinct().collect()
-            stored_cols = sorted({p["column_name"] for p in pairs})
-            if stored_cols != sorted(columns):
-                raise ValueError(
-                    f"store at {self.path} holds columns {stored_cols}, "
-                    f"asked for {sorted(columns)} — use a fresh path"
-                )
-            done = sorted({p["partition_id"] for p in pairs})
+            # a store holding ZERO rows (e.g. a prior run where every
+            # partition failed, only_ids=[]) has no column set — treat
+            # it as fresh instead of raising a column mismatch, or the
+            # documented resume-after-fix workflow is permanently broken
+            if pairs:
+                stored_cols = sorted({p["column_name"] for p in pairs})
+                if stored_cols != sorted(columns):
+                    raise ValueError(
+                        f"store at {self.path} holds columns {stored_cols}, "
+                        f"asked for {sorted(columns)} — use a fresh path"
+                    )
+                done = sorted({p["partition_id"] for p in pairs})
         pid = F.coalesce(F.col(partition_col).cast("string"), F.lit(NULL_PARTITION))
         pending = df
         if done:
             pending = pending.filter(~pid.isin(done))
         if only_ids is not None:
-            pending = pending.filter(pid.isin([str(i) for i in only_ids]))
+            only = [str(i) for i in only_ids]
+            if not only:
+                # nothing may be sketched this call: skip the append
+                # entirely (an empty append would CREATE an empty store)
+                # and report stats from whatever is already stored
+                base = (
+                    cur
+                    if cur is not None
+                    else partition_stat_sketches(
+                        pending.limit(0), columns, partition_col, lg_k=lg_k
+                    )
+                )
+                return merge_stat_sketches(base, table_name=table_name)
+            pending = pending.filter(pid.isin(only))
         fresh = partition_stat_sketches(pending, columns, partition_col, lg_k=lg_k)
         fresh.write.mode("append").parquet(self.path)
         return merge_stat_sketches(

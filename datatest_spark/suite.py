@@ -118,11 +118,23 @@ class ValidationSuite:
         # per-partition verdicts: rows checked vs violations found.
         # (two aggregations over tiny/pruned relations — the diff agg
         # reuses the diff plan, the row count scans only partition_col)
-        part_rows = main.groupBy(
-            F.col(self.partition_col).alias("partition_id")
-        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        # NULL partition values are normalized to the same '__null__'
+        # sentinel the stats store uses, ON BOTH SIDES of the verdict
+        # join — a raw full_outer on partition_id can never match NULL
+        # keys, which would split a violating NULL partition into an
+        # 'ok' data row plus a 'failed' diff row (and freeze its
+        # pre-fix sketches into the stats store).
+        from .operators.stats import NULL_PARTITION
+
+        part_pid = F.coalesce(
+            F.col(self.partition_col).cast("string"), F.lit(NULL_PARTITION)
+        )
+        part_rows = main.groupBy(part_pid.alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        diff_pid = F.coalesce(F.col("partition_id"), F.lit(NULL_PARTITION))
         diff_stats = (
-            diffs.groupBy(F.col("partition_id"))
+            diffs.groupBy(diff_pid.alias("partition_id"))
             .agg(
                 F.count(F.lit(1)).alias("n_violations"),
                 F.sum(lineage_hash_col()).cast("string").alias("lineage_hash"),
@@ -130,11 +142,20 @@ class ValidationSuite:
         )
         # full_outer: checks without a partition_id (set/unique on distinct
         # values) land in a synthetic '__global__' verdict row so their
-        # violations are never dropped from the totals
+        # violations are never dropped from the totals.  When the data
+        # itself has NO NULL-partition rows the sentinel diff row keeps
+        # the historical '__global__' name; when it does, partitionless
+        # diffs merge into the '__null__' row (indistinguishable by
+        # schema — both carry NULL partition_id).
         verdicts = (
             part_rows.join(diff_stats, "partition_id", "full_outer")
             .withColumn(
-                "partition_id", F.coalesce(F.col("partition_id"), F.lit("__global__"))
+                "partition_id",
+                F.when(
+                    (F.col("partition_id") == NULL_PARTITION)
+                    & F.col("n_rows").isNull(),
+                    F.lit("__global__"),
+                ).otherwise(F.col("partition_id")),
             )
             .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
             .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
@@ -175,18 +196,14 @@ class ValidationSuite:
         # is re-sketched on the passing re-run — never frozen pre-fix.
         merged_stats = None
         if stats_store is not None:
-            from .operators.stats import NULL_PARTITION
-
+            # NULL-partition data rows now surface as the '__null__'
+            # verdict row (same sentinel the store uses), so ok_ids
+            # carries them directly; '__global__' rows have no data
             ok_ids = [
                 str(r["partition_id"])
                 for r in verdicts_rows
                 if r["status"] == "ok" and r["partition_id"] != "__global__"
             ]
-            if any(
-                r["partition_id"] == "__global__" and r["status"] == "ok"
-                for r in verdicts_rows
-            ):
-                ok_ids.append(NULL_PARTITION)
             merged_stats = stats_store.update(
                 main,
                 stats_columns or [c for c in main.columns if c != self.partition_col],

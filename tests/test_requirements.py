@@ -480,3 +480,27 @@ class TestCheckSchema:
 
         df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS amt")
         assert valid(validate.schema(df, {"amt": "decimal(10, 2)"}))
+
+
+def test_mapping_null_requirement_key(spark):
+    """A None key in the requirement matches NULL-keyed data rows
+    null-safely across the families (set / scalar) instead of flagging
+    them Extra — plain name equi-joins can never match a NULL key."""
+    rows = [(None, 1), (None, 3), ("A", 1), ("B", 9)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    req = {None: {1, 2}, "A": 1}
+    got = diff_multiset(validate(df, "v", req, key_columns="k", value_column="v"))
+    assert got == [
+        ("extra", None, "3", None, None),    # NULL key, member not in set
+        ("extra", "B", "9", None, None),     # key not in requirement
+        ("missing", None, "2", None, None),  # required member absent for NULL key
+    ]
+
+
+def test_mapping_null_key_sequence_unsupported(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(None, "a")], "k string, v string")
+    with _pytest.raises(NotImplementedError, match="None-containing key"):
+        validate(df, "v", {None: ["a"]}, key_columns="k", value_column="v",
+                 order_by="v")

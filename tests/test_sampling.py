@@ -197,3 +197,19 @@ class TestMixtureSample:
 
         with _pytest.raises(ValueError, match=">= 0"):
             mixture_sample(df, "source", {"a": 1.0, "b": -0.1}, "doc_id")
+
+
+def test_stratified_cap_map_column_default_order(spark):
+    """MapType columns are unhashable in Spark; the default pick hash
+    must skip them instead of raising AnalysisException."""
+    from datatest_spark.operators.sampling import stratified_cap
+
+    df = spark.createDataFrame(
+        [(i, "g", {"k": str(i)}) for i in range(10)],
+        "id long, grp string, meta map<string,string>",
+    )
+    out = stratified_cap(df, "grp", 3)
+    assert out.count() == 3
+    a = {r["id"] for r in stratified_cap(df.repartition(1), "grp", 3).collect()}
+    b = {r["id"] for r in stratified_cap(df.repartition(5), "grp", 3).collect()}
+    assert a == b  # pick is deterministic across partitionings

@@ -264,3 +264,29 @@ def test_sketch_store_read_error_propagates(spark, tmp_path):
         )
     # missing path is fine
     assert StatSketchStore(spark, str(tmp_path / "absent")).read() is None
+
+
+def test_sketch_store_update_after_all_failed_run(spark, tmp_path):
+    """only_ids=[] (every partition failed) must not create an empty
+    store that poisons later updates with a column-set ValueError."""
+    from datatest_spark.operators.stats import (
+        StatSketchStore,
+        partition_stat_sketches,
+    )
+
+    df = spark.createDataFrame([(1, "p0")], "id long, part string")
+    store = StatSketchStore(spark, str(tmp_path / "skaf"))
+    empty_stats = store.update(df, ["id"], "part", only_ids=[])
+    assert empty_stats.count() == 0
+    assert store.read() is None  # nothing written, store not created
+    # the documented resume-after-fix workflow still works
+    stats = store.update(df, ["id"], "part", only_ids=["p0"])
+    assert {r["column_name"] for r in stats.collect()} == {"id"}
+    assert store.stored_ids() == ["p0"]
+
+    # a store that exists but holds ZERO rows behaves as fresh too
+    p2 = str(tmp_path / "skaf2")
+    partition_stat_sketches(df.limit(0), ["id"], "part").write.parquet(p2)
+    store2 = StatSketchStore(spark, p2)
+    store2.update(df, ["id"], "part")
+    assert store2.stored_ids() == ["p0"]

@@ -303,3 +303,38 @@ def test_suite_stats_skip_failed_partitions(spark, tmp_path):
     assert r2.passed and sorted(store.stored_ids()) == ["p0", "p1"]
     got = {r["column_name"]: r for r in r2.stats.collect()}
     assert got["id"]["row_count"] == 2
+
+
+def test_suite_null_partition_verdict_and_store(spark, tmp_path):
+    """NULL partition values: ONE unified verdict row under the
+    '__null__' sentinel (never an ok/failed '__global__' split), and a
+    violating NULL partition stays OUT of the stats store until fixed."""
+    from datatest_spark import validate
+    from datatest_spark.operators.stats import NULL_PARTITION, StatSketchStore
+    from datatest_spark.suite import Check, ValidationSuite
+
+    bad = spark.createDataFrame(
+        [(1, "p0", "x"), (2, None, "BAD"), (3, None, "x")],
+        "id long, part string, v string",
+    )
+    suite = ValidationSuite(
+        [Check("v", lambda t: validate.predicate(
+            t["d"], "v", "x", check_id="v", partition_id=F.col("part")))],
+        partition_col="part",
+    )
+    store = StatSketchStore(spark, str(tmp_path / "sknull"))
+    r1 = suite.run({"d": bad}, primary="d", stats_store=store, stats_columns=["id"])
+    verd = {r["partition_id"]: r for r in r1.verdicts.collect()}
+    assert set(verd) == {"p0", NULL_PARTITION}
+    assert verd[NULL_PARTITION]["status"] == "failed"
+    assert verd[NULL_PARTITION]["n_rows"] == 2
+    assert verd[NULL_PARTITION]["n_violations"] == 1
+    assert store.stored_ids() == ["p0"]
+
+    good = spark.createDataFrame(
+        [(1, "p0", "x"), (2, None, "x"), (3, None, "x")],
+        "id long, part string, v string",
+    )
+    r2 = suite.run({"d": good}, primary="d", stats_store=store, stats_columns=["id"])
+    assert r2.passed
+    assert sorted(store.stored_ids()) == [NULL_PARTITION, "p0"]
