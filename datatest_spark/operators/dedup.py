@@ -140,6 +140,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.6,
     candidates: Optional[DataFrame] = None,
+    strategy: str = "posting_list",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
 
@@ -148,15 +149,27 @@ def ngram_jaccard_pairs(
     prefix-filtered inverted-index join (PPJoin rule — see inline
     comment), then the same verification applies.
 
-    NOTE: the candidate-free path runs up to two small *eager* probe
-    jobs at plan-construction time (a ≤66-row distinct-gram probe and a
-    ≤``BITSET_MAX_DOCS``+1-row count probe) to pick the physical
-    strategy — this function is a planner, not a pure DataFrame builder.
+    ``strategy`` picks the candidate-free physical plan (exact either
+    way):
+
+    * ``"posting_list"`` (default) — the inverted-index counting join;
+      PURE lazy builder, constructing the DataFrame runs zero jobs.
+    * ``"bitset"`` — the ≤64-gram dictionary fast path (doc gram set
+      encoded as one long, pairs compared with two bit_counts).  Runs
+      one small vocabulary probe job at plan-construction time and
+      raises if the corpus exceeds the vocab/doc-count bounds.
+    * ``"auto"`` — probe the vocabulary and doc count (two small eager
+      jobs at plan-construction time) and pick for you — the only
+      job-triggering default-free path, opt-in by name.
     """
     grams = df.select(
         F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
     )
     if candidates is None:
+        if strategy not in ("posting_list", "bitset", "auto"):
+            raise ValueError(
+                "strategy must be 'posting_list', 'bitset' or 'auto'"
+            )
         # Inverted-index intersection COUNTING: explode to (id, gram)
         # postings, self-join on the gram, count shared grams per pair,
         # derive Jaccard from |A∩B| and the two set sizes.  Exact, one
@@ -174,24 +187,36 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("_gid"),
             F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
         )
-        # Adaptive small-dictionary fast path: when the distinct-gram
-        # vocabulary fits in 64 bits (dictionary-encoded corpora, tag
-        # sets, tiny synthetic vocabularies), encode each doc's gram SET
-        # as one long and compare pairs with two bit_counts — the whole
-        # join is codegen'd longs, no posting-list fan-out at all.  The
-        # probe (66 rows) is one cheap job; exact either way.  A tiny
+        # Small-dictionary fast path: when the distinct-gram vocabulary
+        # fits in 64 bits (dictionary-encoded corpora, tag sets, tiny
+        # synthetic vocabularies), encode each doc's gram SET as one
+        # long and compare pairs with two bit_counts — the whole join is
+        # codegen'd longs, no posting-list fan-out at all.  A tiny
         # vocabulary does NOT imply few documents, so the path is also
         # gated on doc count (the broadcast side and the n²/2 pair scan
         # must both stay bounded); beyond it, the posting-list join wins
         # anyway because a ≤64-gram corpus has ≤64 postings lists.
-        vocab = [
-            r["_gram"]
-            for r in g.select("_gram").distinct().limit(66).collect()
-        ]
-        small_vocab = len(vocab) <= 64
-        if small_vocab and (
-            df.select(id_col).limit(BITSET_MAX_DOCS + 1).count() <= BITSET_MAX_DOCS
-        ):
+        # The probes are eager jobs, so they run ONLY under the opt-in
+        # 'bitset'/'auto' strategies — never from the lazy default.
+        if strategy in ("bitset", "auto"):
+            vocab = [
+                r["_gram"]
+                for r in g.select("_gram").distinct().limit(66).collect()
+            ]
+            small_vocab = len(vocab) <= 64
+            small_docs = (
+                df.select(id_col).limit(BITSET_MAX_DOCS + 1).count()
+                <= BITSET_MAX_DOCS
+            )
+            if strategy == "bitset" and not (small_vocab and small_docs):
+                raise ValueError(
+                    f"bitset strategy needs ≤64 distinct grams and "
+                    f"≤{BITSET_MAX_DOCS} docs; use 'posting_list' or 'auto'"
+                )
+            use_bitset = small_vocab and small_docs
+        else:
+            use_bitset = False
+        if use_bitset:
             idx_df = df.sparkSession.createDataFrame(
                 [(t, i) for i, t in enumerate(sorted(vocab))], "_gram string, _bit int"
             )

@@ -180,3 +180,43 @@ def test_word_ngrams_short_text(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     grams = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()[0]["g"]
     assert grams == ["one two"]  # shorter than n → whole text as one shingle
+
+
+def _n_jobs(spark) -> int:
+    """Total jobs this application has run (AppStatusStore)."""
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_ngram_jaccard_default_is_lazy(spark, docs):
+    """The default strategy is a PURE plan builder: constructing the
+    DataFrame triggers zero Spark jobs (no hidden probe scans)."""
+    before = _n_jobs(spark)
+    plan = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert _n_jobs(spark) == before
+    pairs = {(r["id_a"], r["id_b"]) for r in plan.collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_strategies_agree(spark, docs):
+    """bitset / auto / posting_list are different physical plans for the
+    same exact result on a small-vocab corpus."""
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.5).collect())
+    )
+    for strat in ("bitset", "auto"):
+        got = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(docs, threshold=0.5, strategy=strat).collect(),
+            )
+        )
+        assert got == want, strat
+
+
+def test_ngram_jaccard_bitset_rejects_large_vocab(spark):
+    import pytest as _pytest
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bitset strategy"):
+        ngram_jaccard_pairs(df, ngram=1, threshold=0.5, strategy="bitset")
