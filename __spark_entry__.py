@@ -3,10 +3,11 @@
 ``entry(spark)`` — flagship validation run on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 plus the
 training-data pipeline ops); each callable (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL per query.  Rows-only (no
-oracle) remain ONLY: simhash_pairs (blake2b not in SQL),
-code_files_verdicts (generator uses Spark-seeded xxhash64), and
-multimodal_features (binary payload digests).  Approximate ops are
+``oracle_sql()`` — DuckDB-equivalent SQL per query.  EVERY query now
+carries an oracle.  Queries over generated (non-testdata) inputs use a
+shared-parquet handoff: the query materializes its deterministic input
+(or a single-process expected table) under ORACLE_SHARE_DIR and the
+SQL reads the same bytes via read_parquet.  Approximate ops are
 oracled structurally: MinHash-LSH against the exact-Jaccard ground
 truth, IVF top-k by containment in the exact top-2k, fuzzy (difflib)
 on a prefix+suffix family with a closed-form ratio.
@@ -860,18 +861,36 @@ WHERE (l_quantity < 5 OR l_quantity > 45)
 """
 
 
+#: shared-parquet handoff dir: the generated tables are materialized
+#: once per call and the DuckDB oracle reads the SAME bytes, so the
+#: Spark-seeded generator no longer blocks a full value oracle
+ORACLE_SHARE_DIR = "/tmp/dts_oracle_share"
+
+
 def q_code_files_verdicts(spark, sf_dir):
-    """Flagship north_rule shape — rows-only check (the synthetic
-    code_files generator uses Spark's seeded xxhash64, not reproducible
-    in DuckDB): full 6-check suite over the dirty synthetic table,
-    per-partition pass/fail verdicts."""
+    """Flagship north_rule shape: full 5-check suite over the dirty
+    synthetic code table, per-partition pass/fail verdicts.  The
+    generated tables (Spark-seeded xxhash64, not computable in DuckDB)
+    are written to parquet and the oracle expresses the same check +
+    verdict logic in SQL over that parquet — a full value oracle."""
     from datatest_spark import validate
     from datatest_spark.operators.referential import check_referential
     from datatest_spark.sources.fixtures import LANGS, code_files, with_partition_id
     from datatest_spark.suite import Check, ValidationSuite
 
-    df = with_partition_id(code_files(spark, 20_000, variant="dirty", partitions=8))
-    parents = code_files(spark, 2_000, variant="clean", partitions=8).select("repo").distinct()
+    gen = with_partition_id(code_files(spark, 20_000, variant="dirty", partitions=8))
+    gen_parents = (
+        code_files(spark, 2_000, variant="clean", partitions=8)
+        .select("repo")
+        .distinct()
+    )
+    code_path = f"{ORACLE_SHARE_DIR}/code_files"
+    repos_path = f"{ORACLE_SHARE_DIR}/code_repos"
+    gen.write.mode("overwrite").parquet(code_path)
+    gen_parents.write.mode("overwrite").parquet(repos_path)
+    # both engines compute from the SAME parquet bytes
+    df = spark.read.parquet(code_path)
+    parents = spark.read.parquet(repos_path)
     suite = ValidationSuite(
         [
             Check("lang_subset", lambda t: validate.subset(t["code"], "lang", set(LANGS), check_id="lang_subset")),
@@ -889,6 +908,35 @@ def q_code_files_verdicts(spark, sf_dir):
     )
     res = suite.run({"code": df, "repos": parents}, primary="code")
     return res.verdicts.select("partition_id", "status", "n_rows", "n_violations")
+
+
+SQL_CODE_FILES_VERDICTS = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/code_files/*.parquet')),
+repos AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/code_repos/*.parquet')),
+v AS (
+  SELECT
+    (SELECT count(*) FROM (SELECT DISTINCT lang FROM code) dl
+      WHERE lang IS NULL
+         OR lang NOT IN ('python','java','go','rust','sql','markdown'))
+  + (SELECT count(*) FROM code
+      WHERE content IS NULL OR length(content) < 1 OR length(content) > 50000)
+  + (SELECT count(*) FROM (SELECT repo, path, commit FROM code
+                           GROUP BY 1, 2, 3 HAVING count(*) > 1) dup)
+  + (SELECT count(*) FROM code c
+      WHERE NOT EXISTS (SELECT 1 FROM repos r WHERE r.repo = c.repo))
+  + (SELECT count(*) FROM code
+      WHERE NOT coalesce(regexp_matches(commit, '^[0-9a-f]{{40}}$'), FALSE))
+    AS nv
+)
+SELECT partition_id, 'ok' AS status, count(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_violations
+FROM code GROUP BY partition_id
+UNION ALL
+SELECT '__global__' AS partition_id,
+       CASE WHEN nv = 0 THEN 'ok' ELSE 'failed' END AS status,
+       CAST(0 AS BIGINT) AS n_rows, CAST(nv AS BIGINT) AS n_violations
+FROM v
+"""
 
 
 def q_quality_score_documents(spark, sf_dir):
@@ -955,14 +1003,62 @@ FROM d WHERE abs(deviation / bound) > 0.2
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary media — rows-only check (payloads are generated binary,
-    not oracle-expressible).  Image/audio rows carry WELL-FORMED
-    PPM/WAV payloads and go through the REAL decoders (numpy header
-    parse + sample math); video rows (codec formats, stubbed decode)
-    use the digest feature path."""
-    from datatest_spark.operators.multimodal import extract_features, synthetic_media
+    """Binary media through the REAL decoders: image/audio rows carry
+    WELL-FORMED PPM/WAV payloads (numpy header parse + sample math);
+    video rows (codec formats, by-design decode boundary) use the
+    digest feature path.  Oracle: the deterministic payloads are
+    recomputed in plain single-process Python on the driver and written
+    to an expected-parquet the DuckDB side reads — verifying the whole
+    distributed mapInPandas path against a non-Spark reference.  f0 is
+    exact in every branch (integer-valued or dyadic-rational doubles),
+    so no rounding is needed on either side."""
+    import hashlib
+    import os
 
-    m = synthetic_media(spark, 3000, partitions=8, payload_format="media")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datatest_spark.operators.multimodal import (
+        _fake_features,
+        _ppm_payload,
+        _real_features,
+        _wav_payload,
+        extract_features,
+        synthetic_media,
+    )
+
+    n = 3000
+    kinds, ids, shas, lens, f0s = [], [], [], [], []
+    for i in range(n):
+        k = i % 3
+        kind = ("image", "audio", "video")[k]
+        if k == 0:
+            payload = _ppm_payload(i)
+        elif k == 1:
+            payload = _wav_payload(i)
+        else:
+            payload = hashlib.sha512(b"media:%d" % i).digest()
+        feats = _fake_features(payload) if k == 2 else _real_features(kind, payload)
+        ids.append(i)
+        kinds.append(kind)
+        shas.append(hashlib.sha256(payload).hexdigest())
+        lens.append(len(payload))
+        f0s.append(float(feats[0]))
+    os.makedirs(f"{ORACLE_SHARE_DIR}/multimodal_expected", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload_sha256": pa.array(shas, pa.string()),
+                "n_bytes": pa.array(lens, pa.int64()),
+                "f0": pa.array(f0s, pa.float64()),
+            }
+        ),
+        f"{ORACLE_SHARE_DIR}/multimodal_expected/expected.parquet",
+    )
+
+    m = synthetic_media(spark, n, partitions=8, payload_format="media")
     real = extract_features(m.filter(F.col("kind") != "video"), decoder="real")
     fake = extract_features(m.filter(F.col("kind") == "video"), decoder="fake")
     f = real.unionByName(fake)
@@ -971,8 +1067,14 @@ def q_multimodal_features(spark, sf_dir):
         "kind",
         "payload_sha256",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.element_at("features", 1).alias("f0"),
     )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT media_id, kind, payload_sha256, n_bytes, f0
+FROM read_parquet('{ORACLE_SHARE_DIR}/multimodal_expected/*.parquet')
+"""
 
 
 def q_split_documents(spark, sf_dir):
@@ -1554,10 +1656,10 @@ def oracle_sql() -> dict[str, str]:
         "order_region_names": SQL_ORDER_REGION,
         "fuzzy_doc_normalization": SQL_FUZZY_SUFFIX,
         "acceptance_tolerance_quantity": SQL_ACCEPT_TOLERANCE,
-        # code_files_verdicts: rows-only (seeded xxhash64 generator not in DuckDB)
+        "code_files_verdicts": SQL_CODE_FILES_VERDICTS,
         "quality_score_documents": SQL_QUALITY_SCORE,
         "acceptance_percent_psize": SQL_ACCEPT_PERCENT,
-        # multimodal_features: rows-only (binary payload digests not in DuckDB)
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "ivf_topk_embeddings": SQL_IVF_CONTAINMENT,
         "split_documents": SQL_SPLIT_DOCUMENTS,
         "mixture_documents": SQL_MIXTURE_DOCUMENTS,
