@@ -836,6 +836,143 @@ WHERE text IS NULL
 """
 
 
+def q_acceptance_instance_nation(spark, sf_dir):
+    """accepted(instance) | accepted(class) (reference A1): the Deviation
+    (1.0, 2.0) instance admits every equal difference; the Missing class
+    branch admits nothing here (no Missing rows) — survivors are the
+    deviation-2.0 rows only."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+    from datatest_spark.plans.differences import Deviation, Missing
+
+    n = _t(spark, sf_dir, "nation")
+    d = validate.interval(n, "n_regionkey", max=2, check_id="rk")
+    surv = apply_acceptance(d, accepted(Deviation(1.0, 2.0)) | accepted(Missing))
+    return surv.select("diff_kind", "value", "expected", "deviation")
+
+
+SQL_ACCEPT_INSTANCE = """
+SELECT 'deviation' AS diff_kind, CAST(n_regionkey AS VARCHAR) AS value,
+       '2.0' AS expected, CAST(n_regionkey - 2 AS DOUBLE) AS deviation
+FROM nation WHERE n_regionkey > 2 AND n_regionkey - 2 <> 1.0
+"""
+
+
+def q_acceptance_list_quantity(spark, sf_dir):
+    """accepted([instance] * 7) (reference A1 list): one-to-one multiset
+    consumption — exactly 7 matching differences are admitted, the rest
+    survive.  Survivors aggregated per value (WHICH 7 are consumed is
+    deterministic canonical order; the counts are order-free)."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+    from datatest_spark.plans.differences import Deviation
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.interval(li, "l_quantity", min=1.0, max=49.0, check_id="q")
+    surv = apply_acceptance(d, accepted([Deviation(1.0, 49.0)] * 7))
+    return surv.groupBy("value").agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
+SQL_ACCEPT_LIST = """
+SELECT CAST(l_quantity AS VARCHAR) AS value,
+       count(*) - (CASE WHEN l_quantity = 50.0 THEN 7 ELSE 0 END) AS n_survivors
+FROM lineitem WHERE l_quantity > 49 OR l_quantity < 1
+GROUP BY l_quantity
+"""
+
+
+def q_acceptance_keys_mapping(spark, sf_dir):
+    """accepted.keys(regex) (reference A2): diffs whose mapping key
+    matches ^[019]$ are admitted; survivors come from keys 2/3/4 of the
+    multi-family mapping requirement."""
+    import re
+
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    n = _t(spark, sf_dir, "nation")
+    req = {
+        0: {"NATION_0", "NATION_10", "NATION_15", "NATION_20", "NATION_5", "NATION_99"},
+        1: {"NATION_1", "NATION_11", "NATION_16", "NATION_21"},
+        2: re.compile(r"^NATION_"),
+        3: re.compile(r"^NATION_1"),
+        9: {"NATION_X"},
+    }
+    d = validate.mapping(n, "n_regionkey", req, "n_name", check_id="mm")
+    surv = apply_acceptance(d, accepted.keys(re.compile(r"^[019]$")))
+    return surv.select("diff_kind", "key", "value", "expected")
+
+
+SQL_ACCEPT_KEYS = f"""
+SELECT * FROM ({SQL_MAPPING_MULTI}) mm
+WHERE NOT coalesce(regexp_matches(key, '^[019]$'), FALSE)
+"""
+
+
+def q_acceptance_args_psize(spark, sf_dir):
+    """accepted.args(set) (reference A3): the predicate applies to the
+    numeric deviation of Deviation rows — deviations in {1,2,3} are
+    admitted, larger ones survive."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    p = _t(spark, sf_dir, "part")
+    d = validate.interval(p, "p_size", max=45, check_id="ps")
+    surv = apply_acceptance(d, accepted.args({1.0, 2.0, 3.0}))
+    return surv.select(
+        "diff_kind",
+        F.col("value").cast("bigint").alias("value_num"),
+        "deviation",
+    )
+
+
+SQL_ACCEPT_ARGS = """
+SELECT 'deviation' AS diff_kind, CAST(p_size AS BIGINT) AS value_num,
+       CAST(p_size - 45 AS DOUBLE) AS deviation
+FROM part WHERE p_size - 45 > 3
+"""
+
+
+def q_acceptance_fuzzy_documents(spark, sf_dir):
+    """accepted.fuzzy (reference A6, real difflib UDF) with the same
+    closed-form family as the fuzzy check: value is a prefix of
+    expected (+30-char suffix), so ratio = 2n/(2n+30) exactly with
+    n = len(value) varying per doc (all < 200: autojunk off).  cutoff
+    0.99 turns every pair into an Invalid carrying (value, expected);
+    accepted.fuzzy(0.85) then admits ratios ≥ 0.85 — survivors are
+    exactly the docs with n < 85, computable in SQL."""
+    from datatest_spark import accepted, validate
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    d = _t(spark, sf_dir, "documents")
+    paired = d.select(
+        "doc_id",
+        F.expr("substring(text, 1, 40 + CAST(doc_id % 80 AS INT))").alias("raw"),
+        F.concat(
+            F.expr("substring(text, 1, 40 + CAST(doc_id % 80 AS INT))"),
+            F.lit("#" * 30),
+        ).alias("withsuf"),
+    )
+    diff = validate.fuzzy(paired, "raw", "withsuf", cutoff=0.99, check_id="fz")
+    surv = apply_acceptance(diff, accepted.fuzzy(0.85))
+    return surv.select(
+        "diff_kind",
+        F.sha2(F.coalesce(F.col("value"), F.lit("")), 256).alias("value_sha"),
+    )
+
+
+SQL_ACCEPT_FUZZY = """
+WITH f AS (
+  SELECT doc_id, substr(text, 1, 40 + CAST(doc_id % 80 AS INT)) AS raw
+  FROM documents
+)
+SELECT 'invalid' AS diff_kind, sha256(coalesce(raw, '')) AS value_sha
+FROM f
+WHERE raw IS NULL
+   OR 2.0 * len(raw) / (2 * len(raw) + 30) < 0.85
+"""
+
+
 def q_acceptance_tolerance_quantity(spark, sf_dir):
     """interval check + accepted.tolerance(±3): only deviations beyond
     the tolerance survive (reference acceptance semantics A4)."""
@@ -1621,6 +1758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_documents": q_decontam_documents,
         "dup_clusters_documents": q_dup_clusters,
         "acceptance_count_discount": q_acceptance_count_discount,
+        "acceptance_instance_nation": q_acceptance_instance_nation,
+        "acceptance_list_quantity": q_acceptance_list_quantity,
+        "acceptance_keys_mapping": q_acceptance_keys_mapping,
+        "acceptance_args_psize": q_acceptance_args_psize,
+        "acceptance_fuzzy_documents": q_acceptance_fuzzy_documents,
     }
 
 
@@ -1674,4 +1816,9 @@ def oracle_sql() -> dict[str, str]:
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS,
         "acceptance_count_discount": SQL_ACCEPT_COUNT,
+        "acceptance_instance_nation": SQL_ACCEPT_INSTANCE,
+        "acceptance_list_quantity": SQL_ACCEPT_LIST,
+        "acceptance_keys_mapping": SQL_ACCEPT_KEYS,
+        "acceptance_args_psize": SQL_ACCEPT_ARGS,
+        "acceptance_fuzzy_documents": SQL_ACCEPT_FUZZY,
     }
