@@ -686,12 +686,50 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-LARGER
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    mins = sym.groupBy("s").agg(F.min("d").alias("_mn"))
+    m = F.least(F.col("s"), F.col("_mn"))
+    return (
+        sym.join(mins, "s")
+        .filter(F.col("d") > F.col("s"))
+        .select(F.col("d").alias("s"), m.alias("d"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small; every node
+    connects its smaller-or-equal neighbors AND itself to the minimum."""
+    o = (
+        e.filter(F.col("s") != F.col("d"))
+        .select(
+            F.greatest(F.col("s"), F.col("d")).alias("s"),
+            F.least(F.col("s"), F.col("d")).alias("d"),
+        )
+        .distinct()
+    )
+    mins = o.groupBy("s").agg(F.min("d").alias("_mn"))  # _mn < s by construction
+    joined = o.join(mins, "s")
+    return (
+        joined.filter(F.col("d") != F.col("_mn"))
+        .select(F.col("d").alias("s"), F.col("_mn").alias("d"))
+        .union(mins.select(F.col("s"), F.col("_mn").alias("d")))
+        .distinct()
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     *,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    reliable: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Group near-duplicate PAIRS into duplicate CLUSTERS.
 
@@ -708,55 +746,121 @@ def duplicate_clusters(
     label and its neighbors' labels; a fixpoint is a component-wide
     minimum.  Rounds needed = graph diameter, and near-dup similarity
     graphs are dense clique-ish clusters (diameter ~1-3), so this
-    converges in a handful of rounds.  For adversarially long chains
-    the alternating large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce") halves diameter per round;
-    not needed for dedup workloads.
+    converges in a handful of rounds.  If the graph has NOT converged
+    after ``max_iter // 2`` rounds (adversarially long chains), the
+    operator switches to the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") seeded with the partial labels as extra edges —
+    O(log² n) rounds regardless of diameter, so a 10k-node path graph
+    converges where plain propagation would need 10k rounds.
 
     Scale notes: per round = one shuffle join (labels x edges, both
     sides hash-partitioned on the node key — co-partitioned across
     rounds so AQE reuses the layout) + one min-agg with map-side
-    partial agg.  ``localCheckpoint`` truncates the growing lineage
-    each round (swap for reliable ``checkpoint`` on a real cluster).
+    partial agg.  Lineage is truncated every round; ``reliable=True``
+    swaps executor-local ``localCheckpoint`` (lost on executor death)
+    for reliable ``checkpoint`` to ``checkpoint_dir`` — set it on any
+    real cluster where executors can be preempted mid-computation.
     Convergence is detected with a single scalar: sum(labels) is
     strictly monotone decreasing until the fixpoint, so an unchanged
     sum IS convergence — no expensive old-vs-new join.
     """
+    spark = pairs.sparkSession
+    if reliable:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        elif spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint dir: pass checkpoint_dir= "
+                "or call sparkContext.setCheckpointDir first"
+            )
+
+    def _ck(d: DataFrame) -> DataFrame:
+        return d.checkpoint() if reliable else d.localCheckpoint()
+
     edges = pairs.select(
         F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
     )
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.repartition("s").persist()
+    converged = False
     try:
         # init = round one fused: label(v) = min(v, min neighbor) in the
         # same agg that discovers the node set (one fewer join round)
-        labels = (
+        labels = _ck(
             sym.groupBy(F.col("s").alias("node"))
             .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("label"))
-            .localCheckpoint()
         )
         # decimal(38,0) sum: overflow-proof convergence scalar for any ids
         prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
-        for _ in range(max_iter):
+        for _ in range(max(1, max_iter // 2)):
             msgs = sym.join(labels, sym["s"] == labels["node"]).select(
                 F.col("d").alias("node"), "label"
             )
-            new_labels = (
+            new_labels = _ck(
                 labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-            ).localCheckpoint()
+            )
             new_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
             ).collect()[0][0]
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
-        else:
-            raise RuntimeError(
-                f"duplicate_clusters did not converge in {max_iter} rounds "
-                "(pathologically long chain? raise max_iter or use star-contraction)"
+
+        if converged:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
+
+        # star-contraction fallback.  Partial labels join the edge set as
+        # extra (node, label) edges — valid within-component edges, so the
+        # propagation work done so far is kept as a warm start.
+        def _fresh(d: DataFrame) -> DataFrame:
+            # checkpoint + re-alias: the checkpoint RDD keeps the ORIGINAL
+            # attribute ids, which collide with the still-cached `sym`
+            # attributes inside the star self-joins (optimizer
+            # 'key not found' internal error); fresh aliases decouple them
+            return _ck(d).select(F.col("s").alias("s"), F.col("d").alias("d"))
+
+        e = _fresh(
+            sym.union(
+                labels.filter(F.col("node") != F.col("label")).select(
+                    F.col("node").alias("s"), F.col("label").alias("d")
+                )
+            ).distinct()
+        )
+        prev_sig = None
+        for _ in range(max_iter):
+            e = _fresh(_small_star(_large_star(e)))
+            # convergence scalar: at the star fixpoint every edge points
+            # at its component min, so sum(d) over distinct edges is
+            # monotone non-increasing and stability = fixpoint (each
+            # round maps endpoints to values ≤ their current minima)
+            sig = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+                F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"),
+            ).collect()[0]
+            cur = (sig["n"], sig["sd"], sig["ss"])
+            if cur == prev_sig:
+                converged = True
+                break
+            prev_sig = cur
+        if not converged:
+            raise RuntimeError(
+                f"duplicate_clusters star-contraction did not converge in "
+                f"{max_iter} rounds — raise max_iter"
+            )
+        # fixpoint = disjoint stars: every non-center has edges only to
+        # its center (take min defensively), centers label themselves
+        nodes = labels.select("node")
+        return _ck(
+            nodes.join(e, nodes["node"] == e["s"], "left")
+            .groupBy("node")
+            .agg(F.min(F.coalesce(F.col("d"), F.col("node"))).alias("label"))
+        ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         sym.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

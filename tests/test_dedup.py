@@ -220,3 +220,36 @@ def test_ngram_jaccard_bitset_rejects_large_vocab(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with _pytest.raises(ValueError, match="bitset strategy"):
         ngram_jaccard_pairs(df, ngram=1, threshold=0.5, strategy="bitset")
+
+
+def test_duplicate_clusters_long_chain_star_contraction(spark):
+    """A 10k-node path graph (diameter 10k): plain min-label propagation
+    would need 10k rounds; the large-star/small-star fallback converges
+    in O(log^2 n)."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = duplicate_clusters(pairs, max_iter=24)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cluster_id").alias("s")
+    ).collect()[0]
+    assert agg["n"] == n and agg["s"] == 0  # one component, min id 0
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    if spark.sparkContext.getCheckpointDir() is None:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="checkpoint dir"):
+            duplicate_clusters(pairs, reliable=True)
+    out = duplicate_clusters(pairs, reliable=True, checkpoint_dir=str(tmp_path / "ck"))
+    got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
