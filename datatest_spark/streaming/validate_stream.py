@@ -156,40 +156,53 @@ def stateful_unique_stream(
     check_id: str = "stream_unique",
     state_timeout_ms: Optional[int] = None,
     shards: int = 512,
+    impl: str = "count",
 ) -> DataFrame:
     """Cross-batch uniqueness: Extra(key) whenever a key reappears —
     the stateful streaming analogue of ``validate.unique``.
 
-    Custom stateful operator via ``applyInPandasWithState``: state is
-    sharded by ``xxhash64(keys) % shards`` (bounded key-group count,
-    skew-proof) and each shard keeps the SET of 64-bit key hashes seen
-    so far.  A re-seen hash emits one Extra difference row carrying the
-    canonical key encoding.  State per shard grows with distinct keys —
-    set ``state_timeout_ms`` to expire idle shards (a deliberate
-    dedup-horizon knob, not a silent cap).
+    ``impl`` picks the state layout (all detect the same duplicates):
+
+    * ``"count"`` (default) — a built-in windowless streaming
+      aggregation: ``groupBy(key_hash).count()`` in UPDATE output mode
+      emits a row whenever a key's count changes, filtered to count ≥ 2
+      and projected onto the compact difference form of
+      ``validate.unique(per_occurrence=False)`` (Extra(key) with
+      ``deviation`` = occurrences − 1 so far).  The state store writes
+      per-batch DELTAS — **O(keys updated in the batch)** write volume
+      regardless of lifetime distinct keys (asserted in tests via the
+      ``numRowsUpdated`` progress metric), entirely JVM-side, no Python
+      state.  Sink must use ``outputMode("update")``; a key re-emits
+      with a higher deviation on every further duplicate.
+    * ``"mapstate"`` — ``transformWithStateInPandas`` with a per-shard
+      RocksDB-backed MapState keyed by the 64-bit key hash: point
+      lookups + inserts touch only the batch's keys, ONE append-mode
+      Extra row per re-occurrence, and ``state_timeout_ms`` maps to a
+      per-entry TTL (a per-key dedup horizon, which the count impl
+      cannot express).  Needs the ``protobuf`` package (the
+      transformWithState wire protocol) — absent in stripped
+      containers, a documented swap point like the Iceberg jar.
+    * ``"array"`` — the legacy ``applyInPandasWithState`` layout (one
+      seen-hash array per shard).  Every batch REWRITES the full array
+      of each touched shard — O(total distinct keys / shards) per shard
+      per batch, linear in stream lifetime.  Kept ONLY for resuming
+      checkpoints created by earlier versions.
+
+    ``shards`` applies to the mapstate/array layouts (bounded key-group
+    count, skew-proof); the count layout keys state by the hash itself.
 
     Collision note: a 64-bit hash match is reported without re-reading
     earlier rows (streaming cannot revisit them); at 10^9 keys the
     expected false-positive count is ~0.03 rows.
 
-    State-rewrite cost: ``applyInPandasWithState`` stores one array
-    value per shard, so every micro-batch REWRITES the full seen-set of
-    each touched shard — O(total distinct keys / shards) serialization
-    per shard per batch, linear in stream lifetime.  Raise ``shards``
-    (amortizes the rewrite and caps per-shard array size) and set
-    ``state_timeout_ms`` for long-running streams; a RocksDB list-state
-    or bloom/HLL summary is the production follow-up for unbounded key
-    cardinalities.
-
-    CHECKPOINT PINNING: ``shards`` is part of the state layout — state
-    is keyed by ``hash % shards``.  Restarting an existing checkpointed
-    stream with a different value routes keys to shards whose state
-    lacks their history, silently un-detecting duplicates.  Pin the
-    value the stream was started with (the default changed 64 → 512 in
-    round 2; resumed streams from before that must pass ``shards=64``).
+    CHECKPOINT PINNING: ``impl`` and ``shards`` are part of the state
+    layout.  Restarting an existing checkpointed stream with different
+    values routes keys to state that lacks their history, silently
+    un-detecting duplicates — pin whatever the stream was started with
+    (pre-round-3 checkpoints must pass ``impl="array"``; the shards
+    default changed 64 → 512 in round 2).
     """
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     names = list(key_cols)
     hashed = sdf.select(
@@ -203,43 +216,127 @@ def stateful_unique_stream(
         "commit string, partition_id string"
     )
 
-    def dedup(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
-        dup_values = []
-        for pdf in pdfs:
-            for kh, kenc in zip(pdf["_kh"], pdf["_kenc"]):
-                if int(kh) in seen:
-                    dup_values.append(kenc)
-                else:
-                    seen.add(int(kh))
-        state.update((list(seen),))
+    if impl == "count":
         if state_timeout_ms is not None:
-            state.setTimeoutDuration(state_timeout_ms)
-        if dup_values:
-            yield pd.DataFrame(
-                {
-                    "check_id": check_id,
-                    "diff_kind": "extra",
-                    "key": None,
-                    "value": dup_values,
-                    "expected": None,
-                    "deviation": None,
-                    "repo": None,
-                    "path": None,
-                    "commit": None,
-                    "partition_id": None,
-                }
+            raise ValueError(
+                "state_timeout_ms (per-key dedup horizon) needs "
+                "impl='mapstate' or impl='array'"
+            )
+        null_str = F.lit(None).cast("string")
+        counts = hashed.groupBy("_kh", "_kenc").agg(F.count(F.lit(1)).alias("_cnt"))
+        return counts.filter(F.col("_cnt") >= 2).select(
+            F.lit(check_id).alias("check_id"),
+            F.lit("extra").alias("diff_kind"),
+            null_str.alias("key"),
+            F.col("_kenc").alias("value"),
+            null_str.alias("expected"),
+            (F.col("_cnt") - 1).cast("double").alias("deviation"),
+            null_str.alias("repo"),
+            null_str.alias("path"),
+            null_str.alias("commit"),
+            null_str.alias("partition_id"),
+        )
+
+    def _dup_frame(dup_values):
+        return pd.DataFrame(
+            {
+                "check_id": check_id,
+                "diff_kind": "extra",
+                "key": None,
+                "value": dup_values,
+                "expected": None,
+                "deviation": None,
+                "repo": None,
+                "path": None,
+                "commit": None,
+                "partition_id": None,
+            }
+        )
+
+    if impl == "array":
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def dedup(key, pdfs, state: GroupState):
+            seen = set(state.get[0]) if state.exists else set()
+            dup_values = []
+            for pdf in pdfs:
+                for kh, kenc in zip(pdf["_kh"], pdf["_kenc"]):
+                    if int(kh) in seen:
+                        dup_values.append(kenc)
+                    else:
+                        seen.add(int(kh))
+            state.update((list(seen),))
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
+            if dup_values:
+                yield _dup_frame(dup_values)
+
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        )
+        return hashed.groupBy("_shard").applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType="seen array<long>",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    if impl != "mapstate":
+        raise ValueError("impl must be 'count', 'mapstate' or 'array'")
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:
+        raise ImportError(
+            "impl='mapstate' needs the 'protobuf' package (the "
+            "transformWithState driver protocol); it is not installed in "
+            "this environment — use the default impl='count' instead"
+        ) from ex
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    # transformWithState requires the RocksDB provider (ships with
+    # Spark); switch the session over only if it is still on the
+    # default HDFS-backed provider so an explicit user choice wins
+    spark = sdf.sparkSession
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if "RocksDB" not in (prov or ""):
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+    ttl = state_timeout_ms
+
+    class _UniqueProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState(
+                "seen", "kh long", "one tinyint", ttlDurationMs=ttl
             )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return hashed.groupBy("_shard").applyInPandasWithState(
-        dedup,
+        def handleInputRows(self, key, rows, timerValues):
+            dup_values = []
+            for pdf in rows:
+                for kh, kenc in zip(pdf["_kh"], pdf["_kenc"]):
+                    k = (int(kh),)
+                    if self._seen.containsKey(k):
+                        dup_values.append(kenc)
+                    else:
+                        # write touches ONLY this new key — O(batch)
+                        self._seen.updateValue(k, (1,))
+            if dup_values:
+                yield _dup_frame(dup_values)
+
+        def close(self) -> None:
+            pass
+
+    time_mode = "ProcessingTime" if ttl is not None else "None"
+    return hashed.groupBy("_shard").transformWithStateInPandas(
+        _UniqueProcessor(),
         outputStructType=out_schema,
-        stateStructType="seen array<long>",
         outputMode="append",
-        timeoutConf=timeout,
+        timeMode=time_mode,
     )

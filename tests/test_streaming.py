@@ -115,6 +115,9 @@ def test_foreach_batch_full_suite(spark, stream_dir):
 
 
 def test_stateful_unique_across_batches(spark, tmp_path):
+    """Default (count) layout: built-in streaming agg in UPDATE mode —
+    duplicates surface as Extra(key) with deviation = occurrences-1,
+    the compact validate.unique(per_occurrence=False) form."""
     from datatest_spark.streaming.validate_stream import stateful_unique_stream
 
     p = str(tmp_path / "susrc")
@@ -130,14 +133,39 @@ def test_stateful_unique_across_batches(spark, tmp_path):
     q = (
         d.writeStream.format("memory")
         .queryName("su_mem")
-        .outputMode("append")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     rows = spark.table("su_mem").collect()
-    assert sorted(r["value"] for r in rows) == ['{"id":2}', '{"id":4}']
+    got = sorted((r["value"], r["deviation"]) for r in rows)
+    assert got == [('{"id":2}', 1.0), ('{"id":4}', 1.0)]
     assert all(r["diff_kind"] == "extra" and r["check_id"] == "stream_unique" for r in rows)
+
+
+def test_stateful_unique_array_layout_still_works(spark, tmp_path):
+    """Legacy array layout (checkpoint compatibility): per-occurrence
+    append-mode rows."""
+    from datatest_spark.streaming.validate_stream import stateful_unique_stream
+
+    p = str(tmp_path / "susrc_arr")
+    schema = "id long, name string"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c"), (2, "b")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(schema).parquet(p)
+    d = stateful_unique_stream(sdf, ["id"], impl="array")
+    q = (
+        d.writeStream.format("memory")
+        .queryName("su_arr_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("su_arr_mem").collect()
+    assert sorted(r["value"] for r in rows) == ['{"id":2}', '{"id":2}']
 
 
 def test_secrets_and_license_checks_work_on_streams(spark, tmp_path):
@@ -175,3 +203,89 @@ def test_secrets_and_license_checks_work_on_streams(spark, tmp_path):
         got = spark.table(table).collect()
         want = check(bdf).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and want
+
+
+def _flat_write_fixture(spark, tmp_path, name, n_batches=4, per=50):
+    p = str(tmp_path / name)
+    schema = "id long, name string"
+    for b in range(n_batches):
+        rows = [(b * per + i, "x") for i in range(per)] + [(0, "x")]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if b else "overwrite"
+        ).parquet(p)
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+
+
+def test_stateful_unique_count_flat_state_writes(spark, tmp_path):
+    """Bounded streaming dedup state: per-batch state WRITES track the
+    batch's key count (state-store deltas), not the cumulative
+    distinct-key count — the legacy array layout rewrote the full
+    seen-set of every touched shard each batch."""
+    from datatest_spark.streaming.validate_stream import stateful_unique_stream
+
+    n_batches, per = 4, 50
+    sdf = _flat_write_fixture(spark, tmp_path, "flat_src", n_batches, per)
+    d = stateful_unique_stream(sdf, ["id"])
+    q = (
+        d.writeStream.format("memory")
+        .queryName("flat_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updated = [
+        pr["stateOperators"][0]["numRowsUpdated"]
+        for pr in q.recentProgress
+        if pr["numInputRows"] > 0 and pr["stateOperators"]
+    ]
+    assert len(updated) == n_batches
+    # each batch touches per (or per+1) keys; writes stay FLAT even
+    # though cumulative distinct keys quadruple over the run
+    assert all(u <= per + 1 for u in updated), updated
+    # the id-0 duplicate is re-reported with a growing multiplicity
+    rows = spark.table("flat_mem").collect()
+    assert sorted(r["deviation"] for r in rows) == [1.0, 2.0, 3.0, 4.0]
+    assert all(r["value"] == '{"id":0}' for r in rows)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="impl='mapstate' needs the protobuf package (transformWithState "
+    "driver protocol) — not installed in this container",
+)
+def test_stateful_unique_mapstate_flat_state_writes(spark, tmp_path):
+    """MapState layout: per-occurrence append rows with O(batch) state
+    writes (point inserts touch only new keys)."""
+    from datatest_spark.streaming.validate_stream import stateful_unique_stream
+
+    n_batches, per = 4, 50
+    sdf = _flat_write_fixture(spark, tmp_path, "flat_src_ms", n_batches, per)
+    d = stateful_unique_stream(sdf, ["id"], shards=8, impl="mapstate")
+    q = (
+        d.writeStream.format("memory")
+        .queryName("flat_ms_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updated = [
+        pr["stateOperators"][0]["numRowsUpdated"]
+        for pr in q.recentProgress
+        if pr["numInputRows"] > 0 and pr["stateOperators"]
+    ]
+    assert len(updated) == n_batches
+    assert all(u <= per + 1 for u in updated), updated
+    rows = spark.table("flat_ms_mem").collect()
+    assert len(rows) == n_batches
+    assert all(r["value"] == '{"id":0}' for r in rows)
