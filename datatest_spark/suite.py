@@ -106,13 +106,60 @@ class ValidationSuite:
         raise_on_failure: bool = False,
         stats_store=None,
         stats_columns: Optional[list] = None,
+        share_scan: bool = False,
     ) -> SuiteResult:
+        """``share_scan=True`` materializes the (ledger-pruned) primary
+        table into the block cache before any check plan runs, so the N
+        check branches of the unioned difference job all read the
+        in-memory copy — the source is scanned ONCE instead of once per
+        check (SURVEY.md §4 multi-check scan fusion; plan-tested).  Use
+        it when the primary fits the cluster's storage memory — project
+        wide columns you don't validate away FIRST (caching a raw
+        100 TB content column is the anti-pattern; caching the pruned
+        check columns is the win).  The cache is dropped before run()
+        returns."""
         run_id = run_id or uuid.uuid4().hex[:12]
         main = tables[primary]
         if ledger is not None:
             main = ledger.filter_pending(main, self.partition_col)
-            tables = {**tables, primary: main}
+        if share_scan:
+            # eager count(): the ONE full read of the source populates
+            # the cache BEFORE the union job — branches materializing
+            # the cache concurrently inside one job would each rescan
+            main = main.persist()
+            main.count()
+        tables = {**tables, primary: main}
+        try:
+            return self._run_inner(
+                tables,
+                primary=primary,
+                main=main,
+                ledger=ledger,
+                run_id=run_id,
+                sink_path=sink_path,
+                single_file=single_file,
+                raise_on_failure=raise_on_failure,
+                stats_store=stats_store,
+                stats_columns=stats_columns,
+            )
+        finally:
+            if share_scan:
+                main.unpersist()
 
+    def _run_inner(
+        self,
+        tables: dict,
+        *,
+        primary: str,
+        main: DataFrame,
+        ledger,
+        run_id: str,
+        sink_path,
+        single_file: bool,
+        raise_on_failure: bool,
+        stats_store,
+        stats_columns,
+    ) -> SuiteResult:
         diffs = self.build_differences(tables)
 
         # per-partition verdicts: rows checked vs violations found.

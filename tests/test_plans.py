@@ -112,3 +112,76 @@ def test_whole_stage_codegen_on_row_checks(spark):
     plan = _plan(d)
     # codegen'd operators carry the "*(n)" stage marker in toString()
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_suite_share_scan_reads_source_once(spark, tmp_path):
+    """SURVEY §4 multi-check scan fusion: with the primary persisted,
+    the unioned difference plan's N check branches all read the
+    in-memory copy — ZERO FileScans of the source in the executed plan
+    (vs one FileScan PER CHECK without sharing)."""
+    from datatest_spark import validate
+    from datatest_spark.operators.referential import check_referential
+    from datatest_spark.sources.fixtures import (
+        LANGS,
+        code_files,
+        with_partition_id,
+    )
+    from datatest_spark.suite import Check, ValidationSuite
+
+    p = str(tmp_path / "cf_src")
+    with_partition_id(code_files(spark, 500, "dirty")).write.parquet(p)
+    df = spark.read.parquet(p)
+    parents = df.select("repo").distinct()
+
+    def checks():
+        return [
+            Check("lang", lambda t: validate.subset(
+                t["code"], "lang", set(LANGS), check_id="lang")),
+            Check("size", lambda t: validate.interval(
+                t["code"].withColumn("_len", F.length("content")),
+                "_len", min=1, max=50_000, check_id="size")),
+            Check("pk", lambda t: validate.unique(
+                t["code"], ["repo", "path", "commit"], check_id="pk",
+                per_occurrence=False)),
+            Check("fk", lambda t: check_referential(
+                t["code"], "repo", t["repos"], "repo", check_id="fk")),
+            Check("commit", lambda t: validate.regex(
+                t["code"], "commit", r"^[0-9a-f]{40}$", check_id="commit")),
+            Check("partition", lambda t: validate.regex(
+                t["code"], "partition_id", r"^b\d+$", check_id="partition")),
+        ]
+
+    suite = ValidationSuite(checks())
+
+    # without sharing: one FileScan of the source PER check branch
+    plain = suite.build_differences({"code": df, "repos": parents})
+    n_plain = _plan(plain).count("FileScan")
+    assert n_plain >= 6, n_plain
+
+    # with sharing: every branch reads the cache — each remaining
+    # "FileScan" string is only the InMemoryRelation's cached-plan
+    # DESCRIPTION (always printed alongside it), not an executed scan
+    cached = df.persist()
+    try:
+        cached.count()
+        shared = suite.build_differences({"code": cached, "repos": cached.select("repo").distinct()})
+        plan = _plan(shared)
+        assert plan.count("InMemoryTableScan") >= 6, plan
+        assert plan.count("FileScan") <= plan.count("InMemoryRelation"), plan
+        # same differences either way
+        from collections import Counter
+
+        assert Counter(map(tuple, shared.collect())) == Counter(
+            map(tuple, plain.collect())
+        )
+    finally:
+        cached.unpersist()
+
+    # run(share_scan=True) wires the same mechanism end-to-end
+    r1 = suite.run({"code": df, "repos": parents}, primary="code")
+    r2 = suite.run(
+        {"code": df, "repos": parents}, primary="code", share_scan=True
+    )
+    v1 = sorted(map(tuple, r1.verdicts.select("partition_id", "status", "n_rows", "n_violations").collect()))
+    v2 = sorted(map(tuple, r2.verdicts.select("partition_id", "status", "n_rows", "n_violations").collect()))
+    assert v1 == v2 and r1.n_violations == r2.n_violations
