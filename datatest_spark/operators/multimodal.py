@@ -13,11 +13,16 @@ Decode support is split by what the format requires:
   "media")`` generates well-formed PPM/WAV payloads deterministically,
   so decode, feature extraction, and resize are exercised end-to-end
   on real bytes.
-* **Codec formats (JPEG/MP3/H.264...) are a documented stub**: the
-  libraries are not in this container; ``decoder='real'`` on a payload
-  that is not PPM/WAV raises with the integration point named
-  (PIL / torchaudio / ffmpeg).  ``decoder='fake'`` produces
-  deterministic digest-derived features for pipeline testing.
+* **Codec formats (JPEG/PNG/MP3/OGG...) are a BY-DESIGN BOUNDARY with
+  capability-gated adapters**: codec decode fundamentally requires a
+  codec library, which this engine does not vendor.  When ``Pillow`` /
+  ``soundfile`` are importable they are used automatically for
+  non-PPM image / non-PCM audio payloads (same feature vector, tested
+  behind skip-marked capability tests); when absent, ``decoder='real'``
+  raises with the integration point named.  ``decoder='fake'`` produces
+  deterministic digest-derived features for pipeline testing either
+  way.  ``codec_support()`` reports what the current environment can
+  decode.
 """
 
 from __future__ import annotations
@@ -209,6 +214,53 @@ def decode_wav(b: bytes):
         return samples, wv.getframerate()
 
 
+def codec_support() -> dict:
+    """What the current environment can decode beyond the container-free
+    formats: {'pillow': bool, 'soundfile': bool}.  The codec libraries
+    are optional by design — the engine never vendors them."""
+    out = {}
+    try:
+        import PIL.Image  # noqa: F401
+
+        out["pillow"] = True
+    except ImportError:
+        out["pillow"] = False
+    try:
+        import soundfile  # noqa: F401
+
+        out["soundfile"] = True
+    except ImportError:
+        out["soundfile"] = False
+    return out
+
+
+def _decode_image_codec(payload: bytes):
+    """(H, W, 3) uint8 via Pillow, or None when Pillow is absent."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import numpy as np
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _decode_audio_codec(payload: bytes):
+    """(mono float samples scaled to int16 range, rate) via soundfile,
+    or None when soundfile is absent."""
+    try:
+        import soundfile as sf
+    except ImportError:
+        return None
+    import numpy as np
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="int16")
+    if data.ndim > 1:
+        raise ValueError("only mono audio supported; downmix before decode")
+    return np.asarray(data, dtype=np.int16), rate
+
+
 def _fake_features(payload: bytes) -> list:
     """Deterministic stand-in for a real encoder: FEATURE_DIM doubles
     derived from the payload digest."""
@@ -218,42 +270,66 @@ def _fake_features(payload: bytes) -> list:
     ]
 
 
-def _real_features(kind: str, payload: bytes) -> list:
-    """Real features for real bytes: image → geometry + channel stats;
-    audio → rate/duration/energy stats.  Codec formats are the
-    documented integration point (PIL / torchaudio / ffmpeg)."""
+def _image_feature_vector(a) -> list:
+    """FEATURE_DIM floats from an (H, W, 3) uint8 array — shared by the
+    native PPM path and the Pillow codec path."""
     import numpy as np
 
-    if kind == "image" and payload and payload.startswith(b"P6"):
-        a = decode_ppm(payload).astype(np.float64)
-        gray = a.mean(axis=2)
-        return [
-            float(a.shape[1]),
-            float(a.shape[0]),
-            float(a[:, :, 0].mean()),
-            float(a[:, :, 1].mean()),
-            float(a[:, :, 2].mean()),
-            float(gray.mean()),
-            float(gray.std()),
-            float(np.abs(np.diff(gray, axis=1)).mean()),  # horizontal detail
-        ]
-    if kind == "audio" and payload and payload.startswith(b"RIFF"):
-        s, rate = decode_wav(payload)
-        x = s.astype(np.float64) / 32768.0
-        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
-        return [
-            float(rate),
-            len(x) / rate,
-            float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
-            float(np.abs(x).max()) if len(x) else 0.0,
-            zc,
-            float(x.mean()) if len(x) else 0.0,
-            float(x.std()) if len(x) else 0.0,
-            float(len(x)),
-        ]
+    a = a.astype(np.float64)
+    gray = a.mean(axis=2)
+    return [
+        float(a.shape[1]),
+        float(a.shape[0]),
+        float(a[:, :, 0].mean()),
+        float(a[:, :, 1].mean()),
+        float(a[:, :, 2].mean()),
+        float(gray.mean()),
+        float(gray.std()),
+        float(np.abs(np.diff(gray, axis=1)).mean()),  # horizontal detail
+    ]
+
+
+def _audio_feature_vector(s, rate: int) -> list:
+    """FEATURE_DIM floats from int16 mono samples — shared by the native
+    WAV path and the soundfile codec path."""
+    import numpy as np
+
+    x = s.astype(np.float64) / 32768.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    return [
+        float(rate),
+        len(x) / rate,
+        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+        float(np.abs(x).max()) if len(x) else 0.0,
+        zc,
+        float(x.mean()) if len(x) else 0.0,
+        float(x.std()) if len(x) else 0.0,
+        float(len(x)),
+    ]
+
+
+def _real_features(kind: str, payload: bytes) -> list:
+    """Real features for real bytes: image → geometry + channel stats;
+    audio → rate/duration/energy stats.  Container-free formats (PPM,
+    PCM WAV) decode natively; codec formats decode via the OPTIONAL
+    Pillow / soundfile adapters when installed (capability-gated), and
+    raise the documented by-design boundary otherwise."""
+    if kind == "image" and payload:
+        if payload.startswith(b"P6"):
+            return _image_feature_vector(decode_ppm(payload))
+        a = _decode_image_codec(payload)
+        if a is not None:
+            return _image_feature_vector(a)
+    if kind == "audio" and payload:
+        if payload.startswith(b"RIFF"):
+            return _audio_feature_vector(*decode_wav(payload))
+        decoded = _decode_audio_codec(payload)
+        if decoded is not None:
+            return _audio_feature_vector(*decoded)
     raise NotImplementedError(
-        f"decode of kind={kind!r} payload requires a codec library "
-        "(PIL / torchaudio / ffmpeg) — not available in this container; "
+        f"decode of kind={kind!r} payload needs a codec library — a "
+        "BY-DESIGN boundary: install the optional Pillow (images) / "
+        "soundfile (audio) adapters, or vendor ffmpeg for video; "
         "container-free formats (PPM, PCM WAV) decode natively"
     )
 

@@ -147,3 +147,47 @@ def test_stereo_wav_rejected(spark):
         wv.writeframes(b"\x00\x01" * 32)
     with _pytest.raises(ValueError, match="mono"):
         decode_wav(buf.getvalue())
+
+
+def _codecs():
+    from datatest_spark.operators.multimodal import codec_support
+
+    return codec_support()
+
+
+def test_codec_support_reports_capabilities():
+    caps = _codecs()
+    assert set(caps) == {"pillow", "soundfile"}
+    assert all(isinstance(v, bool) for v in caps.values())
+
+
+@pytest.mark.skipif(not _codecs()["pillow"], reason="Pillow not installed "
+                    "(codec decode is a capability-gated optional adapter)")
+def test_codec_image_decode_via_pillow(spark):
+    """When Pillow IS present, a PNG payload produces the same feature
+    vector as the equivalent raw PPM pixels."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from datatest_spark.operators.multimodal import (
+        _image_feature_vector,
+        _real_features,
+        encode_ppm,
+    )
+
+    arr = (np.arange(12 * 9 * 3, dtype=np.uint8) % 251).reshape(9, 12, 3)
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert _real_features("image", png) == _image_feature_vector(arr)
+    assert _real_features("image", encode_ppm(arr)) == _image_feature_vector(arr)
+
+
+@pytest.mark.skipif(_codecs()["pillow"], reason="boundary only without Pillow")
+def test_codec_image_decode_raises_without_pillow():
+    from datatest_spark.operators.multimodal import _real_features
+
+    with pytest.raises(NotImplementedError, match="BY-DESIGN"):
+        _real_features("image", b"\x89PNG\r\n\x1a\nfakebytes")
