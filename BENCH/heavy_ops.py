@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Heavy-operator scale ladder: sf0.1 vs 10x (synthetic sf1).
+
+Runs the three heaviest dedup-family operators (MinHash-LSH near-dup,
+connected-component clustering, eval-set decontamination) at the bench
+scale factor AND at a deterministic 10x scale-up, median-of-3
+interleaved, and reports the per-op scaling exponent
+``log(t_10x / t_1x) / log(10)`` — the superlinearity detector the "this
+would survive 100x" claims rest on (exponent ~1 = linear in rows;
+> ~1.2 = superlinear, investigate before scaling further).
+
+The 10x table is 10 token-salted copies of the sf documents table
+(every token prefixed per copy, ids shifted): cross-copy similarity is
+exactly zero, so the NEAR-DUP STRUCTURE per copy is preserved and the
+workload grows linearly by construction — any superlinear runtime is
+the OPERATOR's doing, not the fixture's.  Both scales are written to
+parquet first and read back, so scan costs are comparable.
+
+Usage: python BENCH/heavy_ops.py  →  writes BENCH/heavy_ops.md
+Honors $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
+$SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_HEAVY_REPEATS", "3"))
+SCALES = (1, 10)
+WORK_DIR = "/tmp/dts_heavy"
+
+
+def build_session(cpus: int):
+    from bench import build_session as bs
+
+    return bs(cpus)
+
+
+def materialize_scaled(spark, m: int) -> str:
+    """Write the m-times token-salted documents table; return its path."""
+    from pyspark.sql import functions as F
+
+    path = f"{WORK_DIR}/docs_m{m}"
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    parts = [d]
+    for k in range(1, m):
+        # shift is a multiple of 11 so the decontam eval/corpus split
+        # (doc_id % 11) is identical in every copy → outputs exactly 10x
+        salted = d.select(
+            (F.col("doc_id") + F.lit(k * 110_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(F.lit(f"c{k}x"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        parts.append(salted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(CPUS).write.mode("overwrite").parquet(path)
+    return path
+
+
+def op_minhash(spark, path: str):
+    from datatest_spark.operators.dedup import minhash_dedup_pairs
+
+    d = spark.read.parquet(path)
+    return minhash_dedup_pairs(d, ngram=3, threshold=0.7)
+
+
+def op_clusters(spark, path: str):
+    from datatest_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    d = spark.read.parquet(path)
+    return duplicate_clusters(ngram_jaccard_pairs(d, ngram=1, threshold=0.8))
+
+
+def op_decontam(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators.decontam import contamination_pairs
+    from datatest_spark.operators.textstats import token_count
+
+    d = spark.read.parquet(path)
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+    ev = d.filter((F.col("doc_id") % 11 == 0) & (token_count(F.col("text")) >= 3))
+    return contamination_pairs(corpus, ev, ngram=3, min_frac=0.0)
+
+
+OPS = {"minhash_lsh": op_minhash, "dup_clusters": op_clusters, "decontam": op_decontam}
+
+
+def main() -> None:
+    spark = build_session(CPUS)
+    paths = {m: materialize_scaled(spark, m) for m in SCALES}
+    rows = {m: spark.read.parquet(paths[m]).count() for m in SCALES}
+
+    times: dict = {name: {m: [] for m in SCALES} for name in OPS}
+    outs: dict = {}
+    # warm-up: run every op once untimed at 1x — cold codegen/JIT would
+    # otherwise load entirely onto the first timed cell of the ladder
+    for fn in OPS.values():
+        fn(spark, paths[1]).count()
+    # interleaved ladders (VM noise: never time one scale back-to-back)
+    for rep in range(REPEATS):
+        for name, fn in OPS.items():
+            for m in SCALES:
+                t0 = time.time()
+                n = fn(spark, paths[m]).count()
+                times[name][m].append(time.time() - t0)
+                outs[(name, m)] = n
+
+    lines = [
+        "# Heavy-operator scale ladder (sf0.1 vs 10x)",
+        "",
+        f"Input: `{SF_DIR}/documents.parquet` ({rows[1]} docs) and a",
+        f"deterministic token-salted 10x copy ({rows[10]} docs; cross-copy",
+        "similarity exactly 0, so workload grows linearly by construction).",
+        f"local[{CPUS}], median of {REPEATS} interleaved runs, operator forced",
+        "with count().  Exponent = log(t_10x/t_1x)/log(10): ~1.0 linear,",
+        "<1 sublinear (fixed overheads amortizing), >1.2 superlinear.",
+        "",
+        "| operator | rows_1x out | rows_10x out | t_1x med (s) | t_10x med (s) | exponent |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in OPS:
+        t1 = statistics.median(times[name][1])
+        t10 = statistics.median(times[name][10])
+        exp = math.log(t10 / t1) / math.log(10)
+        lines.append(
+            f"| {name} | {outs[(name, 1)]} | {outs[(name, 10)]} "
+            f"| {t1:.2f} | {t10:.2f} | {exp:.2f} |"
+        )
+        print(lines[-1])
+    lines += [
+        "",
+        "Output-row sanity: the 10x output must be exactly 10x the 1x output",
+        "(the salted fixture guarantees it); any other ratio means the",
+        "operator leaked cross-copy pairs and the exponent is meaningless.",
+        "",
+        f"Raw timings (s): "
+        + "; ".join(
+            f"{name} 1x={['%.2f' % t for t in times[name][1]]} "
+            f"10x={['%.2f' % t for t in times[name][10]]}"
+            for name in OPS
+        ),
+        "",
+    ]
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "heavy_ops.md")
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
