@@ -425,7 +425,11 @@ def q_token_jaccard_pairs(spark, sf_dir):
     from datatest_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, ngram=1, threshold=0.8)
+    # strategy="auto": this query is executed immediately (bench/driver),
+    # so the probe jobs are not wasted — and the documents fixture's tiny
+    # unigram vocabulary makes the bitset path ~20x faster than posting
+    # lists here (tiny vocab = pathologically long posting lists)
+    return ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="auto")
 
 
 SQL_TOKEN_JACCARD = """
@@ -1606,7 +1610,9 @@ def q_dup_clusters(spark, sf_dir):
     from datatest_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return duplicate_clusters(ngram_jaccard_pairs(d, ngram=1, threshold=0.8))
+    return duplicate_clusters(
+        ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="auto")
+    )
 
 
 SQL_DUP_CLUSTERS = """

@@ -778,8 +778,14 @@ def duplicate_clusters(
     def _ck(d: DataFrame) -> DataFrame:
         return d.checkpoint() if reliable else d.localCheckpoint()
 
-    edges = pairs.select(
-        F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
+    # materialize the edge list ONCE before symmetrizing: the union's two
+    # branches each re-evaluate `pairs`, so an expensive generator (a
+    # posting-list jaccard join, an LSH verify) would otherwise run twice
+    edges = _ck(
+        pairs.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+        )
     )
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.repartition("s").persist()
