@@ -286,6 +286,22 @@ FROM events WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
 """
 
 
+def q_referential_keys_events(spark, sf_dir):
+    """Same FK contract, huge-child/huge-parent plan: strategy='keys'
+    shuffles only distinct-key relations and broadcasts the missing-key
+    set back over the child — the child's full rows are never exchanged.
+    Oracle identical to the anti-join form: strategies must agree."""
+    from datatest_spark.operators.referential import check_referential
+
+    e = _t(spark, sf_dir, "events")
+    s = _t(spark, sf_dir, "supplier")
+    d = check_referential(
+        e, "user_id", s, "s_suppkey", check_id="efk",
+        broadcast_parent=False, strategy="keys",
+    )
+    return d.select("diff_kind", F.col("value").cast("bigint").alias("orphan_key"))
+
+
 def q_stats_lineitem(spark, sf_dir):
     from datatest_spark.operators.stats import column_stats
 
@@ -1726,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_multi_nations": q_mapping_multi_nations,
         "referential_orders_customer": q_referential_orders_customer,
         "referential_events_suppliers": q_referential_events_suppliers,
+        "referential_keys_events": q_referential_keys_events,
         "stats_lineitem": q_stats_lineitem,
         "quantiles_quantity": q_quantiles_quantity,
         "drift_returnflag_chisq": q_drift_returnflag_chisq,
@@ -1784,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "mapping_multi_nations": SQL_MAPPING_MULTI,
         "referential_orders_customer": SQL_REFERENTIAL_ORDERS,
         "referential_events_suppliers": SQL_REFERENTIAL_EVENTS,
+        "referential_keys_events": SQL_REFERENTIAL_EVENTS,
         "stats_lineitem": SQL_STATS_LINEITEM,
         "quantiles_quantity": SQL_QUANTILES_QUANTITY,
         "drift_returnflag_chisq": SQL_DRIFT_RETURNFLAG,

@@ -775,8 +775,8 @@ def duplicate_clusters(
                 "or call sparkContext.setCheckpointDir first"
             )
 
-    def _ck(d: DataFrame) -> DataFrame:
-        return d.checkpoint() if reliable else d.localCheckpoint()
+    def _ck(d: DataFrame, *, eager: bool = True) -> DataFrame:
+        return d.checkpoint(eager=eager) if reliable else d.localCheckpoint(eager=eager)
 
     # materialize the edge list ONCE before symmetrizing: the union's two
     # branches each re-evaluate `pairs`, so an expensive generator (a
@@ -793,9 +793,13 @@ def duplicate_clusters(
     try:
         # init = round one fused: label(v) = min(v, min neighbor) in the
         # same agg that discovers the node set (one fewer join round)
+        # eager=False fuses each round into ONE job: the convergence-scalar
+        # agg below is the action that materializes the checkpoint, instead
+        # of a separate eager-materialization job followed by the agg job
         labels = _ck(
             sym.groupBy(F.col("s").alias("node"))
-            .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("label"))
+            .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("label")),
+            eager=False,
         )
         # decimal(38,0) sum: overflow-proof convergence scalar for any ids
         prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
@@ -805,7 +809,8 @@ def duplicate_clusters(
                 F.col("d").alias("node"), "label"
             )
             new_labels = _ck(
-                labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+                labels.union(msgs).groupBy("node").agg(F.min("label").alias("label")),
+                eager=False,
             )
             new_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
@@ -829,7 +834,11 @@ def duplicate_clusters(
             # attribute ids, which collide with the still-cached `sym`
             # attributes inside the star self-joins (optimizer
             # 'key not found' internal error); fresh aliases decouple them
-            return _ck(d).select(F.col("s").alias("s"), F.col("d").alias("d"))
+            # eager=False: the sig agg below is the materializing action —
+            # one job per star round instead of materialize-then-agg
+            return _ck(d, eager=False).select(
+                F.col("s").alias("s"), F.col("d").alias("d")
+            )
 
         e = _fresh(
             sym.union(
@@ -866,7 +875,8 @@ def duplicate_clusters(
         return _ck(
             nodes.join(e, nodes["node"] == e["s"], "left")
             .groupBy("node")
-            .agg(F.min(F.coalesce(F.col("d"), F.col("node"))).alias("label"))
+            .agg(F.min(F.coalesce(F.col("d"), F.col("node"))).alias("label")),
+            eager=False,
         ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         sym.unpersist()

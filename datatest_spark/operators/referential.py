@@ -16,6 +16,15 @@ Plan shapes, chosen by arguments:
   is replicated k× with a salt column, each child row gets a
   deterministic salt, and the anti-join runs on (key, salt): a hot FK's
   rows spread over k reducers instead of one.
+* ``strategy="keys"`` (huge child AND huge parent): the child's full
+  rows are NEVER shuffled.  Phase 1 distincts the child keys (map-side
+  partial agg collapses the shuffle to O(distinct keys), not O(rows))
+  and anti-joins the two key-only relations; phase 2 broadcasts the
+  resulting missing-key set — tiny whenever violations are rare, which
+  is the steady state of an FK check — back over the child as a
+  left-semi join, so violation rows are picked with zero child
+  shuffle.  Shuffle volume: O(distinct child keys + parent keys) vs
+  the default's O(child rows + parent keys).
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ def check_referential(
     check_id: str = "referential",
     broadcast_parent: bool = True,
     salt_buckets: Optional[int] = None,
+    strategy: str = "anti",
     provenance: Optional[dict] = None,
     partition_id: Optional[Column] = None,
 ) -> DataFrame:
@@ -48,8 +58,51 @@ def check_referential(
     pk = _cols(parent_keys)
     if len(ck) != len(pk):
         raise ValueError("child/parent key arity mismatch")
+    if strategy not in ("anti", "keys"):
+        raise ValueError(f"unknown strategy {strategy!r}: use 'anti' or 'keys'")
 
     pkeys = parent.select(*[F.col(p).alias(f"_pk_{i}") for i, p in enumerate(pk)]).distinct()
+
+    value = (
+        canon_col(F.col(ck[0]))
+        if len(ck) == 1
+        else _tuple_canon([F.col(c) for c in ck])
+    )
+
+    if strategy == "keys":
+        if salt_buckets:
+            raise ValueError(
+                "strategy='keys' does its shuffle on the distinct-key "
+                "relation; per-row salting does not apply (hot FKs collapse "
+                "to one key row in phase 1)"
+            )
+        ckeys = child.select(
+            *[F.col(c).alias(f"_ck_{i}") for i, c in enumerate(ck)]
+        ).distinct()
+        kcond = None
+        for i in range(len(ck)):
+            eq = F.col(f"_ck_{i}").eqNullSafe(F.col(f"_pk_{i}"))
+            kcond = eq if kcond is None else kcond & eq
+        missing_keys = ckeys.join(
+            F.broadcast(pkeys) if broadcast_parent else pkeys, kcond, "left_anti"
+        )
+        # broadcast the missing keys BACK over the child: a left-semi
+        # join can only broadcast its right side, and the right side is
+        # bounded by the violation count — the child is never exchanged
+        scond = None
+        for i, c in enumerate(ck):
+            eq = F.col(c).eqNullSafe(F.col(f"_ck_{i}"))
+            scond = eq if scond is None else scond & eq
+        orphans = child.join(F.broadcast(missing_keys), scond, "left_semi")
+        return make_differences(
+            orphans,
+            check_id=check_id,
+            kind=KIND_MISSING,
+            value=value,
+            expected=F.lit(f"fk in {'.'.join(pk)}"),
+            provenance=provenance,
+            partition_id=partition_id,
+        )
 
     if salt_buckets:
         k = int(salt_buckets)
@@ -75,11 +128,6 @@ def check_referential(
 
     orphans = child.join(pkeys, cond, "left_anti")
 
-    value = (
-        canon_col(F.col(ck[0]))
-        if len(ck) == 1
-        else _tuple_canon([F.col(c) for c in ck])
-    )
     return make_differences(
         orphans,
         check_id=check_id,

@@ -57,6 +57,63 @@ def test_multicolumn_fk(spark):
     assert got == [("missing", None, '["a","2"]', "fk in p1.p2", None)]
 
 
+def test_keys_strategy_matches_anti(spark):
+    child = code_files(spark, 3000, "dirty")
+    parent = repos_table(spark, code_files(spark, 3000, "clean"))
+    anti = diff_multiset(check_referential(child, "repo", parent, "repo"))
+    keys = diff_multiset(
+        check_referential(
+            child, "repo", parent, "repo", broadcast_parent=False, strategy="keys"
+        )
+    )
+    assert anti == keys
+    assert len(anti) > 0
+
+
+def test_keys_strategy_null_and_multicol(spark):
+    child = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 1)], "k1 string, k2 long"
+    )
+    parent = spark.createDataFrame([("a", 1)], "p1 string, p2 long")
+    anti = diff_multiset(check_referential(child, ["k1", "k2"], parent, ["p1", "p2"]))
+    keys = diff_multiset(
+        check_referential(
+            child, ["k1", "k2"], parent, ["p1", "p2"], strategy="keys"
+        )
+    )
+    assert anti == keys and len(keys) == 2
+
+
+def test_keys_strategy_rejects_salt(spark):
+    child = spark.createDataFrame([("a",)], "k string")
+    import pytest
+
+    with pytest.raises(ValueError, match="keys"):
+        check_referential(child, "k", child, "k", strategy="keys", salt_buckets=4)
+
+
+def test_keys_strategy_never_exchanges_child(spark):
+    """The whole point of strategy='keys': the child's full rows reach the
+    violation join via broadcast only — every Exchange in the plan carries a
+    key-only schema, never the child's payload columns."""
+    child = code_files(spark, 1000, "dirty")
+    parent = repos_table(spark, code_files(spark, 1000, "clean"))
+    d = check_referential(
+        child, "repo", parent, "repo", broadcast_parent=False, strategy="keys"
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1  # missing-keys side broadcast
+    import re
+
+    # every shuffle exchange's output schema must be key-only (no payload
+    # column from the child, e.g. 'content')
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "content" not in m.group(1)
+    assert "content" not in "".join(
+        re.findall(r"Exchange [^\n]*", plan)
+    )
+
+
 def test_broadcast_plan_shape(spark):
     child = code_files(spark, 1000, "dirty")
     parent = repos_table(spark, code_files(spark, 1000, "clean"))
