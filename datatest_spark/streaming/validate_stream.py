@@ -93,6 +93,112 @@ def windowed_value_counts(
     )
 
 
+def windowed_drift_stream(
+    sdf: DataFrame,
+    time_col: str,
+    value_col: str,
+    baseline_hist: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    smoothing: float = 0.5,
+    threshold: Optional[float] = None,
+) -> DataFrame:
+    """Per finalized event-time window, Pearson chi-square drift of
+    ``value_col``'s distribution vs a STATIC baseline histogram — the
+    turnkey streaming form of ``stats.check_chi_square_drift``.
+
+    ``baseline_hist``: a batch histogram in the ``stats.histograms``
+    shape (``column_name, value, cnt``); rows for other columns are
+    filtered out.  Emits one append-mode row per finalized window:
+    ``(window_start, window_end, column_name, n_obs, novel_values,
+    chi2)``.
+
+    Exact-match semantics with the batch check (same smoothing pseudo-
+    count for categories unseen in the baseline, same expected-count
+    rescaling), via the algebraic identity::
+
+        chi2 = A/n - n + n * smoothing * k / base_total
+        A    = sum(obs^2 * base_total / coalesce(base_cnt, smoothing))
+
+    which folds the baseline-only categories' contribution (their
+    expected counts sum to ``n - n*Q``) into the closed form, so the
+    plan needs only a LEFT stream-static join — streaming cannot
+    full-outer-join a static side, and this identity makes it
+    unnecessary.
+
+    Plan: watermarked window x value count (state: one row per live
+    (window, value)) -> broadcast join of the tiny baseline -> chained
+    window agg over ``window_time`` (Spark 3.4+ multiple stateful
+    operators).  All built-in operators, no stateful UDF; state is
+    bounded by the watermark horizon.
+    """
+    if not sdf.isStreaming:
+        raise ValueError("windowed_drift_stream expects a streaming DataFrame")
+    if baseline_hist.isStreaming:
+        raise ValueError("baseline_hist must be a static (batch) histogram")
+
+    base = baseline_hist
+    if "column_name" in base.columns:
+        base = base.filter(F.col("column_name") == value_col)
+    base = base.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("cnt").cast("double").alias("base_cnt"),
+    )
+    base_tot = base.agg(F.sum("base_cnt").alias("base_total")).withColumn(
+        "_one", F.lit(1)
+    )
+
+    counts = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window).alias("win"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+
+    joined = (
+        counts.withColumn("_one", F.lit(1))
+        .join(F.broadcast(base_tot), "_one")
+        .join(F.broadcast(base), "value", "left")
+    )
+
+    sm = F.lit(float(smoothing))
+    out = (
+        joined.groupBy(
+            F.window(F.window_time(F.col("win")), window).alias("win2")
+        )
+        .agg(
+            F.sum("obs").alias("n_obs"),
+            F.sum(
+                F.pow(F.col("obs"), F.lit(2.0))
+                * F.col("base_total")
+                / F.coalesce(F.col("base_cnt"), sm)
+            ).alias("_a"),
+            F.sum(F.when(F.col("base_cnt").isNull(), 1).otherwise(0)).alias(
+                "novel_values"
+            ),
+            F.first("base_total").alias("_bt"),
+        )
+        .select(
+            F.col("win2.start").alias("window_start"),
+            F.col("win2.end").alias("window_end"),
+            F.lit(value_col).alias("column_name"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("novel_values").cast("long").alias("novel_values"),
+            (
+                F.col("_a") / F.col("n_obs")
+                - F.col("n_obs")
+                + F.col("n_obs") * sm * F.col("novel_values") / F.col("_bt")
+            ).alias("chi2"),
+        )
+    )
+    if threshold is not None:
+        out = out.filter(F.col("chi2") > F.lit(float(threshold)))
+    return out
+
+
 def foreach_batch_suite(
     sdf: DataFrame,
     suite,

@@ -289,3 +289,71 @@ def test_stateful_unique_mapstate_flat_state_writes(spark, tmp_path):
     rows = spark.table("flat_ms_mem").collect()
     assert len(rows) == n_batches
     assert all(r["value"] == '{"id":0}' for r in rows)
+
+
+def test_windowed_drift_matches_batch(spark, tmp_path):
+    """windowed_drift_stream's per-window chi2 equals the batch
+    check_chi_square_drift statistic on the same rows — including a
+    baseline-only category (expected-count contribution) and a novel
+    streamed category (smoothing pseudo-count)."""
+    from datatest_spark.operators.stats import check_chi_square_drift
+    from datatest_spark.streaming.validate_stream import windowed_drift_stream
+
+    p = str(tmp_path / "drift_src")
+    # window 1 (00:00): a x3, b x1, novel x1 ; window 2 (00:01): b x4
+    # window 3 (00:02) only advances the watermark past window 2
+    w1 = [("a", "2026-01-01 00:00:05"), ("a", "2026-01-01 00:00:10"),
+          ("a", "2026-01-01 00:00:15"), ("b", "2026-01-01 00:00:20"),
+          ("novel", "2026-01-01 00:00:25")]
+    w2 = [("b", f"2026-01-01 00:01:{s:02d}") for s in (5, 10, 15, 20)]
+    w3 = [("a", "2026-01-01 00:02:05")]
+    schema = "code string, ts string"
+    for i, rows in enumerate([w1, w2, w3]):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(p)
+
+    # baseline: a/b plus a category the stream never emits
+    baseline = spark.createDataFrame(
+        [("code", "a", 60), ("code", "b", 30), ("code", "only_base", 10)],
+        "column_name string, value string, cnt long",
+    )
+
+    sdf = spark.readStream.schema("code string, ts timestamp").parquet(p)
+    drift = windowed_drift_stream(
+        sdf, "ts", "code", baseline, window="1 minute", watermark="0 seconds"
+    )
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("drift_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): (r["n_obs"], r["novel_values"], r["chi2"])
+        for r in spark.table("drift_mem").collect()
+    }
+    assert "2026-01-01 00:00:00" in got, got
+
+    batch = spark.read.parquet(p)
+    for ws, (n_obs, novel, chi2) in got.items():
+        win_rows = batch.filter(
+            F.date_trunc("minute", F.col("ts")) == F.to_timestamp(F.lit(ws))
+        )
+        cur_hist = (
+            win_rows.groupBy(F.col("code").cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("column_name", F.lit("code"))
+        )
+        stat_rows = check_chi_square_drift(
+            cur_hist, baseline, threshold=-1.0
+        ).collect()
+        assert len(stat_rows) == 1
+        expected_chi2 = stat_rows[0]["deviation"]
+        assert abs(chi2 - expected_chi2) < 1e-6, (ws, chi2, expected_chi2)
+        assert n_obs == win_rows.count()
+    # the window containing 'novel' reports it
+    assert got["2026-01-01 00:00:00"][1] == 1
