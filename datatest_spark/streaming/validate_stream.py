@@ -16,6 +16,10 @@ Three tiers, by what streaming semantics allow:
 * ``windowed_value_counts`` — watermarked event-time windowed histograms
   (the streaming analogue of ``stats.histograms``) for drift monitoring;
   late data beyond the watermark is dropped by Spark's state eviction.
+* ``windowed_drift_stream`` — the turnkey continuation: per finalized
+  window, the Pearson chi-square statistic vs a static baseline
+  histogram (exact batch-check parity), via a chained window_time
+  aggregation — one append-mode drift row per window.
 * ``foreach_batch_suite`` — the full batch ``ValidationSuite`` (any check
   type, ledger, deterministic sink) executed per micro-batch via
   ``foreachBatch``: each micro-batch is a bounded DataFrame, so every
