@@ -1,0 +1,5 @@
+"""Cluster job entrypoints: declarative specs + spark-submit runner."""
+
+from .spec import compile_check, compile_suite, load_spec, load_tables
+
+__all__ = ["compile_check", "compile_suite", "load_spec", "load_tables"]

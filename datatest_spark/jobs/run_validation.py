@@ -1,0 +1,109 @@
+"""spark-submit entrypoint: run a declarative validation spec.
+
+The north-rule deployment surface::
+
+    spark-submit --py-files datatest_spark.zip \
+        -m_or_path datatest_spark/jobs/run_validation.py \
+        --spec spec.json --sink /out/violations --ledger /out/ledger
+
+or locally / in tests::
+
+    python -m datatest_spark.jobs.run_validation --spec spec.json ...
+
+Reads the spec (tables + checks + acceptances), runs the suite with
+ledger resume, writes the deterministic violation sink, and prints ONE
+JSON line::
+
+    {"run_id": ..., "passed": bool, "n_violations": N,
+     "n_partitions_checked": P, "verdicts": [...]}
+
+Exit code: 0 when the run passed (or ``--no-strict``), 1 on violations
+with ``--strict``.  The session is taken from ``getOrCreate()`` WITHOUT
+pinning a master, so spark-submit's cluster config wins; standalone
+invocations fall back to the env-driven local default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from ..plans.ledger import Ledger
+from .spec import compile_suite, load_spec, load_tables
+
+
+def _session() -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    b = SparkSession.builder.appName("datatest_spark-validation")
+    # only fill a master when none was configured (spark-submit sets one)
+    try:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            import os
+
+            b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    except Exception:
+        pass
+    return b.getOrCreate()
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description="datatest_spark validation job")
+    ap.add_argument("--spec", required=True, help="spec file path or inline JSON")
+    ap.add_argument("--sink", default=None, help="violation sink directory")
+    ap.add_argument("--ledger", default=None, help="ledger directory (resume)")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--share-scan", action="store_true")
+    ap.add_argument("--multi-part", action="store_true",
+                    help="range-partitioned multi-part sink instead of one file")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 when violations remain")
+    args = ap.parse_args(argv)
+
+    spec = load_spec(args.spec)
+    spark = _session()
+    suite = compile_suite(spec)
+    tables = load_tables(spark, spec)
+    ledger = Ledger(spark, args.ledger) if args.ledger else None
+
+    result = suite.run(
+        tables,
+        primary=spec["primary"],
+        ledger=ledger,
+        run_id=args.run_id,
+        sink_path=args.sink,
+        single_file=not args.multi_part,
+        share_scan=args.share_scan,
+    )
+    verdicts = [
+        {
+            "partition_id": r["partition_id"],
+            "status": r["status"],
+            "n_rows": r["n_rows"],
+            "n_violations": r["n_violations"],
+        }
+        for r in result.verdicts.collect()
+    ]
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "passed": result.passed,
+                "n_violations": result.n_violations,
+                "n_partitions_checked": result.n_partitions_checked,
+                "verdicts": verdicts,
+            }
+        )
+    )
+    return 1 if (args.strict and not result.passed) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,235 @@
+"""Declarative validation specs — JSON in, ValidationSuite out.
+
+The reference's users write checks as Python calls; a cluster job wants
+them as DATA (reviewable, diffable, schedulable without code deploys).
+This module compiles a JSON-friendly dict into the exact same
+``ValidationSuite`` the Python API builds — same difference plans, same
+acceptance algebra, same ledger/resume semantics — so the two surfaces
+cannot drift apart.
+
+Spec shape::
+
+    {
+      "primary": "code",
+      "partition_col": "partition_id",
+      "tables": {
+        "code":  {"path": "/data/code_files", "format": "parquet"},
+        "repos": {"table": "catalog.db.repos"}          # catalog route
+      },
+      "checks": [
+        {"check": "subset",   "column": "lang", "required": ["py", "go"]},
+        {"check": "interval", "column": "content_len", "min": 1, "max": 50000},
+        {"check": "regex",    "column": "commit", "pattern": "^[0-9a-f]{40}$"},
+        {"check": "unique",   "columns": ["repo", "path", "commit"]},
+        {"check": "referential", "keys": ["repo"],
+         "parent": "repos", "parent_keys": ["repo"], "strategy": "keys"},
+        {"check": "predicate", "column": "content_null", "value": false,
+         "acceptance": {"count": 10}}
+      ]
+    }
+
+Each check entry takes an optional ``id`` (defaults to
+``<check>_<column>``), ``table`` (defaults to the primary), and
+``acceptance`` (``{"tolerance": x} | {"percent": x} | {"count": n}`` —
+the composable forms stay Python-side).  Values appearing in required
+sets / predicate literals are used exactly as JSON decodes them.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import validate
+from ..operators.acceptances import accepted
+from ..operators.referential import check_referential
+from ..operators.stats import check_chi_square_drift, histograms
+from ..suite import Check, ValidationSuite
+
+_SET_CHECKS = ("set", "subset", "superset")
+
+
+def _acceptance(a: Optional[dict]):
+    if not a:
+        return None
+    if len(a) != 1:
+        raise ValueError(f"acceptance spec must have exactly one key: {a}")
+    kind, arg = next(iter(a.items()))
+    if kind == "tolerance":
+        return accepted.tolerance(float(arg))
+    if kind == "percent":
+        return accepted.percent(float(arg))
+    if kind == "count":
+        return accepted.count(int(arg))
+    raise ValueError(
+        f"unsupported acceptance kind {kind!r} in a spec — compose richer "
+        "acceptances (keys/args/fuzzy/&/|) through the Python API"
+    )
+
+
+def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
+    """One spec entry → one ``Check`` (lazy builder, nothing runs)."""
+    e = dict(entry)
+    kind = e.pop("check", None)
+    if not kind:
+        raise ValueError(f"check entry missing 'check': {entry}")
+    table = e.pop("table", primary)
+    acceptance = _acceptance(e.pop("acceptance", None))
+    check_id = e.pop("id", None)
+
+    def _pid(t: dict):
+        from pyspark.sql import functions as F
+
+        df = t[table]
+        return F.col(partition_col) if partition_col in df.columns else None
+
+    if kind == "predicate":
+        column = e.pop("column")
+        value = e.pop("value")
+        cid = check_id or f"predicate_{column}"
+        builder = lambda t, _c=column, _v=value, _i=cid: validate.predicate(  # noqa: E731
+            t[table], _c, _v, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "regex":
+        column = e.pop("column")
+        pattern = e.pop("pattern")
+        cid = check_id or f"regex_{column}"
+        builder = lambda t, _c=column, _p=pattern, _i=cid: validate.regex(  # noqa: E731
+            t[table], _c, _p, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "interval":
+        column = e.pop("column")
+        lo, hi = e.pop("min", None), e.pop("max", None)
+        cid = check_id or f"interval_{column}"
+        builder = lambda t, _c=column, _lo=lo, _hi=hi, _i=cid: validate.interval(  # noqa: E731
+            t[table], _c, min=_lo, max=_hi, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "fuzzy":
+        column = e.pop("column")
+        expected = e.pop("expected")
+        cutoff = e.pop("cutoff", 0.6)
+        cid = check_id or f"fuzzy_{column}"
+        builder = lambda t, _c=column, _e=expected, _cu=cutoff, _i=cid: (  # noqa: E731
+            validate.fuzzy(
+                t[table], _c, _e, cutoff=_cu, check_id=_i, partition_id=_pid(t)
+            )
+        )
+    elif kind in _SET_CHECKS:
+        # value-level differences (distinct values vs the requirement
+        # relation) — globally scoped, no per-row partition attribution
+        column = e.pop("column")
+        required = e.pop("required")
+        cid = check_id or f"{kind}_{column}"
+        fn = getattr(validate, kind)
+        builder = lambda t, _f=fn, _c=column, _r=required, _i=cid: _f(  # noqa: E731
+            t[table], _c, set(_r), check_id=_i
+        )
+    elif kind == "approx":
+        column = e.pop("column")
+        expected = e.pop("expected")
+        places = e.pop("places", 7)
+        delta = e.pop("delta", None)
+        cid = check_id or f"approx_{column}"
+        builder = lambda t, _c=column, _e=expected, _p=places, _d=delta, _i=cid: (  # noqa: E731
+            validate.approx(
+                t[table], _c, _e, places=_p, delta=_d,
+                check_id=_i, partition_id=_pid(t),
+            )
+        )
+    elif kind == "unique":
+        # duplicate differences aggregate across rows; partition
+        # attribution only exists when the partition column is part of
+        # the key (include it in "columns" for per-partition uniqueness)
+        columns = e.pop("columns")
+        per_occurrence = e.pop("per_occurrence", True)
+        cid = check_id or "unique_" + "_".join(columns)
+        builder = lambda t, _c=columns, _p=per_occurrence, _i=cid: (  # noqa: E731
+            validate.unique(t[table], _c, per_occurrence=_p, check_id=_i)
+        )
+    elif kind == "referential":
+        keys = e.pop("keys")
+        parent = e.pop("parent")
+        parent_keys = e.pop("parent_keys")
+        strategy = e.pop("strategy", "anti")
+        broadcast_parent = e.pop("broadcast_parent", True)
+        cid = check_id or f"referential_{parent}"
+        builder = lambda t, _k=keys, _p=parent, _pk=parent_keys, _s=strategy, _b=broadcast_parent, _i=cid: (  # noqa: E731
+            check_referential(
+                t[table], _k, t[_p], _pk, strategy=_s,
+                broadcast_parent=_b, check_id=_i, partition_id=_pid(t),
+            )
+        )
+    elif kind == "schema":
+        expected = e.pop("columns")  # mapping column -> type-name string
+        strict = e.pop("strict", True)
+        cid = check_id or "schema"
+        builder = lambda t, _e=expected, _s=strict, _i=cid: validate.schema(  # noqa: E731
+            t[table], _e, strict=_s, check_id=_i
+        )
+    elif kind == "chi_square_drift":
+        column = e.pop("column")
+        baseline = e.pop("baseline")  # table name holding the histogram
+        threshold = e.pop("threshold", 0.0)
+        cid = check_id or f"chi_square_drift_{column}"
+        builder = lambda t, _c=column, _b=baseline, _th=threshold, _i=cid: (  # noqa: E731
+            check_chi_square_drift(
+                histograms(t[table], [_c]), t[_b], threshold=_th, check_id=_i
+            )
+        )
+    else:
+        raise ValueError(
+            f"unsupported check kind {kind!r} — mapping/order and composed "
+            "acceptances stay on the Python API"
+        )
+    leftover = {k: v for k, v in e.items() if k not in ("comment",)}
+    if leftover:
+        raise ValueError(f"unknown keys for check {kind!r}: {sorted(leftover)}")
+    return Check(cid, builder, acceptance=acceptance)
+
+
+def compile_suite(spec: dict) -> ValidationSuite:
+    partition_col = spec.get("partition_col", "partition_id")
+    primary = spec["primary"]
+    checks = [
+        compile_check(c, primary=primary, partition_col=partition_col)
+        for c in spec["checks"]
+    ]
+    if not checks:
+        raise ValueError("spec has no checks")
+    return ValidationSuite(checks, partition_col=partition_col)
+
+
+def load_tables(spark: SparkSession, spec: dict) -> dict:
+    """Resolve the spec's table sources to DataFrames (lazy reads)."""
+    out: dict[str, DataFrame] = {}
+    for name, src in spec["tables"].items():
+        if "table" in src:
+            out[name] = spark.read.table(src["table"])
+        elif "path" in src:
+            fmt = src.get("format", "parquet")
+            reader = spark.read.format(fmt)
+            for k, v in (src.get("options") or {}).items():
+                reader = reader.option(k, v)
+            out[name] = reader.load(src["path"])
+        else:
+            raise ValueError(f"table {name!r} needs 'path' or 'table'")
+    return out
+
+
+def load_spec(path_or_json: str) -> dict:
+    """Accept a filesystem path or an inline JSON string."""
+    s = path_or_json.strip()
+    if s.startswith("{"):
+        return json.loads(s)
+    with open(path_or_json) as f:
+        return json.load(f)
+
+
+def _jsonable(v: Any) -> Any:  # pragma: no cover - debug helper
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return repr(v)

@@ -1,0 +1,170 @@
+"""Declarative spec compiler + spark-submit CLI job: the JSON surface
+must produce the exact same differences/verdicts as the Python API."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import validate
+from datatest_spark.jobs import compile_check, compile_suite, load_spec
+from datatest_spark.jobs.run_validation import main as job_main
+from datatest_spark.operators.referential import check_referential
+from datatest_spark.suite import Check, ValidationSuite
+
+from .conftest import diff_multiset
+
+
+@pytest.fixture()
+def code_tables(spark, tmp_path):
+    rows = [
+        ("r1", "a.py", "a" * 40, "py", "x = 1", 0),
+        ("r1", "b.py", "b" * 40, "py", "", 0),          # size violation
+        ("r2", "c.go", "c" * 40, "go", "func main()", 1),
+        ("rX", "d.rs", "BAD", "rust", "fn main()", 1),  # fk + regex + lang
+        ("r2", "c.go", "c" * 40, "go", "dup", 1),       # pk dup
+    ]
+    code = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, partition_id int",
+    ).withColumn("content_len", F.length("content"))
+    repos = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    code_p, repos_p = str(tmp_path / "code"), str(tmp_path / "repos")
+    code.write.parquet(code_p)
+    repos.write.parquet(repos_p)
+    return code, repos, code_p, repos_p
+
+
+SPEC_CHECKS = [
+    {"check": "subset", "column": "lang", "required": ["py", "go"]},
+    {"check": "interval", "column": "content_len", "min": 1, "max": 50},
+    {"check": "regex", "column": "commit", "pattern": "^[0-9a-f]{40}$"},
+    {"check": "unique", "columns": ["repo", "path", "commit"]},
+    {"check": "referential", "keys": ["repo"], "parent": "repos",
+     "parent_keys": ["repo"], "strategy": "keys"},
+]
+
+
+def test_spec_matches_python_api(spark, code_tables):
+    code, repos, _, _ = code_tables
+    spec = {
+        "primary": "code",
+        "partition_col": "partition_id",
+        "tables": {"code": {"path": "unused"}, "repos": {"path": "unused"}},
+        "checks": SPEC_CHECKS,
+    }
+    suite = compile_suite(spec)
+    got = diff_multiset(suite.build_differences({"code": code, "repos": repos}))
+
+    pid = F.col("partition_id")
+    py_suite = ValidationSuite(
+        [
+            Check("s", lambda t: validate.subset(
+                t["code"], "lang", {"py", "go"}, check_id="subset_lang")),
+            Check("i", lambda t: validate.interval(
+                t["code"], "content_len", min=1, max=50,
+                check_id="interval_content_len", partition_id=pid)),
+            Check("r", lambda t: validate.regex(
+                t["code"], "commit", r"^[0-9a-f]{40}$",
+                check_id="regex_commit", partition_id=pid)),
+            Check("u", lambda t: validate.unique(
+                t["code"], ["repo", "path", "commit"],
+                check_id="unique_repo_path_commit")),
+            Check("f", lambda t: check_referential(
+                t["code"], ["repo"], t["repos"], ["repo"], strategy="keys",
+                check_id="referential_repos", partition_id=pid)),
+        ],
+        partition_col="partition_id",
+    )
+    want = diff_multiset(py_suite.build_differences({"code": code, "repos": repos}))
+    assert got == want
+    assert len(got) >= 5
+
+
+def test_spec_acceptance_and_errors(spark, code_tables):
+    code, repos, _, _ = code_tables
+    c = compile_check(
+        {"check": "interval", "column": "content_len", "min": 1, "max": 50,
+         "acceptance": {"count": 100}},
+        primary="code", partition_col="partition_id",
+    )
+    from datatest_spark.operators.acceptances import apply_acceptance
+
+    d = apply_acceptance(c.builder({"code": code}), c.acceptance)
+    assert d.count() == 0  # the single size violation is accepted
+
+    with pytest.raises(ValueError, match="unsupported check kind"):
+        compile_check({"check": "nope"}, primary="c", partition_col="p")
+    with pytest.raises(ValueError, match="unknown keys"):
+        compile_check(
+            {"check": "regex", "column": "c", "pattern": "x", "typo": 1},
+            primary="c", partition_col="p",
+        )
+    with pytest.raises(ValueError, match="acceptance"):
+        compile_check(
+            {"check": "regex", "column": "c", "pattern": "x",
+             "acceptance": {"tolerance": 1, "percent": 2}},
+            primary="c", partition_col="p",
+        )
+
+
+def test_cli_job_runs_and_resumes(spark, code_tables, tmp_path, capsys):
+    _, _, code_p, repos_p = code_tables
+    spec = {
+        "primary": "code",
+        "partition_col": "partition_id",
+        "tables": {
+            "code": {"path": code_p},
+            "repos": {"path": repos_p},
+        },
+        "checks": SPEC_CHECKS,
+    }
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    sink = str(tmp_path / "violations")
+    ledger = str(tmp_path / "ledger")
+
+    rc = job_main(["--spec", spec_path, "--sink", sink, "--ledger", ledger,
+                   "--strict"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1  # violations exist, --strict
+    assert out["passed"] is False and out["n_violations"] >= 5
+    # 2 data partitions + the __global__ bucket for value-level
+    # (subset) differences that have no per-row partition attribution
+    assert out["n_partitions_checked"] == 3
+    statuses = {v["partition_id"]: v["status"] for v in out["verdicts"]}
+    assert statuses["0"] == "failed" and statuses["1"] == "failed"
+    assert statuses.get("__global__") == "failed"
+    assert spark.read.text(sink).count() == out["n_violations"]
+
+    # second run: nothing newly validated (both partitions failed, stay
+    # pending), but the job runs end-to-end from the ledger state
+    rc2 = job_main(["--spec", spec_path, "--ledger", ledger])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0  # no --strict
+    assert out2["n_partitions_checked"] == 3
+
+    # inline-JSON spec path + ok partitions resume: a clean spec passes
+    clean = dict(spec, checks=[{"check": "interval", "column": "content_len",
+                                "min": 0, "max": 10_000}])
+    rc3 = job_main(["--spec", json.dumps(clean), "--ledger",
+                    str(tmp_path / "ledger2"), "--strict"])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc3 == 0 and out3["passed"] is True
+    # resumed run skips both ok partitions entirely
+    rc4 = job_main(["--spec", json.dumps(clean), "--ledger",
+                    str(tmp_path / "ledger2"), "--strict"])
+    out4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc4 == 0 and out4["n_partitions_checked"] == 0
+
+
+def test_load_spec_inline_and_file(tmp_path):
+    d = {"primary": "t", "tables": {}, "checks": []}
+    assert load_spec(json.dumps(d)) == d
+    p = str(tmp_path / "s.json")
+    with open(p, "w") as f:
+        json.dump(d, f)
+    assert load_spec(p) == d
