@@ -1,0 +1,452 @@
+"""Web-scale training-corpus quality operators: PII scan/redaction,
+Gopher-rule quality gating, C4-style line cleaning, within-document
+repetition statistics, and corpus-wide line deduplication.
+
+These are the published heuristics every large LM data pipeline runs
+(sources are all public: Rae et al. 2021 "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher" §A1.1; Raffel et
+al. 2020 "Exploring the Limits of Transfer Learning" (C4) §2.2;
+Penedo et al. 2023 RefinedWeb).  The reference library has no
+corpus-quality surface (its scope is requirement/acceptance
+validation); these extend the engine along the training-data-pipeline
+axis the north_rule's 10^12-file corpus needs.
+
+Scale shapes:
+
+- PII / Gopher / C4 ops are ONE scan-local projection each — pure
+  Column expressions (whole-stage codegen), zero shuffle, no UDF.
+  They compose with ``hash_split``/``mixture_sample`` filters without
+  adding exchanges.
+- ``repetition_stats`` shuffles once on (doc, unit) then once on doc —
+  both keys carry the doc id, so hot documents cannot skew a
+  partition beyond their own size.
+- ``dedup_lines`` is the C4 corpus-wide three-sentence-span dedup
+  shape: explode → first-occurrence-wins window partitioned BY THE
+  LINE HASH (so identical lines from 10^9 docs meet in one partition,
+  everything else never co-shuffles) → per-doc reassembly keyed by
+  doc id.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+#: Published PII shapes (formats are public knowledge; same pattern
+#: style as SECRET_PATTERNS).  All RE2-safe: no backrefs/lookaround,
+#: so the exact same pattern strings run in Spark (Java regex) and in
+#: RE2-based engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}",
+    "phone_us": r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+}
+
+
+def scan_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    patterns: Optional[Mapping[str, str]] = None,
+    keep_cols: Optional[Sequence[str]] = None,
+    mask: bool = True,
+) -> DataFrame:
+    """One row per (input row, PII kind, match): (*keep_cols, pii_kind,
+    match) — masked by default (the findings sink must not re-leak the
+    PII it found).  Delegates to the secrets scanner's single-projection
+    plan: every pattern evaluated in one scan-local pass, zero shuffle,
+    no UDF."""
+    from .secrets import scan_secrets
+
+    pats = dict(patterns) if patterns is not None else PII_PATTERNS
+    out = scan_secrets(df, text_col, patterns=pats, keep_cols=keep_cols, mask=mask)
+    return out.withColumnsRenamed({"secret_kind": "pii_kind", "secret": "match"})
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: Optional[str] = None,
+    patterns: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    """Replace every PII match with a ``[KIND]`` token (e.g.
+    ``[EMAIL]``).  Chained global ``regexp_replace`` in the patterns'
+    dict order (insertion order is the redaction priority — matters
+    only for overlapping matches); one scan-local projection."""
+    pats = dict(patterns) if patterns is not None else PII_PATTERNS
+    col: Column = F.col(text_col)
+    for kind, pat in pats.items():
+        col = F.regexp_replace(col, pat, f"[{kind.upper()}]")
+    return df.withColumn(out_col or text_col, col)
+
+
+def check_no_pii(
+    df: DataFrame,
+    column: str = "text",
+    *,
+    patterns: Optional[Mapping[str, str]] = None,
+    check_id: str = "no_pii",
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """Difference rows (Invalid) per PII finding — same contract as
+    ``check_no_secrets`` (key = kind, value = masked match)."""
+    from .secrets import check_no_secrets
+
+    pats = dict(patterns) if patterns is not None else PII_PATTERNS
+    return check_no_secrets(
+        df,
+        column,
+        patterns=pats,
+        check_id=check_id,
+        provenance=provenance,
+        partition_id=partition_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1 — published thresholds)
+# ---------------------------------------------------------------------------
+
+#: the paper's stop-word anchor list
+GOPHER_STOPWORDS: Sequence[str] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Add the Gopher per-document quality metrics and a ``gopher_pass``
+    verdict.  Defaults are the published thresholds.  Pure Column math
+    over the token/line arrays — one scan-local projection, zero
+    shuffle, no UDF (the cheap gate that runs BEFORE any model-based
+    scorer at corpus scale)."""
+    c = F.col(text_col)
+    words = tokens(c)
+    n_words = F.size(words)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    # sum of token lengths == chars with all whitespace stripped
+    word_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_word_len = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    symbol_word_ratio = F.when(
+        n_words > 0, symbols.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
+    bullet_line_frac = F.when(
+        n_lines > 0, bullet_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    ellipsis_line_frac = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(tokens(F.lower(c)), lambda t: t.isin(list(stopwords))))
+
+    out = df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": F.round(mean_word_len, 4),
+            "symbol_word_ratio": F.round(symbol_word_ratio, 4),
+            "bullet_line_frac": F.round(bullet_line_frac, 4),
+            "ellipsis_line_frac": F.round(ellipsis_line_frac, 4),
+            "alpha_word_frac": F.round(alpha_word_frac, 4),
+            "stopword_hits": stop_hits.cast("long"),
+        }
+    )
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("gopher_pass", gate)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020, §2.2 — published heuristics)
+# ---------------------------------------------------------------------------
+
+#: a line survives iff it ends in terminal punctuation, has >= 5
+#: words, and does not mention javascript (the C4 paper's rules)
+_C4_TERMINAL = r"[.!?\"']\s*$"
+
+
+def _c4_line_keep(line: Column, min_words_per_line: int) -> Column:
+    return (
+        line.rlike(_C4_TERMINAL)
+        & (F.size(tokens(line)) >= min_words_per_line)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_clean",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 document cleaning: drop lines that don't end in terminal
+    punctuation / are shorter than ``min_words_per_line`` words /
+    mention javascript; flag documents containing ``{`` or the phrase
+    ``lorem ipsum``; ``c4_pass`` requires a clean flagless doc with at
+    least ``min_kept_lines`` surviving lines.  Pure Column array ops
+    (filter + array_join) — one scan-local projection, zero shuffle."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, lambda l: _c4_line_keep(l, min_words_per_line))
+    has_brace = c.contains("{")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    return df.withColumns(
+        {
+            out_col: F.array_join(kept, "\n"),
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept_lines": F.size(kept).cast("long"),
+            "has_brace": has_brace,
+            "has_lorem_ipsum": has_lorem,
+            "c4_pass": (
+                ~has_brace & ~has_lorem & (F.size(kept) >= min_kept_lines)
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition statistics (Gopher §A1.1 repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def word_ngram_strings(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of ``col`` (empty when the
+    document has fewer than n tokens)."""
+    toks = tokens(col)
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, not empty —
+    # guard the fewer-than-n-tokens case explicitly
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    top_ngram_ns: Sequence[int] = (2, 3),
+    dup_ngram_ns: Sequence[int] = (5,),
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition family):
+
+    - ``dup_line_frac`` — fraction of lines occurring more than once
+      in the document;
+    - ``dup_line_char_frac`` — fraction of line characters inside
+      duplicated lines;
+    - ``top{n}gram_char_frac`` — characters covered by the most common
+      word n-gram / total non-space characters (n in ``top_ngram_ns``);
+    - ``dup{n}gram_char_frac`` — characters covered by n-grams seen
+      more than once, capped at 1.0 (overlaps approximated as in the
+      published filters; n in ``dup_ngram_ns``).
+
+    Shape: ONE explode producing (doc, family, unit) rows for every
+    family, one count shuffle keyed by (doc, family, unit), one
+    per-(doc, family) aggregate, then a pivot back to one row per
+    document — every shuffle key includes the doc id, so skew is
+    bounded by the largest single document.
+    """
+    ids = list(id_cols)
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    word_chars = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
+
+    families = [
+        F.struct(
+            F.lit("line").alias("family"),
+            lines.alias("units"),
+            F.size(lines).cast("double").alias("total_units"),
+            # line-char denominator: sum of line lengths
+            F.aggregate(
+                lines, F.lit(0).cast("double"), lambda a, l: a + F.length(l)
+            ).alias("denom_chars"),
+        )
+    ]
+    for n in sorted(set(list(top_ngram_ns) + list(dup_ngram_ns))):
+        grams = word_ngram_strings(c, n)
+        families.append(
+            F.struct(
+                F.lit(f"{n}gram").alias("family"),
+                grams.alias("units"),
+                F.size(grams).cast("double").alias("total_units"),
+                word_chars.alias("denom_chars"),
+            )
+        )
+
+    exploded = (
+        df.select(*ids, F.explode(F.array(*families)).alias("_f"))
+        .select(
+            *ids,
+            F.col("_f.family").alias("family"),
+            F.col("_f.total_units").alias("total_units"),
+            F.col("_f.denom_chars").alias("denom_chars"),
+            F.explode("_f.units").alias("unit"),
+        )
+    )
+    counted = exploded.groupBy(*ids, "family", "total_units", "denom_chars", "unit").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    ulen = F.length("unit").cast("double")
+    # try_divide: a zero denominator (empty text) reads as a null
+    # fraction, coalesced to 0.0 below — ANSI-safe
+    per_family = counted.groupBy(*ids, "family").agg(
+        F.try_divide(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0.0))),
+            F.first("total_units"),
+        ).alias("dup_unit_frac"),
+        F.try_divide(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * ulen).otherwise(F.lit(0.0))),
+            F.first("denom_chars"),
+        ).alias("dup_char_frac"),
+        F.try_divide(F.max(F.col("cnt") * ulen), F.first("denom_chars")).alias(
+            "top_char_frac"
+        ),
+    )
+    agg_exprs = [
+        F.round(
+            F.coalesce(
+                F.first(F.when(F.col("family") == "line", F.col("dup_unit_frac")), ignorenulls=True),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.first(F.when(F.col("family") == "line", F.col("dup_char_frac")), ignorenulls=True),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in sorted(set(top_ngram_ns)):
+        agg_exprs.append(
+            F.round(
+                F.coalesce(
+                    F.first(
+                        F.when(F.col("family") == f"{n}gram", F.col("top_char_frac")),
+                        ignorenulls=True,
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in sorted(set(dup_ngram_ns)):
+        agg_exprs.append(
+            F.round(
+                F.least(
+                    F.coalesce(
+                        F.first(
+                            F.when(F.col("family") == f"{n}gram", F.col("dup_char_frac")),
+                            ignorenulls=True,
+                        ),
+                        F.lit(0.0),
+                    ),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    stats = per_family.groupBy(*ids).agg(*agg_exprs)
+    # docs with no units at all (empty text) still get a row of zeros
+    return df.select(*ids).join(stats, ids, "left").fillna(0.0)
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (the C4 three-sentence-span dedup shape)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    out_col: Optional[str] = None,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact line deduplication: every distinct line is
+    kept ONCE globally — in the document that contains its first
+    occurrence by (``id_cols`` order, line position); later
+    occurrences are removed from their documents.  Lines shorter than
+    ``min_line_chars`` are never deduplicated (blank/trivial lines
+    belong to every document).
+
+    Shape: posexplode → first-occurrence window partitioned by the
+    LINE (identical lines across the whole corpus meet in one
+    partition; nothing else co-shuffles — the published C4 dedup is
+    exactly this plan over three-sentence spans) → per-doc reassembly
+    via sorted collect_list keyed by the doc id.  Deterministic: the
+    window order is a total order, so output is parallelism-invariant.
+    """
+    ids = list(id_cols)
+    out = out_col or text_col
+    lines = (
+        df.select(*ids, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    )
+    w = Window.partitionBy("line").orderBy(*[F.col(i) for i in ids], F.col("pos"))
+    kept = lines.withColumn(
+        "_keep",
+        (F.length("line") < min_line_chars) | (F.row_number().over(w) == 1),
+    ).filter(F.col("_keep"))
+    rebuilt = kept.groupBy(*ids).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out)
+    )
+    # docs whose every line was removed come back as empty strings
+    base = df.drop(out) if out in df.columns and out != text_col else df
+    if out == text_col:
+        base = df.drop(text_col)
+    joined = base.join(rebuilt, ids, "left")
+    return joined.withColumn(out, F.coalesce(F.col(out), F.lit("")))

@@ -1,0 +1,284 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.quality import (
+    GOPHER_STOPWORDS,
+    c4_clean,
+    check_no_pii,
+    dedup_lines,
+    gopher_quality,
+    redact_pii,
+    repetition_stats,
+    scan_pii,
+    word_ngram_strings,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_scan_pii_finds_and_masks(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at alice@example.com or bob.smith@sub.dom.org thanks"),
+            (2, "call (415) 555-2671 or 212-555-0182"),
+            (3, "server at 10.0.0.1, ssn 123-45-6789, card 4111-1111-1111-1111"),
+            (4, "nothing sensitive here"),
+        ],
+    )
+    found = scan_pii(df, "text").collect()
+    kinds = sorted((r.doc_id, r.pii_kind) for r in found)
+    assert kinds == [
+        (1, "email"),
+        (1, "email"),
+        (2, "phone_us"),
+        (2, "phone_us"),
+        (3, "credit_card"),
+        (3, "ipv4"),
+        (3, "ssn"),
+    ]
+    # masked: prefix + length, never the raw value
+    for r in found:
+        assert "…(" in r.match
+
+
+def test_scan_pii_unmasked(spark):
+    df = _docs(spark, [(1, "x alice@example.com y")])
+    [r] = scan_pii(df, "text", mask=False).collect()
+    assert r.match == "alice@example.com"
+
+
+def test_redact_pii_replaces_all(spark):
+    df = _docs(
+        spark,
+        [(1, "alice@example.com then 10.0.0.1 then alice@example.com end")],
+    )
+    [r] = redact_pii(df, "text").collect()
+    assert r.text == "[EMAIL] then [IPV4] then [EMAIL] end"
+
+
+def test_redact_pii_out_col_preserves_original(spark):
+    df = _docs(spark, [(1, "a@b.co stays")])
+    [r] = redact_pii(df, "text", out_col="clean").collect()
+    assert r.text == "a@b.co stays" and r.clean == "[EMAIL] stays"
+
+
+def test_check_no_pii_difference_rows(spark):
+    df = _docs(spark, [(1, "ssn 123-45-6789")])
+    [d] = check_no_pii(df, "text", provenance={}).collect()
+    assert d.diff_kind == "invalid" and d.key == "ssn" and d.expected == "no-secret"
+
+
+def test_pii_scan_is_scan_local(spark):
+    df = _docs(spark, [(1, "a@b.co")])
+    plan = scan_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher
+# ---------------------------------------------------------------------------
+
+GOOD_TEXT = (
+    "the quick brown fox jumps over the lazy dog and runs away with great "
+    "speed that nobody could have expected from such a small animal it kept "
+    "going for hours and hours until the sun went down over the quiet hills "
+    "and everyone agreed that it was quite a remarkable sight to behold here"
+)
+
+
+def test_gopher_good_doc_passes(spark):
+    df = _docs(spark, [(1, GOOD_TEXT)])
+    [r] = gopher_quality(df, "text").collect()
+    assert r.gopher_pass
+    assert r.n_words >= 50 and r.stopword_hits >= 2
+    assert 3.0 <= r.mean_word_len <= 10.0
+    assert r.alpha_word_frac == 1.0
+
+
+def test_gopher_too_short_fails(spark):
+    df = _docs(spark, [(1, "way too short")])
+    [r] = gopher_quality(df, "text").collect()
+    assert not r.gopher_pass and r.n_words == 3
+
+
+def test_gopher_symbol_ratio(spark):
+    words = ["the"] * 60 + ["#"] * 30
+    df = _docs(spark, [(1, " ".join(words))])
+    [r] = gopher_quality(df, "text").collect()
+    assert r.symbol_word_ratio == pytest.approx(30 / 90, abs=1e-4)
+    assert not r.gopher_pass  # ratio 0.33 > 0.1
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    text = "\n".join(["- bullet point"] * 9 + ["plain line..."])
+    df = _docs(spark, [(1, text)])
+    [r] = gopher_quality(df, "text").collect()
+    assert r.bullet_line_frac == pytest.approx(0.9)
+    assert r.ellipsis_line_frac == pytest.approx(0.1)
+
+
+def test_gopher_alpha_word_frac(spark):
+    df = _docs(spark, [(1, "the 123 456 789 word " + " ".join(["x"] * 5))])
+    [r] = gopher_quality(df, "text").collect()
+    assert r.alpha_word_frac == pytest.approx(7 / 10)
+
+
+def test_gopher_empty_text(spark):
+    df = _docs(spark, [(1, "")])
+    [r] = gopher_quality(df, "text").collect()
+    assert not r.gopher_pass and r.n_words == 0 and r.mean_word_len == 0.0
+
+
+def test_gopher_is_scan_local(spark):
+    df = _docs(spark, [(1, GOOD_TEXT)])
+    plan = gopher_quality(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C4
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_keeps_good_lines(spark):
+    text = "\n".join(
+        [
+            "this is a proper sentence with terminal punctuation.",  # keep
+            "too short.",  # < 5 words
+            "this line has plenty of words but no terminal punct",  # no punct
+            "enable javascript to view this page properly.",  # javascript
+            "another perfectly reasonable full sentence right here!",  # keep
+            "and one more good sentence to clear the minimum bar?",  # keep
+        ]
+    )
+    df = _docs(spark, [(1, text)])
+    [r] = c4_clean(df, "text").collect()
+    kept = r.text_clean.split("\n")
+    assert len(kept) == 3 and r.n_kept_lines == 3 and r.n_lines == 6
+    assert r.c4_pass and not r.has_brace and not r.has_lorem_ipsum
+
+
+def test_c4_brace_and_lorem_flags(spark):
+    good = "a good sentence with enough words to keep here."
+    df = _docs(
+        spark,
+        [
+            (1, good + "\nvar x = {};"),
+            (2, good + "\nLorem Ipsum dolor sit amet."),
+        ],
+    )
+    rows = {r.doc_id: r for r in c4_clean(df, "text").collect()}
+    assert rows[1].has_brace and not rows[1].c4_pass
+    assert rows[2].has_lorem_ipsum and not rows[2].c4_pass
+
+
+def test_c4_min_kept_lines_gate(spark):
+    df = _docs(spark, [(1, "one single good sentence with enough words.")])
+    [r] = c4_clean(df, "text").collect()
+    assert r.n_kept_lines == 1 and not r.c4_pass
+    [r2] = c4_clean(df, "text", min_kept_lines=1).collect()
+    assert r2.c4_pass
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngram_strings(spark):
+    df = spark.range(1).select(
+        word_ngram_strings(F.lit("a b c d"), 2).alias("g2"),
+        word_ngram_strings(F.lit("a b"), 3).alias("g3"),
+    )
+    [r] = df.collect()
+    assert r.g2 == ["a b", "b c", "c d"]
+    assert r.g3 == []
+
+
+def test_repetition_dup_lines(spark):
+    text = "\n".join(["same line", "unique one", "same line", "other line"])
+    df = _docs(spark, [(1, text)])
+    [r] = repetition_stats(df, "text").collect()
+    assert r.dup_line_frac == pytest.approx(2 / 4)
+    total_chars = sum(len(l) for l in text.split("\n"))
+    assert r.dup_line_char_frac == pytest.approx(2 * len("same line") / total_chars, abs=1e-4)
+
+
+def test_repetition_top_ngram(spark):
+    # "x y" appears 3 times among 2-grams
+    text = "x y x y x y z"
+    df = _docs(spark, [(1, text)])
+    [r] = repetition_stats(df, "text", top_ngram_ns=(2,), dup_ngram_ns=(5,)).collect()
+    word_chars = len(text.replace(" ", ""))
+    assert r.top2gram_char_frac == pytest.approx(3 * len("x y") / word_chars, abs=1e-4)
+
+
+def test_repetition_no_repeats_and_empty(spark):
+    df = _docs(spark, [(1, "all words here differ completely"), (2, "")])
+    rows = {r.doc_id: r for r in repetition_stats(df, "text").collect()}
+    assert rows[1].dup_line_frac == 0.0 and rows[1].dup5gram_char_frac == 0.0
+    assert rows[2].dup_line_frac == 0.0 and rows[2].top2gram_char_frac == 0.0
+
+
+def test_repetition_dup_ngram_capped(spark):
+    # heavily repeated 5-grams: coverage formula would exceed 1 → capped
+    text = " ".join(["a b c d e"] * 30)
+    df = _docs(spark, [(1, text)])
+    [r] = repetition_stats(df, "text", dup_ngram_ns=(5,)).collect()
+    assert r.dup5gram_char_frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# corpus line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "shared line\nalpha only"),
+            (2, "beta only\nshared line"),
+            (3, "shared line"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dedup_lines(df, "text").collect()}
+    assert rows[1].text == "shared line\nalpha only"
+    assert rows[2].text == "beta only"
+    assert rows[3].text == ""
+
+
+def test_dedup_lines_within_doc(spark):
+    df = _docs(spark, [(1, "dup\nmid\ndup")])
+    [r] = dedup_lines(df, "text").collect()
+    assert r.text == "dup\nmid"
+
+
+def test_dedup_lines_min_chars_spares_short_lines(spark):
+    df = _docs(spark, [(1, "ok\n\nok2"), (2, "ok\n\nok3")])
+    rows = {r.doc_id: r for r in dedup_lines(df, "text", min_line_chars=3).collect()}
+    # 'ok' (2 chars) and blank lines are spared everywhere
+    assert rows[1].text == "ok\n\nok2"
+    assert rows[2].text == "ok\n\nok3"
+
+
+def test_dedup_lines_out_col_and_determinism(spark):
+    rows_in = [(i, f"common header\nbody {i}") for i in range(20)]
+    df = _docs(spark, rows_in)
+    out = dedup_lines(df, "text", out_col="clean")
+    a = sorted((r.doc_id, r.clean) for r in out.collect())
+    b = sorted((r.doc_id, r.clean) for r in out.repartition(13).collect())
+    # the winner is doc 0 regardless of physical partitioning
+    assert a == b
+    assert a[0][1] == "common header\nbody 0"
+    assert all("common header" not in t for i, t in a[1:])
