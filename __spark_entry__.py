@@ -1730,6 +1730,318 @@ SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-quality family (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+def _doc_multiline(col):
+    """documents.text is single-line word soup; reshape it into a
+    deterministic multi-line corpus IN-QUERY (literal replaces,
+    identical in Spark and DuckDB) so the line-structured quality
+    operators have real lines to chew on.  ' the ' becomes a
+    sentence-terminal '.\\n' (feeds the C4 terminal-punctuation rule);
+    ' a ' becomes a bare line break."""
+    return F.replace(
+        F.replace(col, F.lit(" the "), F.lit(".\n")), F.lit(" a "), F.lit("\n")
+    )
+
+
+_SQL_DOC_MULTILINE = (
+    "replace(replace(text, ' the ', '.' || chr(10)), ' a ', chr(10))"
+)
+
+#: DuckDB rendering of textstats.tokens(): whitespace split, empties dropped
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim({t}), '\\s+'), w -> len(w) > 0)"
+
+
+def q_pii_documents(spark, sf_dir):
+    """PII scan (scan_pii): deterministic fake PII planted IN-QUERY
+    from md5(doc_id) / doc_id arithmetic — identical in both engines —
+    so the scanner (pattern match + masking) gets a full cross-engine
+    value oracle, like secrets_documents."""
+    from datatest_spark.operators.quality import scan_pii
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\ncontact: user"), F.substring(h, 1, 6), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\ncall 415-555-"), four),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("\nssn 219-09-"), four),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    return scan_pii(planted, "content", keep_cols=["doc_id"])
+
+
+SQL_PII_DOCUMENTS = """
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'contact: user' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'ssn 219-09-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS content
+  FROM documents
+), hits AS (
+  SELECT doc_id, k.pii_kind, unnest(regexp_extract_all(content, k.pat)) AS m
+  FROM planted CROSS JOIN (VALUES
+     ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}'),
+     ('phone_us', '\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}'),
+     ('ipv4', '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'),
+     ('ssn', '\\b\\d{3}-\\d{2}-\\d{4}\\b'),
+     ('credit_card', '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')
+  ) AS k(pii_kind, pat)
+)
+SELECT doc_id, pii_kind,
+       substr(m, 1, 8) || '…(' || CAST(len(m) AS VARCHAR) || ')' AS match
+FROM hits
+"""
+
+
+def q_gopher_documents(spark, sf_dir):
+    """Gopher quality rules over the multi-line reshaped corpus, with
+    bullet / ellipsis lines planted deterministically so every metric
+    branch is exercised; full per-metric value oracle."""
+    from datatest_spark.operators.quality import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            _doc_multiline(F.col("text")),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit("\n- bullet item\n- second bullet")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit("\nto be continued...")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(planted).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stopword_hits",
+        "gopher_pass",
+    )
+
+
+SQL_GOPHER_DOCUMENTS = f"""
+WITH planted AS (
+  SELECT doc_id,
+    {_SQL_DOC_MULTILINE}
+    || CASE WHEN doc_id % 9 = 0 THEN chr(10) || '- bullet item' || chr(10) || '- second bullet' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+    AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    {_SQL_TOKS.format(t='t')} AS toks,
+    {_SQL_TOKS.format(t='lower(t)')} AS ltoks,
+    string_split(t, chr(10)) AS lines,
+    len(regexp_replace(t, '\\s', '', 'g')) AS word_chars,
+    len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS symbols
+  FROM planted
+), r AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(round(CASE WHEN len(toks) > 0 THEN word_chars * 1.0 / len(toks) ELSE 0.0 END, 4) AS DOUBLE) AS mean_word_len,
+    CAST(round(CASE WHEN len(toks) > 0 THEN symbols * 1.0 / len(toks) ELSE 0.0 END, 4) AS DOUBLE) AS symbol_word_ratio,
+    CAST(round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•‣▪]'))) * 1.0 / len(lines) ELSE 0.0 END, 4) AS DOUBLE) AS bullet_line_frac,
+    CAST(round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0 / len(lines) ELSE 0.0 END, 4) AS DOUBLE) AS ellipsis_line_frac,
+    CAST(round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(toks) ELSE 0.0 END, 4) AS DOUBLE) AS alpha_word_frac,
+    CAST(len(list_filter(ltoks, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stopword_hits
+  FROM m
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND stopword_hits >= 2) AS gopher_pass
+FROM r
+"""
+
+
+def q_c4_documents(spark, sf_dir):
+    """C4 line cleaning over the multi-line reshaped corpus, with
+    javascript / brace / lorem-ipsum rows planted so every drop rule
+    fires; the cleaned text is compared by md5 plus all flag columns."""
+    from datatest_spark.operators.quality import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            _doc_multiline(F.col("text")),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.lit("\nenable javascript to view this page."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 23 == 0, F.lit("\nfunction f() { return 1; }")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 29 == 0, F.lit("\nLorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = c4_clean(planted)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+        "n_lines",
+        "n_kept_lines",
+        "has_brace",
+        "has_lorem_ipsum",
+        "c4_pass",
+    )
+
+
+SQL_C4_DOCUMENTS = f"""
+WITH planted AS (
+  SELECT doc_id,
+    {_SQL_DOC_MULTILINE}
+    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'enable javascript to view this page.' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'function f() {{ return 1; }}' ELSE '' END
+    || CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+    AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, t,
+    string_split(t, chr(10)) AS lines,
+    list_filter(string_split(t, chr(10)), l ->
+      regexp_matches(l, '[.!?"'']\\s*$')
+      AND len({_SQL_TOKS.format(t='l')}) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM planted
+)
+SELECT doc_id,
+  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  contains(t, '{{') AS has_brace,
+  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+  (NOT contains(t, '{{') AND NOT contains(lower(t), 'lorem ipsum') AND len(kept) >= 3) AS c4_pass
+FROM m
+"""
+
+
+def q_repetition_documents(spark, sf_dir):
+    """Gopher repetition family (dup-line / top-ngram / dup-ngram
+    char fractions) over the multi-line reshaped corpus — the word
+    soup has heavy natural repetition, so every metric is non-trivial.
+    Full per-metric value oracle."""
+    from datatest_spark.operators.quality import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select("doc_id", _doc_multiline(F.col("text")).alias("text"))
+    return repetition_stats(planted)
+
+
+_SQL_NGRAM_FAMILY = """
+  SELECT doc_id, '{n}gram' AS family,
+         list_transform(generate_series(1, greatest(len(toks)-{n1}, 0)),
+                        i -> array_to_string(list_slice(toks, i, i+{n1}), ' ')) AS units,
+         CAST(greatest(len(toks)-{n1}, 0) AS DOUBLE) AS total_units,
+         word_chars AS denom_chars
+  FROM base
+"""
+
+SQL_REPETITION_DOCUMENTS = f"""
+WITH src AS (
+  SELECT doc_id, {_SQL_DOC_MULTILINE} AS t FROM documents
+), base AS (
+  SELECT doc_id,
+    string_split(t, chr(10)) AS lines,
+    {_SQL_TOKS.format(t='t')} AS toks,
+    CAST(len(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) AS word_chars
+  FROM src
+), fam AS (
+  SELECT doc_id, 'line' AS family, lines AS units,
+         CAST(len(lines) AS DOUBLE) AS total_units,
+         CAST(list_sum(list_transform(lines, l -> len(l))) AS DOUBLE) AS denom_chars
+  FROM base
+  UNION ALL {_SQL_NGRAM_FAMILY.format(n=2, n1=1)}
+  UNION ALL {_SQL_NGRAM_FAMILY.format(n=3, n1=2)}
+  UNION ALL {_SQL_NGRAM_FAMILY.format(n=5, n1=4)}
+), units AS (
+  SELECT doc_id, family, total_units, denom_chars, unnest(units) AS unit FROM fam
+), counted AS (
+  SELECT doc_id, family, total_units, denom_chars, unit, CAST(count(*) AS DOUBLE) AS cnt
+  FROM units GROUP BY ALL
+), per_family AS (
+  SELECT doc_id, family,
+    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / nullif(first(total_units), 0) AS dup_unit_frac,
+    sum(CASE WHEN cnt > 1 THEN cnt * len(unit) ELSE 0 END) / nullif(first(denom_chars), 0) AS dup_char_frac,
+    max(cnt * len(unit)) / nullif(first(denom_chars), 0) AS top_char_frac
+  FROM counted GROUP BY doc_id, family
+)
+SELECT d.doc_id,
+  CAST(round(coalesce(max(CASE WHEN family='line' THEN dup_unit_frac END), 0.0), 4) AS DOUBLE) AS dup_line_frac,
+  CAST(round(coalesce(max(CASE WHEN family='line' THEN dup_char_frac END), 0.0), 4) AS DOUBLE) AS dup_line_char_frac,
+  CAST(round(coalesce(max(CASE WHEN family='2gram' THEN top_char_frac END), 0.0), 4) AS DOUBLE) AS top2gram_char_frac,
+  CAST(round(coalesce(max(CASE WHEN family='3gram' THEN top_char_frac END), 0.0), 4) AS DOUBLE) AS top3gram_char_frac,
+  CAST(round(least(coalesce(max(CASE WHEN family='5gram' THEN dup_char_frac END), 0.0), 1.0), 4) AS DOUBLE) AS dup5gram_char_frac
+FROM documents d LEFT JOIN per_family p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_dedup_lines_documents(spark, sf_dir):
+    """Corpus-wide first-occurrence line dedup (the C4 span-dedup
+    shape) over the multi-line reshaped corpus; the rebuilt per-doc
+    text is compared by md5 — a full value oracle of the window +
+    reassembly plan, deterministic because the keep rule is a total
+    order (doc_id, pos)."""
+    from datatest_spark.operators.quality import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select("doc_id", _doc_multiline(F.col("text")).alias("text"))
+    out = dedup_lines(planted, "text", out_col="text_dedup")
+    return out.select("doc_id", F.md5(F.col("text_dedup")).alias("dedup_md5"))
+
+
+SQL_DEDUP_LINES_DOCUMENTS = f"""
+WITH src AS (
+  SELECT doc_id, {_SQL_DOC_MULTILINE} AS t FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos,
+         unnest(string_split(t, chr(10))) AS line
+  FROM src
+), ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM ranked WHERE len(line) < 1 OR rn = 1
+  GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(r.txt, '')) AS dedup_md5
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -1786,6 +2098,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acceptance_keys_mapping": q_acceptance_keys_mapping,
         "acceptance_args_psize": q_acceptance_args_psize,
         "acceptance_fuzzy_documents": q_acceptance_fuzzy_documents,
+        "pii_documents": q_pii_documents,
+        "gopher_documents": q_gopher_documents,
+        "c4_documents": q_c4_documents,
+        "repetition_documents": q_repetition_documents,
+        "dedup_lines_documents": q_dedup_lines_documents,
     }
 
 
@@ -1845,4 +2162,9 @@ def oracle_sql() -> dict[str, str]:
         "acceptance_keys_mapping": SQL_ACCEPT_KEYS,
         "acceptance_args_psize": SQL_ACCEPT_ARGS,
         "acceptance_fuzzy_documents": SQL_ACCEPT_FUZZY,
+        "pii_documents": SQL_PII_DOCUMENTS,
+        "gopher_documents": SQL_GOPHER_DOCUMENTS,
+        "c4_documents": SQL_C4_DOCUMENTS,
+        "repetition_documents": SQL_REPETITION_DOCUMENTS,
+        "dedup_lines_documents": SQL_DEDUP_LINES_DOCUMENTS,
     }
