@@ -1656,6 +1656,45 @@ SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1
 """
 
 
+def q_dedup_near_documents(spark, sf_dir):
+    """End-to-end near-dup REMOVAL (`dedup_near`): exact unigram-Jaccard
+    edges → connected components → keep the min-id representative per
+    cluster, corpus anti-joined against the losers.  Oracle = the same
+    recursive-CTE closure as dup_clusters_documents with the keep rule
+    applied in SQL — a full value oracle of the whole pipeline."""
+    from datatest_spark.operators.dedup import dedup_near, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="auto")
+    return dedup_near(d, pairs=pairs).select("doc_id", "n_chars")
+
+
+SQL_DEDUP_NEAR = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS tok
+  FROM documents
+), counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON id_a = ca.doc_id
+  JOIN counts cb ON id_b = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+), edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -2103,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_documents": q_c4_documents,
         "repetition_documents": q_repetition_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "dedup_near_documents": q_dedup_near_documents,
     }
 
 
@@ -2167,4 +2207,5 @@ def oracle_sql() -> dict[str, str]:
         "c4_documents": SQL_C4_DOCUMENTS,
         "repetition_documents": SQL_REPETITION_DOCUMENTS,
         "dedup_lines_documents": SQL_DEDUP_LINES_DOCUMENTS,
+        "dedup_near_documents": SQL_DEDUP_NEAR,
     }

@@ -880,3 +880,55 @@ def duplicate_clusters(
         ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         sym.unpersist()
+
+
+def dedup_near(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: Optional[DataFrame] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    max_bucket_size: Optional[int] = None,
+    max_iter: int = 30,
+    reliable: bool = False,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Remove near-duplicates end-to-end: LSH candidate pairs →
+    Jaccard-verified edges → connected-component clusters → keep ONE
+    representative (the minimum id) per cluster; every other member is
+    dropped.  The one-call pipeline a training-data run actually wants
+    ("give me the deduplicated corpus"), composing
+    ``minhash_dedup_pairs`` and ``duplicate_clusters``; pass
+    ``pairs=`` to substitute any other edge generator (simhash,
+    embedding cosine, exact Jaccard) without changing the keep logic.
+
+    Scale shape: the corpus itself never enters a shuffle — pairs are
+    LSH-bucketed (never all-pairs), clustering runs over the pair ids
+    only (|docs in any pair| rows, typically a tiny fraction of the
+    corpus), and the final step is a LEFT ANTI join of the corpus
+    against the loser set (cluster members ≠ representative), which AQE
+    broadcasts when small.  Duplicate-free partitions stream straight
+    through.
+    """
+    if pairs is None:
+        pairs = minhash_dedup_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+    clusters = duplicate_clusters(
+        pairs, max_iter=max_iter, reliable=reliable, checkpoint_dir=checkpoint_dir
+    )
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

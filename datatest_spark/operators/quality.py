@@ -251,10 +251,9 @@ def c4_clean(
 # ---------------------------------------------------------------------------
 
 
-def word_ngram_strings(col: Column, n: int) -> Column:
-    """Array of space-joined word n-grams of ``col`` (empty when the
-    document has fewer than n tokens)."""
-    toks = tokens(col)
+def _ngram_strings_of(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams over an ALREADY-TOKENIZED array
+    column (empty when fewer than n tokens)."""
     # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, not empty —
     # guard the fewer-than-n-tokens case explicitly
     return F.when(
@@ -264,6 +263,12 @@ def word_ngram_strings(col: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngram_strings(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of a TEXT ``col`` (empty when
+    the document has fewer than n tokens)."""
+    return _ngram_strings_of(tokens(col), n)
 
 
 def repetition_stats(
@@ -286,49 +291,51 @@ def repetition_stats(
       more than once, capped at 1.0 (overlaps approximated as in the
       published filters; n in ``dup_ngram_ns``).
 
-    Shape: ONE explode producing (doc, family, unit) rows for every
-    family, one count shuffle keyed by (doc, family, unit), one
-    per-(doc, family) aggregate, then a pivot back to one row per
-    document — every shuffle key includes the doc id, so skew is
-    bounded by the largest single document.
+    Shape: one SMALL codegen'd explode per family (line / each n),
+    unioned into a single (doc, family, unit) relation, one count
+    shuffle keyed by (doc, family, unit), one per-(doc, family)
+    aggregate, then a pivot back to one row per document — every
+    shuffle key includes the doc id, so skew is bounded by the largest
+    single document.
+
+    Why a union and not one fused ``explode(array(struct(...)))``:
+    Generate re-evaluates the whole array-of-structs constructor per
+    EMITTED element, so the fused form rebuilds every family's n-gram
+    arrays k times per row — measured 15× slower than the union at
+    sf0.1 (25 s → 1.6 s).  The union's branches each re-read the
+    source through the same 2-column pruned scan; at corpus scale
+    persist the (ids, text) projection upstream to make that one
+    materialized read.
     """
     ids = list(id_cols)
     c = F.col(text_col)
-    lines = F.split(c, "\n")
-    word_chars = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
-
-    families = [
-        F.struct(
-            F.lit("line").alias("family"),
-            lines.alias("units"),
-            F.size(lines).cast("double").alias("total_units"),
-            # line-char denominator: sum of line lengths
-            F.aggregate(
-                lines, F.lit(0).cast("double"), lambda a, l: a + F.length(l)
-            ).alias("denom_chars"),
-        )
-    ]
-    for n in sorted(set(list(top_ngram_ns) + list(dup_ngram_ns))):
-        grams = word_ngram_strings(c, n)
-        families.append(
-            F.struct(
-                F.lit(f"{n}gram").alias("family"),
-                grams.alias("units"),
-                F.size(grams).cast("double").alias("total_units"),
-                word_chars.alias("denom_chars"),
+    ns = sorted(set(list(top_ngram_ns) + list(dup_ngram_ns)))
+    base = df.select(
+        *ids,
+        F.split(c, "\n").alias("_lines"),
+        tokens(c).alias("_toks"),
+        F.length(F.regexp_replace(c, r"\s", "")).cast("double").alias("_word_chars"),
+    )
+    exploded = base.select(
+        *ids,
+        F.lit("line").alias("family"),
+        F.size("_lines").cast("double").alias("total_units"),
+        # line-char denominator: sum of line lengths
+        F.aggregate(
+            F.col("_lines"), F.lit(0).cast("double"), lambda a, l: a + F.length(l)
+        ).alias("denom_chars"),
+        F.explode("_lines").alias("unit"),
+    )
+    for n in ns:
+        exploded = exploded.union(
+            base.select(
+                *ids,
+                F.lit(f"{n}gram"),
+                F.greatest(F.size("_toks") - (n - 1), F.lit(0)).cast("double"),
+                F.col("_word_chars"),
+                F.explode(_ngram_strings_of(F.col("_toks"), n)),
             )
         )
-
-    exploded = (
-        df.select(*ids, F.explode(F.array(*families)).alias("_f"))
-        .select(
-            *ids,
-            F.col("_f.family").alias("family"),
-            F.col("_f.total_units").alias("total_units"),
-            F.col("_f.denom_chars").alias("denom_chars"),
-            F.explode("_f.units").alias("unit"),
-        )
-    )
     counted = exploded.groupBy(*ids, "family", "total_units", "denom_chars", "unit").agg(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )

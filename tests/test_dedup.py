@@ -253,3 +253,23 @@ def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
     out = duplicate_clusters(pairs, reliable=True, checkpoint_dir=str(tmp_path / "ck"))
     got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+
+
+def test_dedup_near_keeps_one_per_cluster(spark, docs):
+    from datatest_spark.operators.dedup import dedup_near
+
+    kept = dedup_near(docs, ngram=3, threshold=0.7)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # docs 0/1/2 form one near-dup cluster -> representative 0 survives
+    assert ids == [0, 3, 4]
+    # schema passes through unchanged
+    assert kept.columns == docs.columns
+
+
+def test_dedup_near_custom_pairs(spark, docs):
+    from datatest_spark.operators.dedup import dedup_near
+
+    pairs = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    kept = dedup_near(docs, pairs=pairs)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [0, 1, 2, 3]
