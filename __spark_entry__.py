@@ -1627,7 +1627,9 @@ def q_dup_clusters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return duplicate_clusters(
-        ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="auto")
+        # the fixture regime is known (31-token vocab, <=20k docs), so pin
+        # the bitset tier instead of paying auto's two probe jobs per run
+        ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="bitset")
     )
 
 
@@ -1665,7 +1667,7 @@ def q_dedup_near_documents(spark, sf_dir):
     from datatest_spark.operators.dedup import dedup_near, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="auto")
+    pairs = ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="bitset")
     return dedup_near(d, pairs=pairs).select("doc_id", "n_chars")
 
 
@@ -1692,6 +1694,57 @@ reach AS (
 ), cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+"""
+
+
+def q_rowcount_drift_events(spark, sf_dir):
+    """Table-level row-count drift vs a baseline count (ledger/snapshot
+    value): events is 10k rows per 0.01 SF, baseline 9500 with 2%
+    tolerance → one Deviation(+500·SF/0.01) row."""
+    from datatest_spark import validate
+
+    e = _t(spark, sf_dir, "events")
+    d = validate.row_count_drift(e, 9500, tolerance=0.02)
+    return d.select(
+        "diff_kind",
+        F.col("value").cast("bigint").alias("count_num"),
+        F.col("expected").cast("bigint").alias("baseline_num"),
+        "deviation",
+    )
+
+
+SQL_ROWCOUNT_DRIFT = """
+SELECT 'deviation' AS diff_kind,
+       CAST(count(*) AS BIGINT) AS count_num,
+       CAST(9500 AS BIGINT) AS baseline_num,
+       CAST(count(*) - 9500 AS DOUBLE) AS deviation
+FROM events
+HAVING abs(count(*) - 9500.0) / 9500.0 > 0.02
+"""
+
+
+def q_freshness_events(spark, sf_dir):
+    """Freshness requirement: newest events.ts must be within 30 days
+    of a PINNED reference instant (explicit +00:00 offset — the check
+    is timezone-independent because the deviation is a difference of
+    epoch seconds).  Data ends 2024-01-30, so the check is stale by
+    ~92 days → one Deviation row."""
+    from datatest_spark import validate
+
+    e = _t(spark, sf_dir, "events")
+    d = validate.freshness(
+        e, "ts", max_age="30 days", now="2024-06-01 00:00:00+00:00"
+    )
+    return d.select("diff_kind", "key", "deviation")
+
+
+SQL_FRESHNESS_EVENTS = """
+SELECT 'deviation' AS diff_kind, 'ts' AS key,
+       CAST(epoch(TIMESTAMP '2024-06-01 00:00:00')
+            - 30 * 86400
+            - floor(epoch(max(ts))) AS DOUBLE) AS deviation
+FROM events
+HAVING epoch(TIMESTAMP '2024-06-01 00:00:00') - floor(epoch(max(ts))) > 30 * 86400
 """
 
 
@@ -2143,6 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
         "dedup_near_documents": q_dedup_near_documents,
+        "rowcount_drift_events": q_rowcount_drift_events,
+        "freshness_events": q_freshness_events,
     }
 
 
@@ -2208,4 +2263,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": SQL_REPETITION_DOCUMENTS,
         "dedup_lines_documents": SQL_DEDUP_LINES_DOCUMENTS,
         "dedup_near_documents": SQL_DEDUP_NEAR,
+        "rowcount_drift_events": SQL_ROWCOUNT_DRIFT,
+        "freshness_events": SQL_FRESHNESS_EVENTS,
     }

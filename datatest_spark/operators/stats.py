@@ -342,6 +342,78 @@ def check_stats_bounds(
     return union_differences(*diffs)
 
 
+def check_row_count_drift(
+    df: DataFrame,
+    baseline: int,
+    *,
+    tolerance: float = 0.0,
+    check_id: str = "row_count_drift",
+) -> DataFrame:
+    """Table-level row-count requirement vs a baseline count (from a
+    previous run's ledger/snapshot): emit ONE
+    Deviation(count − baseline, baseline) row when
+    ``|count − baseline| / baseline > tolerance``; empty otherwise.
+
+    The operational "did the feed halve / double overnight" check.
+    Cost: one count agg (map-side partial count per partition + a
+    scalar combine) — no data shuffle."""
+    if baseline <= 0:
+        raise ValueError("baseline must be a positive row count")
+    cnt = df.agg(F.count(F.lit(1)).alias("cnt"))
+    bad = cnt.filter(
+        F.abs(F.col("cnt") - F.lit(int(baseline))) / F.lit(float(baseline))
+        > F.lit(float(tolerance))
+    )
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit("row_count"),
+        value=F.col("cnt"),
+        expected=F.lit(int(baseline)),
+        deviation=(F.col("cnt") - F.lit(int(baseline))).cast("double"),
+    )
+
+
+def check_freshness(
+    df: DataFrame,
+    ts_column: str,
+    *,
+    max_age: str,
+    now: str,
+    check_id: str = "freshness",
+) -> DataFrame:
+    """Freshness requirement: the newest ``ts_column`` value must be
+    within ``max_age`` (an INTERVAL string like ``'3 days'``) of
+    ``now``.  Emits ONE Deviation(lag_seconds − max_age_seconds,
+    max_age_seconds) row when stale; empty when fresh.
+
+    ``now`` is an explicit timestamp string — determinism across
+    retries/cluster sizes requires the caller to pin the reference
+    instant (byte-identical output is a north_rule invariant; a
+    wall-clock default would break it).
+
+    Cost: one max() agg — map-side partial max per partition, scalar
+    combine, no shuffle of data rows."""
+    newest = df.agg(F.max(F.col(ts_column)).alias("newest"))
+    now_ts = F.to_timestamp(F.lit(now))
+    lag_s = F.unix_timestamp(now_ts) - F.unix_timestamp(F.col("newest"))
+    limit_s = (
+        F.unix_timestamp(now_ts)
+        - F.unix_timestamp(now_ts - F.expr(f"INTERVAL {max_age}"))
+    )
+    bad = newest.filter(F.col("newest").isNull() | (lag_s > limit_s))
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(ts_column),
+        value=F.col("newest"),
+        expected=F.lit(str(max_age)),
+        deviation=(lag_s - limit_s).cast("double"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental per-partition stat sketches (mergeable — the resume path)
 # ---------------------------------------------------------------------------

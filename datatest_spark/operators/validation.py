@@ -99,6 +99,19 @@ class _Validate:
     order_exact = staticmethod(R.check_order_exact)
     schema = staticmethod(R.check_schema)
 
+    # table-level operational requirements (stats module)
+    @staticmethod
+    def row_count_drift(df, baseline, **kw):
+        from .stats import check_row_count_drift
+
+        return check_row_count_drift(df, baseline, **kw)
+
+    @staticmethod
+    def freshness(df, ts_column, **kw):
+        from .stats import check_freshness
+
+        return check_freshness(df, ts_column, **kw)
+
 
 validate = _Validate()
 

@@ -1,0 +1,44 @@
+
+
+def test_row_count_drift(spark):
+    from datatest_spark.operators.stats import check_row_count_drift
+
+    df = spark.range(90)
+    assert check_row_count_drift(df, 100, tolerance=0.2).count() == 0
+    rows = check_row_count_drift(df, 100, tolerance=0.05).collect()
+    assert len(rows) == 1
+    assert rows[0]["diff_kind"] == "deviation"
+    assert rows[0]["deviation"] == -10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check_row_count_drift(df, 0)
+
+
+def test_freshness(spark):
+    from datatest_spark.operators.stats import check_freshness
+
+    df = spark.createDataFrame(
+        [("2026-01-01 00:00:00",), ("2026-01-03 00:00:00",)], "ts string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    assert (
+        check_freshness(df, "ts", max_age="3 days", now="2026-01-04 00:00:00").count()
+        == 0
+    )
+    stale = check_freshness(
+        df, "ts", max_age="12 hours", now="2026-01-04 00:00:00"
+    ).collect()
+    assert len(stale) == 1
+    assert stale[0]["deviation"] == (24 - 12) * 3600.0
+    # empty / all-null input is stale by definition (one row, null deviation)
+    empty = check_freshness(
+        df.filter("ts IS NULL"), "ts", max_age="1 day", now="2026-01-04 00:00:00"
+    )
+    assert empty.count() == 1
+
+
+def test_validate_namespace_table_checks(spark):
+    from datatest_spark import validate
+
+    df = spark.range(50)
+    assert validate.row_count_drift(df, 50, tolerance=0.0).count() == 0
