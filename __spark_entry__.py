@@ -1748,6 +1748,48 @@ HAVING epoch(TIMESTAMP '2024-06-01 00:00:00') - floor(epoch(max(ts))) > 30 * 864
 """
 
 
+def q_partition_outliers_part(spark, sf_dir):
+    """Statistical per-partition anomaly screen (check_partition_
+    outliers): mean p_retailprice per p_brand, one planted runaway
+    brand (deterministic range union, identical in both engines) —
+    only the planted partition sits > 3 sample stddevs from the
+    cross-partition mean."""
+    from datatest_spark.operators.stats import check_partition_outliers
+
+    p = _t(spark, sf_dir, "part")
+    extra = spark.range(50).select(
+        F.lit("Brand#XX").alias("p_brand"),
+        (F.lit(90000.0) + F.col("id")).alias("p_retailprice"),
+    )
+    src = p.select("p_brand", "p_retailprice").unionByName(extra)
+    d = check_partition_outliers(src, "p_retailprice", "p_brand", z=3.0)
+    return d.select(
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("metric"),
+        F.round(F.col("expected").cast("double"), 4).alias("mu_all"),
+        F.round("deviation", 4).alias("dev"),
+    )
+
+
+SQL_PARTITION_OUTLIERS = """
+WITH src AS (
+  SELECT p_brand, p_retailprice FROM part
+  UNION ALL
+  SELECT 'Brand#XX', 90000.0 + i FROM range(50) AS t(i)
+), per AS (
+  SELECT p_brand AS key, avg(p_retailprice) AS m FROM src GROUP BY 1
+), gstats AS (
+  SELECT avg(m) AS mu0, stddev_samp(m) AS sigma0 FROM per
+)
+SELECT key,
+       CAST(round(m, 4) AS DOUBLE) AS metric,
+       CAST(round(mu0, 4) AS DOUBLE) AS mu_all,
+       CAST(round(m - mu0, 4) AS DOUBLE) AS dev
+FROM per, gstats
+WHERE sigma0 IS NOT NULL AND sigma0 > 0 AND abs(m - mu0) > 3.0 * sigma0
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -2198,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_documents": q_dedup_near_documents,
         "rowcount_drift_events": q_rowcount_drift_events,
         "freshness_events": q_freshness_events,
+        "partition_outliers_part": q_partition_outliers_part,
     }
 
 
@@ -2265,4 +2308,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_documents": SQL_DEDUP_NEAR,
         "rowcount_drift_events": SQL_ROWCOUNT_DRIFT,
         "freshness_events": SQL_FRESHNESS_EVENTS,
+        "partition_outliers_part": SQL_PARTITION_OUTLIERS,
     }

@@ -414,6 +414,65 @@ def check_freshness(
     )
 
 
+def check_partition_outliers(
+    df: DataFrame,
+    column: str,
+    partition_col: str,
+    *,
+    metric: str = "mean",
+    z: float = 3.0,
+    check_id: str = "partition_outliers",
+) -> DataFrame:
+    """Statistical per-partition anomaly check: compute ``metric`` of
+    ``column`` per partition, then flag partitions whose metric sits
+    more than ``z`` sample standard deviations from the cross-partition
+    mean — "which ingest batch / date / shard looks wrong" without any
+    hand-set threshold.  Complements the suite's per-partition verdicts
+    (those need an explicit requirement; this is the self-referential
+    screen).
+
+    ``metric``: ``'mean'`` | ``'null_rate'`` | ``'count'``.
+
+    Emits Deviation(metric − cross-partition mean, mean) keyed by the
+    partition id.  Fewer than 2 partitions, or zero variance → empty.
+
+    Shape: ONE groupBy(partition) agg with map-side partial aggregation
+    (shuffle rows = #partitions), a 1-row global agg over that tiny
+    relation, broadcast back — the data itself is scanned once and
+    never re-shuffled.
+    """
+    if metric == "mean":
+        m = F.avg(F.col(column))
+    elif metric == "null_rate":
+        m = F.try_divide(
+            F.sum(F.col(column).isNull().cast("long")), F.count(F.lit(1))
+        )
+    elif metric == "count":
+        m = F.count(F.lit(1)).cast("double")
+    else:
+        raise ValueError(f"unknown metric {metric!r} (mean|null_rate|count)")
+    per = df.groupBy(F.col(partition_col).alias("partition_id")).agg(
+        m.cast("double").alias("m")
+    )
+    glob = per.agg(
+        F.avg("m").alias("mu"), F.stddev_samp("m").alias("sigma")
+    )
+    bad = (
+        per.crossJoin(F.broadcast(glob))
+        .filter(F.col("sigma").isNotNull() & (F.col("sigma") > 0))
+        .filter(F.abs(F.col("m") - F.col("mu")) > F.lit(float(z)) * F.col("sigma"))
+    )
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("partition_id"),
+        value=F.col("m"),
+        expected=F.col("mu"),
+        deviation=F.col("m") - F.col("mu"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental per-partition stat sketches (mergeable — the resume path)
 # ---------------------------------------------------------------------------

@@ -42,3 +42,39 @@ def test_validate_namespace_table_checks(spark):
 
     df = spark.range(50)
     assert validate.row_count_drift(df, 50, tolerance=0.0).count() == 0
+
+
+def test_partition_outliers(spark):
+    from datatest_spark.operators.stats import check_partition_outliers
+    from pyspark.sql import functions as F
+
+    # 10 normal partitions with mean ~100, one partition way off
+    base = spark.range(1000).select(
+        (F.col("id") % 10).cast("string").alias("p"),
+        (F.lit(100.0) + (F.col("id") % 7) - 3).alias("v"),
+    )
+    bad = spark.range(100).select(
+        F.lit("bad").alias("p"), F.lit(100000.0).alias("v")
+    )
+    df = base.unionByName(bad)
+    rows = check_partition_outliers(df, "v", "p", z=3.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "bad"
+    assert rows[0]["diff_kind"] == "deviation"
+    assert rows[0]["deviation"] > 0
+
+    # uniform data -> no outliers
+    assert check_partition_outliers(base, "v", "p", z=3.0).count() == 0
+    # single partition -> sigma null -> empty
+    one = base.filter("p = '1'")
+    assert check_partition_outliers(one, "v", "p").count() == 0
+    # null_rate metric
+    withnulls = base.withColumn(
+        "v", F.when((F.col("p") == "3") & (F.col("v") > 98), None).otherwise(F.col("v"))
+    )
+    r = check_partition_outliers(withnulls, "v", "p", metric="null_rate", z=2.0).collect()
+    assert [x["key"] for x in r] == ["3"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check_partition_outliers(base, "v", "p", metric="median")
