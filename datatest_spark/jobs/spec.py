@@ -44,8 +44,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import validate
 from ..operators.acceptances import accepted
+from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
-from ..operators.stats import check_chi_square_drift, histograms
+from ..operators.secrets import check_no_secrets
+from ..operators.stats import (
+    check_chi_square_drift,
+    check_freshness,
+    check_partition_outliers,
+    check_row_count_drift,
+    histograms,
+)
 from ..suite import Check, ValidationSuite
 
 _SET_CHECKS = ("set", "subset", "superset")
@@ -176,6 +184,43 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         builder = lambda t, _c=column, _b=baseline, _th=threshold, _i=cid: (  # noqa: E731
             check_chi_square_drift(
                 histograms(t[table], [_c]), t[_b], threshold=_th, check_id=_i
+            )
+        )
+    elif kind == "no_secrets":
+        column = e.pop("column", "content")
+        cid = check_id or "no_secrets"
+        builder = lambda t, _c=column, _i=cid: check_no_secrets(  # noqa: E731
+            t[table], _c, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "no_pii":
+        column = e.pop("column", "text")
+        cid = check_id or "no_pii"
+        builder = lambda t, _c=column, _i=cid: check_no_pii(  # noqa: E731
+            t[table], _c, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "row_count_drift":
+        baseline = e.pop("baseline")
+        tolerance = e.pop("tolerance", 0.0)
+        cid = check_id or "row_count_drift"
+        builder = lambda t, _b=baseline, _tl=tolerance, _i=cid: (  # noqa: E731
+            check_row_count_drift(t[table], int(_b), tolerance=_tl, check_id=_i)
+        )
+    elif kind == "freshness":
+        column = e.pop("column")
+        max_age = e.pop("max_age")
+        now = e.pop("now")  # pinned instant — determinism, see check_freshness
+        cid = check_id or f"freshness_{column}"
+        builder = lambda t, _c=column, _a=max_age, _n=now, _i=cid: (  # noqa: E731
+            check_freshness(t[table], _c, max_age=_a, now=_n, check_id=_i)
+        )
+    elif kind == "partition_outliers":
+        column = e.pop("column")
+        metric = e.pop("metric", "mean")
+        z = e.pop("z", 3.0)
+        cid = check_id or f"partition_outliers_{column}"
+        builder = lambda t, _c=column, _m=metric, _z=z, _i=cid: (  # noqa: E731
+            check_partition_outliers(
+                t[table], _c, partition_col, metric=_m, z=float(_z), check_id=_i
             )
         )
     else:
