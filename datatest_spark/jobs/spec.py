@@ -24,7 +24,14 @@ Spec shape::
         {"check": "referential", "keys": ["repo"],
          "parent": "repos", "parent_keys": ["repo"], "strategy": "keys"},
         {"check": "predicate", "column": "content_null", "value": false,
-         "acceptance": {"count": 10}}
+         "acceptance": {"count": 10}},
+        {"check": "no_secrets", "column": "content"},
+        {"check": "no_pii", "column": "content"},
+        {"check": "row_count_drift", "baseline": 1000000, "tolerance": 0.05},
+        {"check": "freshness", "column": "ts", "max_age": "1 day",
+         "now": "2026-01-01 00:00:00+00:00"},
+        {"check": "partition_outliers", "column": "content_len",
+         "metric": "mean", "z": 3.0}
       ]
     }
 

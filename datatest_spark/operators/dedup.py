@@ -778,6 +778,16 @@ def duplicate_clusters(
     def _ck(d: DataFrame, *, eager: bool = True) -> DataFrame:
         return d.checkpoint(eager=eager) if reliable else d.localCheckpoint(eager=eager)
 
+    # the min-label algebra needs integral ids: a silent cast("long") on
+    # string ids would turn them into NULLs and merge every non-numeric
+    # node into one bogus cluster — refuse instead of corrupting
+    for c in (src_col, dst_col):
+        dt = dict(pairs.dtypes)[c]
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"duplicate_clusters needs integral ids; {c!r} is {dt} — "
+                "hash or dense-rank string ids to int64 first"
+            )
     # materialize the edge list ONCE before symmetrizing: the union's two
     # branches each re-evaluate `pairs`, so an expensive generator (a
     # posting-list jaccard join, an LSH verify) would otherwise run twice

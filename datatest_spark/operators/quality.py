@@ -291,24 +291,26 @@ def repetition_stats(
       more than once, capped at 1.0 (overlaps approximated as in the
       published filters; n in ``dup_ngram_ns``).
 
-    Shape: one SMALL codegen'd explode per family (line / each n),
-    unioned into a single (doc, family, unit) relation, one count
-    shuffle keyed by (doc, family, unit), one per-(doc, family)
-    aggregate, then a pivot back to one row per document — every
-    shuffle key includes the doc id, so skew is bounded by the largest
-    single document.
+    Shape: ONE pruned scan → a projection that materializes the token
+    and line arrays ONCE → one fused explode over all families → one
+    count shuffle keyed by (doc, family, unit) → one per-(doc, family)
+    aggregate → a pivot to one row per document.  Every shuffle key
+    includes the doc id, so skew is bounded by the largest single
+    document; NULL text coalesces to '' so the line family guarantees
+    every doc a pivot row (no join back to the source — that would be
+    a second scan).
 
-    Why a union and not one fused ``explode(array(struct(...)))``:
-    Generate re-evaluates the whole array-of-structs constructor per
-    EMITTED element, so the fused form rebuilds every family's n-gram
-    arrays k times per row — measured 15× slower than the union at
-    sf0.1 (25 s → 1.6 s).  The union's branches each re-read the
-    source through the same 2-column pruned scan; at corpus scale
-    persist the (ids, text) projection upstream to make that one
-    materialized read.
+    Measured pitfalls this shape avoids (each kept the same semantics
+    but cost 2-15× at sf0.1): building each family's grams from the
+    raw text column duplicates the tokenization expression per family
+    (no CSE across struct fields); sizing a family with
+    ``F.size(grams)`` builds every gram array twice — count
+    arithmetically instead; a union of per-family explodes is fast
+    locally but scans the source once PER FAMILY (5 FileScans vs 1 —
+    wrong at corpus scale).
     """
     ids = list(id_cols)
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     ns = sorted(set(list(top_ngram_ns) + list(dup_ngram_ns)))
     base = df.select(
         *ids,
@@ -316,26 +318,35 @@ def repetition_stats(
         tokens(c).alias("_toks"),
         F.length(F.regexp_replace(c, r"\s", "")).cast("double").alias("_word_chars"),
     )
-    exploded = base.select(
-        *ids,
-        F.lit("line").alias("family"),
-        F.size("_lines").cast("double").alias("total_units"),
-        # line-char denominator: sum of line lengths
-        F.aggregate(
-            F.col("_lines"), F.lit(0).cast("double"), lambda a, l: a + F.length(l)
-        ).alias("denom_chars"),
-        F.explode("_lines").alias("unit"),
-    )
+    families = [
+        F.struct(
+            F.lit("line").alias("family"),
+            F.col("_lines").alias("units"),
+            F.size("_lines").cast("double").alias("total_units"),
+            # line-char denominator: sum of line lengths
+            F.aggregate(
+                F.col("_lines"), F.lit(0).cast("double"), lambda a, l: a + F.length(l)
+            ).alias("denom_chars"),
+        )
+    ]
     for n in ns:
-        exploded = exploded.union(
-            base.select(
-                *ids,
-                F.lit(f"{n}gram"),
-                F.greatest(F.size("_toks") - (n - 1), F.lit(0)).cast("double"),
-                F.col("_word_chars"),
-                F.explode(_ngram_strings_of(F.col("_toks"), n)),
+        families.append(
+            F.struct(
+                F.lit(f"{n}gram").alias("family"),
+                _ngram_strings_of(F.col("_toks"), n).alias("units"),
+                F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+                .cast("double")
+                .alias("total_units"),
+                F.col("_word_chars").alias("denom_chars"),
             )
         )
+    exploded = base.select(*ids, F.explode(F.array(*families)).alias("_f")).select(
+        *ids,
+        F.col("_f.family").alias("family"),
+        F.col("_f.total_units").alias("total_units"),
+        F.col("_f.denom_chars").alias("denom_chars"),
+        F.explode("_f.units").alias("unit"),
+    )
     counted = exploded.groupBy(*ids, "family", "total_units", "denom_chars", "unit").agg(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )
@@ -400,9 +411,10 @@ def repetition_stats(
                 4,
             ).alias(f"dup{n}gram_char_frac")
         )
-    stats = per_family.groupBy(*ids).agg(*agg_exprs)
-    # docs with no units at all (empty text) still get a row of zeros
-    return df.select(*ids).join(stats, ids, "left").fillna(0.0)
+    # no join back to df: text coalesces to '' upstream, so the line
+    # family emits >=1 unit for EVERY doc — the pivot covers all ids
+    # (empty/null docs come out as rows of zeros via the coalesces above)
+    return per_family.groupBy(*ids).agg(*agg_exprs)
 
 
 # ---------------------------------------------------------------------------

@@ -273,3 +273,11 @@ def test_dedup_near_custom_pairs(spark, docs):
     kept = dedup_near(docs, pairs=pairs)
     ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
     assert ids == [0, 1, 2, 3]
+
+
+def test_duplicate_clusters_rejects_string_ids(spark):
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral ids"):
+        duplicate_clusters(pairs)

@@ -282,3 +282,23 @@ def test_dedup_lines_out_col_and_determinism(spark):
     assert a == b
     assert a[0][1] == "common header\nbody 0"
     assert all("common header" not in t for i, t in a[1:])
+
+
+def test_repetition_stats_single_scan(spark, tmp_path):
+    """Scale invariant: the whole repetition pipeline reads the source
+    exactly once (the union-of-explodes shape would scan once per
+    family)."""
+    from datatest_spark.operators.quality import repetition_stats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b a b\nx y"), (2, None)], "doc_id long, text string"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = repetition_stats(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    # null text still yields a zero row (no join-back needed)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["dup_line_frac"] == 0.0
