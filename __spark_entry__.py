@@ -1790,6 +1790,138 @@ WHERE sigma0 IS NOT NULL AND sigma0 > 0 AND abs(m - mu0) > 3.0 * sigma0
 """
 
 
+def q_fd_documents(spark, sf_dir):
+    """Functional-dependency check (check_functional_dependency):
+    source → lang must hold on documents (it does not — sources carry
+    many languages).  Compact output: one Invalid per (source,
+    minority lang) with the majority lang as expected and the row
+    count in deviation.  Physical plan: groupBy(source, lang) partial
+    agg collapses the table, then a window over the pair relation —
+    raw rows are read once."""
+    from datatest_spark import validate
+
+    d = _t(spark, sf_dir, "documents")
+    diff = validate.functional_dependency(
+        d, "source", "lang", check_id="fd_documents"
+    )
+    return diff.select(
+        "diff_kind",
+        F.col("key").alias("src"),
+        F.col("value").alias("lang_val"),
+        F.col("expected").alias("lang_exp"),
+        F.col("deviation").alias("n_rows"),
+    )
+
+
+SQL_FD_DOCUMENTS = """
+WITH pc AS (
+  SELECT CAST(source AS VARCHAR) AS src, CAST(lang AS VARCHAR) AS lang_c,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), r AS (
+  SELECT src, lang_c, cnt,
+    ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY cnt DESC, lang_c ASC NULLS LAST) AS rn,
+    FIRST_VALUE(lang_c) OVER (PARTITION BY src
+                              ORDER BY cnt DESC, lang_c ASC NULLS LAST) AS exp
+  FROM pc
+)
+SELECT 'invalid' AS diff_kind, src, lang_c AS lang_val, exp AS lang_exp,
+       CAST(cnt AS DOUBLE) AS n_rows
+FROM r WHERE rn > 1
+"""
+
+
+def q_aggmatch_orders_lineitem(spark, sf_dir):
+    """Cross-table aggregate reconciliation (check_aggregate_match):
+    orders.o_totalprice vs the per-order rollup
+    sum(l_extendedprice·(1−l_discount)·(1+l_tax)) over lineitem.  The
+    synthetic tables do not satisfy the identity, so most orders emit
+    a Deviation; orders with no line items compare against the empty-
+    sum identity 0.  Child collapses to (key, double) with a map-side
+    partial agg BEFORE the join.  Rounded to 2 decimals on both sides
+    (per-order sums are ≤7 addends — well inside rounding slack)."""
+    from datatest_spark.operators.consistency import check_aggregate_match
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = check_aggregate_match(
+        li, o,
+        keys="l_orderkey", parent_keys="o_orderkey",
+        expected_col="o_totalprice", agg="sum",
+        value="l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+        tolerance=0.01, check_id="aggmatch_orders",
+    )
+    return d.select(
+        "diff_kind",
+        F.col("key").cast("bigint").alias("okey"),
+        F.round(F.col("value").cast("double"), 2).alias("actual_r"),
+        F.round(F.col("expected").cast("double"), 2).alias("expected_r"),
+        F.round("deviation", 2).alias("dev_r"),
+    )
+
+
+SQL_AGGMATCH_ORDERS = """
+WITH ca AS (
+  SELECT l_orderkey AS k,
+         SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS actual
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT COALESCE(o.o_orderkey, ca.k) AS okey,
+         ca.actual, o.o_totalprice AS expected,
+         (o.o_orderkey IS NOT NULL) AS has_parent
+  FROM orders o FULL OUTER JOIN ca ON o.o_orderkey = ca.k
+)
+SELECT CASE WHEN NOT has_parent THEN 'extra' ELSE 'deviation' END AS diff_kind,
+       CAST(okey AS BIGINT) AS okey,
+       ROUND(COALESCE(actual, 0), 2) AS actual_r,
+       CASE WHEN has_parent THEN ROUND(expected, 2) END AS expected_r,
+       CASE WHEN has_parent
+            THEN ROUND(COALESCE(actual, 0) - expected, 2) END AS dev_r
+FROM j
+WHERE (NOT has_parent) OR ABS(COALESCE(actual, 0) - expected) > 0.01
+"""
+
+
+def q_monotonic_events(spark, sf_dir):
+    """Per-group monotonicity (check_monotonic): events.value must be
+    non-decreasing along ts per user_id (random values — plenty of
+    violations).  Sequence order is (ts asc, value asc) — the value
+    itself tie-breaks, so both engines see the identical lag chain.
+    Partitioned window, one shuffle on user_id, never a global sort."""
+    from datatest_spark import validate
+
+    e = _t(spark, sf_dir, "events")
+    d = validate.monotonic(
+        e, "value", order_by="ts", group_cols="user_id",
+        check_id="monotonic_events",
+    )
+    return d.select(
+        "diff_kind",
+        F.col("key").alias("uid"),
+        F.round(F.col("value").cast("double"), 4).alias("val_r"),
+        F.round(F.col("expected").cast("double"), 4).alias("prev_r"),
+        F.round("deviation", 4).alias("dev_r"),
+    )
+
+
+SQL_MONOTONIC_EVENTS = """
+WITH s AS (
+  SELECT user_id, ts, value FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+), l AS (
+  SELECT user_id, value,
+         LAG(value) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, value ASC) AS prev
+  FROM s
+)
+SELECT 'deviation' AS diff_kind, CAST(user_id AS VARCHAR) AS uid,
+       ROUND(value, 4) AS val_r, ROUND(prev, 4) AS prev_r,
+       ROUND(value - prev, 4) AS dev_r
+FROM l WHERE prev IS NOT NULL AND value < prev
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -2241,6 +2373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcount_drift_events": q_rowcount_drift_events,
         "freshness_events": q_freshness_events,
         "partition_outliers_part": q_partition_outliers_part,
+        "fd_documents": q_fd_documents,
+        "aggmatch_orders_lineitem": q_aggmatch_orders_lineitem,
+        "monotonic_events": q_monotonic_events,
     }
 
 
@@ -2309,4 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "rowcount_drift_events": SQL_ROWCOUNT_DRIFT,
         "freshness_events": SQL_FRESHNESS_EVENTS,
         "partition_outliers_part": SQL_PARTITION_OUTLIERS,
+        "fd_documents": SQL_FD_DOCUMENTS,
+        "aggmatch_orders_lineitem": SQL_AGGMATCH_ORDERS,
+        "monotonic_events": SQL_MONOTONIC_EVENTS,
     }

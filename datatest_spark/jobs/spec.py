@@ -31,7 +31,14 @@ Spec shape::
         {"check": "freshness", "column": "ts", "max_age": "1 day",
          "now": "2026-01-01 00:00:00+00:00"},
         {"check": "partition_outliers", "column": "content_len",
-         "metric": "mean", "z": 3.0}
+         "metric": "mean", "z": 3.0},
+        {"check": "functional_dependency",
+         "determinants": ["repo", "path"], "dependents": ["lang"]},
+        {"check": "aggregate_match", "table": "lines", "keys": ["okey"],
+         "parent": "orders", "expected_col": "total",
+         "agg": "sum", "value": "amount"},
+        {"check": "monotonic", "column": "value", "order_by": "ts",
+         "group_by": "user_id"}
       ]
     }
 
@@ -51,6 +58,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import validate
 from ..operators.acceptances import accepted
+from ..operators.consistency import (
+    check_aggregate_match,
+    check_functional_dependency,
+    check_monotonic,
+)
 from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
 from ..operators.secrets import check_no_secrets
@@ -219,6 +231,46 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         cid = check_id or f"freshness_{column}"
         builder = lambda t, _c=column, _a=max_age, _n=now, _i=cid: (  # noqa: E731
             check_freshness(t[table], _c, max_age=_a, now=_n, check_id=_i)
+        )
+    elif kind == "functional_dependency":
+        # group-level differences (violating (X, Y) pairs) — like
+        # "unique", partition attribution only exists when the
+        # partition column is itself a determinant
+        determinants = e.pop("determinants")
+        dependents = e.pop("dependents")
+        cid = check_id or "fd_" + "_".join(
+            determinants if isinstance(determinants, list) else [determinants]
+        )
+        builder = lambda t, _x=determinants, _y=dependents, _i=cid: (  # noqa: E731
+            check_functional_dependency(t[table], _x, _y, check_id=_i)
+        )
+    elif kind == "aggregate_match":
+        keys = e.pop("keys")
+        parent = e.pop("parent")
+        parent_keys = e.pop("parent_keys", None)
+        expected_col = e.pop("expected_col")
+        agg = e.pop("agg", "sum")
+        value = e.pop("value", None)
+        tolerance = e.pop("tolerance", 0.0)
+        cid = check_id or f"aggregate_match_{parent}"
+        builder = lambda t, _k=keys, _p=parent, _pk=parent_keys, _e=expected_col, _a=agg, _v=value, _tl=tolerance, _i=cid: (  # noqa: E731
+            check_aggregate_match(
+                t[table], t[_p], keys=_k, parent_keys=_pk, expected_col=_e,
+                agg=_a, value=_v, tolerance=float(_tl), check_id=_i,
+            )
+        )
+    elif kind == "monotonic":
+        column = e.pop("column")
+        order_by = e.pop("order_by")
+        group_by = e.pop("group_by", None)
+        strictly = e.pop("strictly", False)
+        decreasing = e.pop("decreasing", False)
+        cid = check_id or f"monotonic_{column}"
+        builder = lambda t, _c=column, _o=order_by, _g=group_by, _s=strictly, _d=decreasing, _i=cid: (  # noqa: E731
+            check_monotonic(
+                t[table], _c, order_by=_o, group_cols=_g,
+                strictly=_s, decreasing=_d, check_id=_i,
+            )
         )
     elif kind == "partition_outliers":
         column = e.pop("column")

@@ -1,0 +1,384 @@
+"""Cross-row / cross-table consistency checks: functional dependency,
+aggregate reconciliation, monotonicity.
+
+These are the Deequ-class data-quality checks the requirement family
+(per-element membership/predicate forms, ``requirements.py``) cannot
+express: constraints BETWEEN rows of one table or BETWEEN two tables.
+Same contract as every other check — lazy builders returning
+DIFF_SCHEMA DataFrames, hot path pure Column/window (no Python UDFs),
+no driver-side collection.
+
+Scale notes (100 TB / 10^12-file targets):
+
+* ``check_functional_dependency`` never touches raw rows twice: one
+  map-side-partial ``groupBy(X, Y)`` collapses the table to the
+  (determinant, dependent) pair-count relation, and the majority vote
+  runs as a partitioned window over THAT collapsed relation (rows =
+  distinct pairs, usually orders of magnitude smaller than the input).
+* ``check_aggregate_match`` reduces the child to one row per key with
+  a map-side-partial aggregate before any join; the join carries only
+  (key, double).  Broadcast the parent when it is dimension-sized.
+* ``check_monotonic`` is a partitioned window (one shuffle on the
+  group columns) for grouped sequences; the ungrouped/global form uses
+  a range repartition plus per-partition Arrow-free window and a
+  triangular broadcast join over the (≤ #partitions)-row boundary
+  relation — the plan contains no ``Exchange SinglePartition``
+  (same construction as ``plans/distributed.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.differences import (
+    KIND_DEVIATION,
+    KIND_EXTRA,
+    KIND_INVALID,
+    KIND_MISSING,
+    canon_col,
+    make_differences,
+)
+from ..plans.predicate import is_numeric_dtype
+
+ColumnsArg = Union[str, Sequence[str]]
+
+
+def _cols(columns: ColumnsArg) -> list:
+    return [columns] if isinstance(columns, str) else list(columns)
+
+
+def _canon_tuple(names: Sequence[str]) -> Column:
+    """Canonical encoding shared with requirements._value_canon: plain
+    string cast for a single column, JSON array for a tuple."""
+    if len(names) == 1:
+        return canon_col(F.col(names[0]))
+    return F.to_json(F.array(*[canon_col(F.col(n)) for n in names]))
+
+
+# ---------------------------------------------------------------------------
+# functional dependency
+# ---------------------------------------------------------------------------
+
+
+def check_functional_dependency(
+    df: DataFrame,
+    determinants: ColumnsArg,
+    dependents: ColumnsArg,
+    *,
+    check_id: str = "functional_dependency",
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """X → Y must hold: every distinct determinant tuple maps to ONE
+    dependent tuple.
+
+    For each violating determinant group the MAJORITY dependent value
+    (ties broken by ascending canonical encoding, NULLs last — so the
+    expected value is deterministic) is taken as expected; every other
+    dependent value in the group yields one compact Invalid row::
+
+        key       = canonical determinant tuple
+        value     = the violating dependent value
+        expected  = the majority dependent value
+        deviation = number of rows carrying the violating value
+
+    Output is compact (one row per violating (X, Y) pair, row count in
+    ``deviation``) — at 10^12-file scale a broken dependency can cover
+    billions of raw rows; the pair-level form is the reportable one.
+
+    Physical plan: ``groupBy(X, Y).count()`` (map-side partial agg,
+    shuffle rows = distinct pairs) → window partitioned by X over the
+    collapsed pair relation.  Raw rows are read once and never
+    re-shuffled.
+
+    ``partition_id`` is evaluated over the collapsed pair relation, so
+    it may only reference determinant columns (pass it when the ledger
+    partition IS a determinant; group-level differences are otherwise
+    global, as with ``check_unique``).
+    """
+    xs = _cols(determinants)
+    ys = _cols(dependents)
+    ycanon = _canon_tuple(ys)
+
+    pairs = (
+        df.groupBy(*[F.col(c) for c in xs + ys])
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_y", ycanon)
+    )
+    # Majority vote per determinant group: order by count desc, then
+    # canonical dependent asc with NULLs last (matches ANSI/DuckDB
+    # default ordering so oracles reproduce the same expected value).
+    w = Window.partitionBy(*[F.col(c) for c in xs]).orderBy(
+        F.col("_cnt").desc(), F.col("_y").asc_nulls_last()
+    )
+    ranked = pairs.select(
+        *xs,
+        "_y",
+        "_cnt",
+        F.row_number().over(w).alias("_rn"),
+        F.first("_y").over(w).alias("_exp"),
+    )
+    violations = ranked.filter(F.col("_rn") > 1)
+    return make_differences(
+        violations,
+        check_id=check_id,
+        kind=KIND_INVALID,
+        key=_canon_tuple(xs),
+        value=F.col("_y"),
+        expected=F.col("_exp"),
+        deviation=F.col("_cnt").cast("double"),
+        partition_id=partition_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-table aggregate reconciliation
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+}
+
+# child groups absent from these aggregates are an empty-set identity,
+# not a missing fact: compare against 0 rather than reporting Missing
+_ZERO_IDENTITY = ("sum", "count")
+
+
+def check_aggregate_match(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    keys: ColumnsArg,
+    parent_keys: Optional[ColumnsArg] = None,
+    expected_col: str,
+    agg: str = "sum",
+    value: Optional[Union[str, Column]] = None,
+    tolerance: float = 0.0,
+    check_id: str = "aggregate_match",
+) -> DataFrame:
+    """A rollup column on the parent must equal the aggregate of the
+    child rows per key (warehouse reconciliation — e.g. an order's
+    total must equal the sum over its line items).
+
+    Per key:
+
+    * both sides present, |actual − expected| > ``tolerance`` →
+      Deviation(key, value=actual, expected, deviation=actual−expected)
+    * key only in the child (orphan rollup) → Extra(key, value=actual)
+    * key only in the parent → for ``sum``/``count`` the aggregate of
+      the empty set is 0 and the comparison proceeds with actual=0;
+      for ``min``/``max``/``avg`` (no identity) → Missing(key,
+      expected=expected).
+
+    ``value`` is the child column being aggregated — a Column or a SQL
+    expression string (so declarative specs can state derived rollups
+    like ``"amount * qty"``); unused for ``count``.  ``tolerance`` is an absolute
+    slack for float rollups — keep it 0 and accept small deviations
+    with ``accepted.tolerance`` for reference-style acceptance flow.
+    Parent keys are assumed unique per the rollup contract (a
+    duplicate parent key is the parent's own uniqueness violation —
+    pair with ``check_unique``).
+
+    Physical plan: child collapses to one row per key with a map-side
+    partial aggregate BEFORE the join; the join shuffles only
+    (key, double) per side.  No broadcast variant: Spark cannot build
+    a broadcast full-outer join (the hint is rejected), and the
+    child-side aggregate already hash-partitions its output by the
+    key, so the join reuses that partitioning — the incremental cost
+    over the mandatory agg shuffle is just the (tiny, key+double)
+    parent exchange.
+    """
+    if agg not in _AGG_FNS:
+        raise ValueError(f"agg must be one of {sorted(_AGG_FNS)}: {agg!r}")
+    if agg != "count" and value is None:
+        raise ValueError(f"agg={agg!r} needs a child `value` column")
+    ks = _cols(keys)
+    pks = _cols(parent_keys) if parent_keys is not None else ks
+
+    # a string value is compiled as a SQL expression (a bare column name
+    # is one) so the JSON spec surface can express derived rollups too
+    vcol = F.expr(value) if isinstance(value, str) else value
+    actual = _AGG_FNS[agg](vcol).cast("double").alias("_actual")
+    child_agg = child.groupBy(*[F.col(k) for k in ks]).agg(actual)
+
+    parent_sel = parent.select(
+        *[F.col(p).alias(k) for p, k in zip(pks, ks)],
+        F.col(expected_col).cast("double").alias("_expected"),
+    )
+    joined = child_agg.join(parent_sel, ks, "full_outer")
+
+    has_child = F.col("_actual").isNotNull()
+    has_parent = F.col("_expected").isNotNull()
+    actual_f = (
+        F.coalesce(F.col("_actual"), F.lit(0.0))
+        if agg in _ZERO_IDENTITY
+        else F.col("_actual")
+    )
+    mismatch = F.abs(actual_f - F.col("_expected")) > F.lit(float(tolerance))
+
+    orphan = has_child & ~has_parent
+    absent = ~has_child & has_parent & F.lit(agg not in _ZERO_IDENTITY)
+    deviates = has_parent & ~absent & mismatch
+
+    violations = joined.filter(orphan | absent | deviates)
+    kind = (
+        F.when(orphan, F.lit(KIND_EXTRA))
+        .when(absent, F.lit(KIND_MISSING))
+        .otherwise(F.lit(KIND_DEVIATION))
+    )
+    return make_differences(
+        violations,
+        check_id=check_id,
+        kind_col=kind,
+        key=_canon_tuple(ks),
+        value=F.when(~absent, actual_f),
+        expected=F.when(has_parent, F.col("_expected")),
+        deviation=F.when(deviates, actual_f - F.col("_expected")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# monotonicity
+# ---------------------------------------------------------------------------
+
+
+def check_monotonic(
+    df: DataFrame,
+    value_col: str,
+    *,
+    order_by: ColumnsArg,
+    group_cols: Optional[ColumnsArg] = None,
+    decreasing: bool = False,
+    strictly: bool = False,
+    check_id: str = "monotonic",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """``value_col`` must be non-decreasing (or ``decreasing=True`` /
+    ``strictly=True`` variants) along the ``order_by`` sequence,
+    independently per ``group_cols`` group when given.
+
+    The comparison sequence is sorted by (``order_by`` asc,
+    ``value_col`` asc): the value itself is the deterministic
+    tie-breaker, so rows sharing an order key impose no constraint
+    among themselves (non-strict mode) and oracles sorting the same
+    way reproduce the exact violation set.  Rows with a NULL value OR
+    a NULL order key are excluded — a NULL is a completeness problem
+    for ``check_predicate``, not an ordering fact, and a row with no
+    position cannot participate in a sequence (this also keeps the
+    grouped and ungrouped plans exactly order-consistent: the
+    ungrouped boundary recovery compares struct-encoded sort keys,
+    whose NULL ordering differs from NULLS LAST sorts).
+
+    Each violating step yields one difference row: Deviation
+    (``deviation`` = value − previous) for numeric values, Invalid
+    otherwise; ``key`` is the canonical group tuple (NULL when
+    ungrouped), ``expected`` the predecessor value.
+
+    Physical plan: grouped → one shuffle on the group columns, then a
+    partitioned window (``lag``) — never a global sort.  Ungrouped →
+    ``repartitionByRange`` on the sort keys, per-range-partition
+    ``lag`` window, and partition-boundary steps recovered from a
+    triangular broadcast join over the ≤ #partitions boundary rows
+    (no ``Exchange SinglePartition`` anywhere, same construction as
+    ``plans/distributed.py``).
+    """
+    order_names = _cols(order_by)
+    groups = _cols(group_cols) if group_cols is not None else []
+    dt = df.schema[value_col].dataType
+    numeric = is_numeric_dtype(dt)
+
+    present = F.col(value_col).isNotNull()
+    for c in order_names:
+        present = present & F.col(c).isNotNull()
+    rows = df.filter(present)
+    sort_cols = [F.col(c).asc() for c in order_names] + [F.col(value_col).asc()]
+
+    if groups:
+        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(*sort_cols)
+        stepped = rows.withColumn("_prev", F.lag(value_col).over(w))
+    else:
+        # Global sequence without a global sort: range-repartition on
+        # the sort keys (distributed, globally ordered partitions), a
+        # per-partition Arrow shift pass (a window over _gpid would
+        # make Catalyst re-Exchange on _gpid — the mapInPandas stage
+        # reads the range shuffle directly), then recover the
+        # predecessor of each partition's first row from a triangular
+        # broadcast join over the ≤ n boundary rows.
+        spark = df.sparkSession
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        pruned = rows.select(*order_names, value_col)  # explicit pruning:
+        # only the sort keys and the checked value cross the shuffle
+        parted = (
+            pruned.repartitionByRange(n, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .withColumn("_gpid", F.spark_partition_id())
+        )
+        out_schema = T.StructType(
+            list(parted.schema.fields) + [T.StructField("_prev", dt, True)]
+        )
+
+        def shifted(batches):
+            carry = None
+            for pdf in batches:
+                pdf = pdf.copy()
+                s = pdf[value_col]
+                if s.dtype.kind in "iub":
+                    # int shift() would widen to float64+NaN, which Arrow
+                    # cannot cast back to an integral Spark type
+                    s = s.astype(object)
+                pdf["_prev"] = s.shift(1)
+                if len(pdf):
+                    if carry is not None:
+                        pdf.iloc[0, pdf.columns.get_loc("_prev")] = carry
+                    carry = pdf[value_col].iloc[-1]
+                yield pdf
+
+        local = parted.mapInPandas(shifted, schema=out_schema)
+        # boundary: the sort keys order partitions globally, so the
+        # last value of the nearest non-empty preceding partition is
+        # max(struct(sort keys…)) over ALL preceding partitions — a
+        # triangular broadcast join over ≤ n rows, never a global
+        # window (no Exchange SinglePartition anywhere).
+        bkey = F.struct(
+            *[F.col(c) for c in order_names], F.col(value_col).alias("_v")
+        )
+        bounds = parted.groupBy("_gpid").agg(F.max(bkey).alias("_last"))
+        prior = bounds.select(
+            F.col("_gpid").alias("_qpid"), F.col("_last").alias("_qlast")
+        )
+        prev_last = (
+            bounds.join(F.broadcast(prior), F.col("_qpid") < F.col("_gpid"), "left")
+            .groupBy("_gpid")
+            .agg(F.max("_qlast").alias("_plast"))
+            .select("_gpid", F.col("_plast._v").alias("_bprev"))
+        )
+        # values are non-NULL by construction, so after the shift pass
+        # _prev is NULL exactly on each partition's first row — the one
+        # place the boundary predecessor belongs.
+        stepped = local.join(F.broadcast(prev_last), "_gpid", "left").withColumn(
+            "_prev", F.coalesce(F.col("_prev"), F.col("_bprev"))
+        )
+
+    cur, prev = F.col(value_col), F.col("_prev")
+    if decreasing:
+        bad = (cur >= prev) if strictly else (cur > prev)
+    else:
+        bad = (cur <= prev) if strictly else (cur < prev)
+    violations = stepped.filter(prev.isNotNull() & bad)
+
+    return make_differences(
+        violations,
+        check_id=check_id,
+        kind=KIND_DEVIATION if numeric else KIND_INVALID,
+        key=_canon_tuple(groups) if groups else None,
+        value=cur,
+        expected=prev,
+        deviation=(cur.cast("double") - prev.cast("double")) if numeric else None,
+    )

@@ -112,6 +112,25 @@ class _Validate:
 
         return check_freshness(df, ts_column, **kw)
 
+    # cross-row / cross-table consistency (consistency module)
+    @staticmethod
+    def functional_dependency(df, determinants, dependents, **kw):
+        from .consistency import check_functional_dependency
+
+        return check_functional_dependency(df, determinants, dependents, **kw)
+
+    @staticmethod
+    def aggregate_match(child, parent, **kw):
+        from .consistency import check_aggregate_match
+
+        return check_aggregate_match(child, parent, **kw)
+
+    @staticmethod
+    def monotonic(df, value_col, **kw):
+        from .consistency import check_monotonic
+
+        return check_monotonic(df, value_col, **kw)
+
 
 validate = _Validate()
 

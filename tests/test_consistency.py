@@ -1,0 +1,305 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.consistency import (
+    check_aggregate_match,
+    check_functional_dependency,
+    check_monotonic,
+)
+
+from .conftest import diff_multiset
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# functional dependency
+# ---------------------------------------------------------------------------
+
+
+def test_fd_holds_no_differences(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("c", 3)], ["x", "y"]
+    )
+    assert check_functional_dependency(df, "x", "y").count() == 0
+
+
+def test_fd_violations_majority_and_counts(spark):
+    # group 'a': y=1 ×3 (majority), y=2 ×2, y=3 ×1 → two violation rows
+    # group 'b': clean
+    rows = [("a", 1)] * 3 + [("a", 2)] * 2 + [("a", 3)] + [("b", 9)] * 4
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = diff_multiset(check_functional_dependency(df, "x", "y", check_id="fd"))
+    assert got == [
+        ("invalid", "a", "2", "1", 2.0),
+        ("invalid", "a", "3", "1", 1.0),
+    ]
+
+
+def test_fd_majority_tie_breaks_on_canonical_value(spark):
+    # counts tied 2-2: expected must be the canonically smaller value
+    rows = [("g", "beta")] * 2 + [("g", "alpha")] * 2
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = diff_multiset(check_functional_dependency(df, "x", "y"))
+    assert got == [("invalid", "g", "beta", "alpha", 2.0)]
+
+
+def test_fd_multi_column_tuples_json_encoded(spark):
+    rows = [
+        ("r1", "p1", "go", "mit"),
+        ("r1", "p1", "go", "mit"),
+        ("r1", "p1", "py", "gpl"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "lang", "lic"])
+    got = diff_multiset(
+        check_functional_dependency(df, ["repo", "path"], ["lang", "lic"])
+    )
+    assert got == [
+        (
+            "invalid",
+            json.dumps(["r1", "p1"], separators=(",", ":")),
+            json.dumps(["py", "gpl"], separators=(",", ":")),
+            json.dumps(["go", "mit"], separators=(",", ":")),
+            1.0,
+        )
+    ]
+
+
+def test_fd_null_dependent_sorts_last_on_ties(spark):
+    rows = [("g", None)] * 2 + [("g", "v")] * 2
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = diff_multiset(check_functional_dependency(df, "x", "y"))
+    # tie → non-NULL canonical value wins (NULLs last), NULL is the violator
+    assert got == [("invalid", "g", None, "v", 2.0)]
+
+
+def test_fd_plan_is_partial_agg_then_window_no_single_partition(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 3).alias("y")
+    )
+    plan = _plan(check_functional_dependency(df, "x", "y"))
+    assert "Exchange SinglePartition" not in plan
+    # raw rows collapse through a hash aggregate before any window
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# aggregate reconciliation
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def orders_lines(spark):
+    parent = spark.createDataFrame(
+        [(1, 30.0), (2, 10.0), (3, 5.0)], ["okey", "total"]
+    )
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 4.0), (4, 7.0)], ["okey", "amount"]
+    )
+    return child, parent
+
+
+def test_aggregate_match_sum_kinds(spark, orders_lines):
+    child, parent = orders_lines
+    got = diff_multiset(
+        check_aggregate_match(
+            child, parent, keys="okey", expected_col="total",
+            agg="sum", value="amount",
+        )
+    )
+    # key 1: 30 == 30 → clean; key 2: 4 vs 10 → deviation;
+    # key 3: no child rows, sum identity 0 vs 5 → deviation;
+    # key 4: child orphan → extra
+    assert got == [
+        ("deviation", "2", "4.0", "10.0", -6.0),
+        ("deviation", "3", "0.0", "5.0", -5.0),
+        ("extra", "4", "7.0", None, None),
+    ]
+
+
+def test_aggregate_match_count(spark, orders_lines):
+    child, parent = orders_lines
+    counts = spark.createDataFrame([(1, 2.0), (2, 1.0), (3, 0.0)], ["okey", "n"])
+    got = diff_multiset(
+        check_aggregate_match(
+            child, counts, keys="okey", expected_col="n", agg="count"
+        )
+    )
+    assert got == [("extra", "4", "1.0", None, None)]
+
+
+def test_aggregate_match_min_missing_group(spark, orders_lines):
+    child, parent = orders_lines
+    got = diff_multiset(
+        check_aggregate_match(
+            child, parent, keys="okey", expected_col="total",
+            agg="min", value="amount",
+        )
+    )
+    # min has no empty-set identity → parent-only key 3 is Missing
+    assert ("missing", "3", None, "5.0", None) in got
+    assert ("deviation", "2", "4.0", "10.0", -6.0) in got
+
+
+def test_aggregate_match_tolerance_swallows_small_deviation(spark):
+    parent = spark.createDataFrame([(1, 10.0)], ["k", "t"])
+    child = spark.createDataFrame([(1, 10.05)], ["k", "v"])
+    ok = check_aggregate_match(
+        child, parent, keys="k", expected_col="t", agg="sum", value="v",
+        tolerance=0.1,
+    )
+    assert ok.count() == 0
+
+
+def test_aggregate_match_renamed_parent_keys_and_expression_value(spark):
+    parent = spark.createDataFrame([(1, 22.0)], ["pk", "t"])
+    child = spark.createDataFrame([(1, 10.0, 2), (1, 1.0, 2)], ["k", "v", "q"])
+    got = diff_multiset(
+        check_aggregate_match(
+            child, parent, keys="k", parent_keys="pk", expected_col="t",
+            agg="sum", value=F.col("v") * F.col("q"),
+        )
+    )
+    assert got == []  # 10*2 + 1*2 == 22
+
+
+def test_aggregate_match_plan_pre_aggregates_before_join(spark, orders_lines):
+    child, parent = orders_lines
+    d = check_aggregate_match(
+        child, parent, keys="okey", expected_col="total",
+        agg="sum", value="amount",
+    )
+    plan = _plan(d)
+    # the child collapses through a hash aggregate BEFORE the keyed join
+    # and nothing funnels through a single partition
+    assert "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# monotonicity
+# ---------------------------------------------------------------------------
+
+
+def _seq_df(spark, rows):
+    return spark.createDataFrame(rows, ["g", "t", "v"])
+
+
+def test_monotonic_grouped_violations(spark):
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 2.0),  # 3→2 violates
+        ("b", 1, 5.0), ("b", 2, 5.0),                  # equal ok (non-strict)
+    ]
+    got = diff_multiset(
+        check_monotonic(_seq_df(spark, rows), "v", order_by="t", group_cols="g")
+    )
+    assert got == [("deviation", "a", "2.0", "3.0", -1.0)]
+
+
+def test_monotonic_strictly_flags_plateaus(spark):
+    rows = [("b", 1, 5.0), ("b", 2, 5.0)]
+    got = diff_multiset(
+        check_monotonic(
+            _seq_df(spark, rows), "v", order_by="t", group_cols="g",
+            strictly=True,
+        )
+    )
+    assert got == [("deviation", "b", "5.0", "5.0", 0.0)]
+
+
+def test_monotonic_decreasing(spark):
+    rows = [("a", 1, 3.0), ("a", 2, 4.0), ("a", 3, 1.0)]
+    got = diff_multiset(
+        check_monotonic(
+            _seq_df(spark, rows), "v", order_by="t", group_cols="g",
+            decreasing=True,
+        )
+    )
+    assert got == [("deviation", "a", "4.0", "3.0", 1.0)]
+
+
+def test_monotonic_order_ties_impose_no_constraint(spark):
+    # two rows share t=1; values 9,1 — sorted by (t, v) the sequence is
+    # 1,9,10: no violation
+    rows = [("a", 1, 9.0), ("a", 1, 1.0), ("a", 2, 10.0)]
+    d = check_monotonic(_seq_df(spark, rows), "v", order_by="t", group_cols="g")
+    assert d.count() == 0
+
+
+def test_monotonic_nulls_excluded(spark):
+    rows = [("a", 1, 1.0), ("a", 2, None), ("a", None, 0.5), ("a", 3, 2.0)]
+    d = check_monotonic(_seq_df(spark, rows), "v", order_by="t", group_cols="g")
+    assert d.count() == 0
+
+
+def test_monotonic_non_numeric_emits_invalid(spark):
+    rows = [("a", 1, "b"), ("a", 2, "a")]
+    got = diff_multiset(
+        check_monotonic(_seq_df(spark, rows), "v", order_by="t", group_cols="g")
+    )
+    assert got == [("invalid", "a", "a", "b", None)]
+
+
+def test_monotonic_global_matches_grouped_semantics(spark):
+    # one logical sequence, deliberately scattered across input
+    # partitions; violations must include partition-boundary steps
+    vals = [1.0, 2.0, 5.0, 4.0, 6.0, 3.0, 7.0, 8.0, 2.5, 9.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = _seq_df(spark, rows).repartition(7)
+    global_d = diff_multiset(
+        check_monotonic(df, "v", order_by="t", num_partitions=4)
+    )
+    grouped_d = diff_multiset(
+        check_monotonic(df, "v", order_by="t", group_cols="g")
+    )
+    assert [g[2:] for g in global_d] == [g[2:] for g in grouped_d]
+    assert len(global_d) == 3  # 5→4, 6→3, 8→2.5
+
+
+def test_monotonic_global_boundary_step_detected(spark):
+    # force ~1 row per range partition so every violating step crosses a
+    # partition boundary — the triangular boundary join must catch them
+    rows = [("g", i, v) for i, v in enumerate([1.0, 3.0, 2.0, 4.0, 0.5])]
+    df = _seq_df(spark, rows).repartition(5)
+    got = diff_multiset(
+        check_monotonic(df, "v", order_by="t", num_partitions=5)
+    )
+    assert [g[2:] for g in got] == [("0.5", "4.0", -3.5), ("2.0", "3.0", -1.0)]
+
+
+def test_monotonic_global_plan_no_single_partition(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("t"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = _plan(check_monotonic(df, "v", order_by="t", num_partitions=4))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_monotonic_global_integer_values(spark):
+    # int64 shift() widening guard: values must round-trip as longs
+    rows = [("g", i, v) for i, v in enumerate([1, 2, 10, 5, 7])]
+    df = spark.createDataFrame(rows, ["g", "t", "v"]).repartition(3)
+    got = diff_multiset(check_monotonic(df, "v", order_by="t", num_partitions=3))
+    assert got == [("deviation", None, "5", "10", -5.0)]
+
+
+def test_monotonic_timestamps_as_value(spark):
+    rows = [
+        ("s", 1, "2026-01-01 00:00:00"),
+        ("s", 2, "2026-01-03 00:00:00"),
+        ("s", 3, "2026-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["g", "t", "v"]).select(
+        "g", "t", F.col("v").cast("timestamp").alias("v")
+    )
+    got = diff_multiset(
+        check_monotonic(df, "v", order_by="t", group_cols="g")
+    )
+    # timestamp is non-numeric for deviation purposes → Invalid
+    assert len(got) == 1 and got[0][0] == "invalid"

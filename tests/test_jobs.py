@@ -215,3 +215,52 @@ def test_spec_table_level_and_scan_checks(spark, code_tables):
         compile_check(
             {"check": "mapping"}, primary="code", partition_col="partition_id"
         )
+
+
+def test_spec_consistency_checks_match_python_api(spark, code_tables):
+    """Round-3b spec kinds: functional_dependency / aggregate_match /
+    monotonic compile to the same differences as the operator calls."""
+    from datatest_spark.operators.consistency import (
+        check_aggregate_match,
+        check_functional_dependency,
+        check_monotonic,
+    )
+
+    code, repos, _, _ = code_tables
+    # per-repo line budgets for the aggregate reconciliation
+    budgets = spark.createDataFrame(
+        [("r1", 6.0), ("r2", 30.0)], "repo string, len_total double"
+    )
+    seq = code.withColumn("ts", F.col("content_len"))
+    tables = {"code": seq, "repos": repos, "budgets": budgets}
+
+    spec_checks = [
+        {"check": "functional_dependency",
+         "determinants": ["path"], "dependents": ["lang"]},
+        {"check": "aggregate_match", "keys": ["repo"], "parent": "budgets",
+         "expected_col": "len_total", "agg": "sum", "value": "content_len"},
+        {"check": "monotonic", "column": "content_len", "order_by": "ts",
+         "group_by": "repo"},
+    ]
+    suite = compile_suite(
+        {"primary": "code", "partition_col": "partition_id", "checks": spec_checks}
+    )
+    got = diff_multiset(suite.build_differences(tables))
+
+    want = diff_multiset(
+        check_functional_dependency(
+            seq, ["path"], ["lang"], check_id="fd_path",
+        ).unionByName(
+            check_aggregate_match(
+                seq, budgets, keys="repo", expected_col="len_total",
+                agg="sum", value="content_len", check_id="am",
+            )
+        ).unionByName(
+            check_monotonic(
+                seq, "content_len", order_by="ts", group_cols="repo",
+                check_id="mono",
+            )
+        )
+    )
+    assert got == want
+    assert len(got) > 0
