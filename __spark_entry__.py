@@ -1922,6 +1922,154 @@ FROM l WHERE prev IS NOT NULL AND value < prev
 """
 
 
+def q_contiguous_orderkeys(spark, sf_dir):
+    """Sequence-gap detection (check_contiguous, GLOBAL form — range
+    repartition + Arrow shift + triangular boundary join, no global
+    sort).  The synthetic order keys are dense (0..N-1), so a
+    deterministic filter (drop every 37th key, identical in both
+    engines) plants real gaps; each yields one compact Missing row
+    (first missing, last missing, count)."""
+    from datatest_spark import validate
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 != 0)
+    d = validate.contiguous(o, "o_orderkey", check_id="okey_seq",
+                            num_partitions=8)
+    return d.select(
+        "diff_kind",
+        F.col("value").cast("bigint").alias("first_missing"),
+        F.col("expected").cast("bigint").alias("last_missing"),
+        F.col("deviation").alias("n_missing"),
+    )
+
+
+SQL_CONTIGUOUS_ORDERKEYS = """
+WITH l AS (
+  SELECT o_orderkey AS i,
+         LAG(o_orderkey) OVER (ORDER BY o_orderkey ASC) AS p
+  FROM orders WHERE o_orderkey % 37 <> 0
+)
+SELECT 'missing' AS diff_kind,
+       CAST(p + 1 AS BIGINT) AS first_missing,
+       CAST(i - 1 AS BIGINT) AS last_missing,
+       CAST(i - p - 1 AS DOUBLE) AS n_missing
+FROM l WHERE p IS NOT NULL AND i - p > 1
+"""
+
+
+def q_overlap_events(spark, sf_dir):
+    """Validity-interval overlap (check_interval_overlap): each event
+    opens a one-hour window [epoch(ts), epoch(ts)+3600) per user;
+    events closer than an hour overlap.  Judged against the RUNNING
+    MAX of earlier ends (not just the lag), partitioned window per
+    user — never a global sort.  Value/expected re-cast to double in
+    the projection: canonical strings of large doubles render in
+    scientific notation on Spark but not DuckDB."""
+    from datatest_spark import validate
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # ts is TIMESTAMP_NTZ: Spark forbids a direct cast to double —
+    # hop through ltz (session TZ pinned to UTC, so epoch seconds match
+    # DuckDB's naive-as-UTC epoch())
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    iv = e.select(
+        "user_id",
+        epoch.alias("s"),
+        (epoch + 3600.0).alias("e"),
+    )
+    d = validate.interval_overlap(iv, "s", "e", group_cols="user_id",
+                                  check_id="hour_overlap")
+    return d.select(
+        "diff_kind",
+        F.col("key").alias("uid"),
+        F.col("value").cast("double").alias("start_s"),
+        F.col("expected").cast("double").alias("prev_end"),
+        F.round("deviation", 4).alias("overlap_s"),
+    )
+
+
+SQL_OVERLAP_EVENTS = """
+WITH iv AS (
+  SELECT user_id, epoch(ts) AS s, epoch(ts) + 3600.0 AS e
+  FROM events WHERE ts IS NOT NULL
+), w AS (
+  SELECT user_id, s,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+)
+SELECT 'deviation' AS diff_kind, CAST(user_id AS VARCHAR) AS uid,
+       s AS start_s, pm AS prev_end, ROUND(pm - s, 4) AS overlap_s
+FROM w WHERE pm IS NOT NULL AND pm > s
+"""
+
+
+def q_dq_summary_lineitem(spark, sf_dir):
+    """Run-report summary relation (report.summarize_differences): two
+    checks' difference rows collapse to one row per (check_id,
+    diff_kind) with counts, distinct offending values, deterministic
+    examples (min over canonical encodings — parallelism-independent)
+    and the deviation envelope.  ONE map-side-partial hash aggregate
+    over the (tiny) diff relation."""
+    from datatest_spark import union_differences, validate
+    from datatest_spark.report import summarize_differences
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = union_differences(
+        validate.interval(li, "l_quantity", min=5.0, max=45.0, check_id="qty"),
+        validate.set(li, "l_returnflag", {"A", "N", "Z"}, check_id="rf"),
+    )
+    s = summarize_differences(d)
+    return s.select(
+        "check_id",
+        "diff_kind",
+        "n",
+        "n_values",
+        "n_partitions",
+        "example_value",
+        "example_expected",
+        F.round("min_deviation", 4).alias("min_dev"),
+        F.round("max_deviation", 4).alias("max_dev"),
+    )
+
+
+SQL_DQ_SUMMARY = """
+WITH qty AS (
+  SELECT CASE WHEN l_quantity IS NULL THEN 'invalid' ELSE 'deviation' END AS diff_kind,
+         CAST(l_quantity AS VARCHAR) AS value,
+         CAST(CASE WHEN l_quantity < 5.0 THEN 5.0 ELSE 45.0 END AS VARCHAR) AS expected,
+         CASE WHEN l_quantity IS NULL THEN NULL
+              WHEN l_quantity < 5.0 THEN l_quantity - 5.0
+              ELSE l_quantity - 45.0 END AS deviation
+  FROM lineitem
+  WHERE l_quantity IS NULL OR l_quantity < 5.0 OR l_quantity > 45.0
+), qs AS (
+  SELECT 'qty' AS check_id, diff_kind, COUNT(*) AS n,
+         COUNT(DISTINCT value) AS n_values,
+         CAST(0 AS BIGINT) AS n_partitions,
+         MIN(value) AS example_value, MIN(expected) AS example_expected,
+         ROUND(MIN(deviation), 4) AS min_dev,
+         ROUND(MAX(deviation), 4) AS max_dev
+  FROM qty GROUP BY diff_kind
+), req(v) AS (VALUES ('A'), ('N'), ('Z')),
+dat AS (SELECT DISTINCT l_returnflag AS v FROM lineitem),
+rfd AS (
+  SELECT 'missing' AS diff_kind, v AS value FROM req
+  WHERE v NOT IN (SELECT v FROM dat)
+  UNION ALL
+  SELECT 'extra', v FROM dat WHERE v NOT IN (SELECT v FROM req)
+), rs AS (
+  SELECT 'rf' AS check_id, diff_kind, COUNT(*) AS n,
+         COUNT(DISTINCT value) AS n_values,
+         CAST(0 AS BIGINT) AS n_partitions,
+         MIN(value) AS example_value,
+         CAST(NULL AS VARCHAR) AS example_expected,
+         CAST(NULL AS DOUBLE) AS min_dev, CAST(NULL AS DOUBLE) AS max_dev
+  FROM rfd GROUP BY diff_kind
+)
+SELECT * FROM qs UNION ALL SELECT * FROM rs
+"""
+
+
 def q_acceptance_count_discount(spark, sf_dir):
     """interval + accepted.count(5) whole-scope: exactly 5 differences
     (picked in canonical order) are accepted; the rest survive.  Ties in
@@ -2376,6 +2524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_documents": q_fd_documents,
         "aggmatch_orders_lineitem": q_aggmatch_orders_lineitem,
         "monotonic_events": q_monotonic_events,
+        "contiguous_orderkeys": q_contiguous_orderkeys,
+        "overlap_events": q_overlap_events,
+        "dq_summary_lineitem": q_dq_summary_lineitem,
     }
 
 
@@ -2447,4 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_documents": SQL_FD_DOCUMENTS,
         "aggmatch_orders_lineitem": SQL_AGGMATCH_ORDERS,
         "monotonic_events": SQL_MONOTONIC_EVENTS,
+        "contiguous_orderkeys": SQL_CONTIGUOUS_ORDERKEYS,
+        "overlap_events": SQL_OVERLAP_EVENTS,
+        "dq_summary_lineitem": SQL_DQ_SUMMARY,
     }

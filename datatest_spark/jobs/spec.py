@@ -38,7 +38,10 @@ Spec shape::
          "parent": "orders", "expected_col": "total",
          "agg": "sum", "value": "amount"},
         {"check": "monotonic", "column": "value", "order_by": "ts",
-         "group_by": "user_id"}
+         "group_by": "user_id"},
+        {"check": "contiguous", "column": "offset", "group_by": "shard"},
+        {"check": "interval_overlap", "start": "valid_from",
+         "end": "valid_to", "group_by": "entity_id"}
       ]
     }
 
@@ -60,7 +63,9 @@ from .. import validate
 from ..operators.acceptances import accepted
 from ..operators.consistency import (
     check_aggregate_match,
+    check_contiguous,
     check_functional_dependency,
+    check_interval_overlap,
     check_monotonic,
 )
 from ..operators.quality import check_no_pii
@@ -270,6 +275,26 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
             check_monotonic(
                 t[table], _c, order_by=_o, group_cols=_g,
                 strictly=_s, decreasing=_d, check_id=_i,
+            )
+        )
+    elif kind == "contiguous":
+        column = e.pop("column")
+        group_by = e.pop("group_by", None)
+        step = e.pop("step", 1)
+        cid = check_id or f"contiguous_{column}"
+        builder = lambda t, _c=column, _g=group_by, _s=step, _i=cid: (  # noqa: E731
+            check_contiguous(t[table], _c, group_cols=_g, step=int(_s), check_id=_i)
+        )
+    elif kind == "interval_overlap":
+        start = e.pop("start")
+        end = e.pop("end")
+        group_by = e.pop("group_by")
+        allow_touching = e.pop("allow_touching", True)
+        cid = check_id or f"interval_overlap_{start}"
+        builder = lambda t, _s=start, _e=end, _g=group_by, _a=allow_touching, _i=cid: (  # noqa: E731
+            check_interval_overlap(
+                t[table], _s, _e, group_cols=_g,
+                allow_touching=_a, check_id=_i,
             )
         )
     elif kind == "partition_outliers":

@@ -298,11 +298,46 @@ def check_monotonic(
     for c in order_names:
         present = present & F.col(c).isNotNull()
     rows = df.filter(present)
+    stepped = _with_prev(rows, value_col, order_names, groups, num_partitions)
+
+    cur, prev = F.col(value_col), F.col("_prev")
+    if decreasing:
+        bad = (cur >= prev) if strictly else (cur > prev)
+    else:
+        bad = (cur <= prev) if strictly else (cur < prev)
+    violations = stepped.filter(prev.isNotNull() & bad)
+
+    return make_differences(
+        violations,
+        check_id=check_id,
+        kind=KIND_DEVIATION if numeric else KIND_INVALID,
+        key=_canon_tuple(groups) if groups else None,
+        value=cur,
+        expected=prev,
+        deviation=(cur.cast("double") - prev.cast("double")) if numeric else None,
+    )
+
+
+def _with_prev(
+    rows: DataFrame,
+    value_col: str,
+    order_names: Sequence[str],
+    groups: Sequence[str],
+    num_partitions: Optional[int],
+) -> DataFrame:
+    """Attach ``_prev`` = the predecessor of ``value_col`` along
+    (``order_names`` asc, ``value_col`` asc), per group or globally.
+
+    Inputs must be pre-filtered to non-NULL order keys and value (the
+    ungrouped boundary recovery compares struct-encoded sort keys,
+    whose NULL ordering differs from NULLS LAST sorts).  Shared by the
+    monotonic and contiguity checks.
+    """
     sort_cols = [F.col(c).asc() for c in order_names] + [F.col(value_col).asc()]
 
     if groups:
         w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(*sort_cols)
-        stepped = rows.withColumn("_prev", F.lag(value_col).over(w))
+        return rows.withColumn("_prev", F.lag(value_col).over(w))
     else:
         # Global sequence without a global sort: range-repartition on
         # the sort keys (distributed, globally ordered partitions), a
@@ -311,8 +346,9 @@ def check_monotonic(
         # reads the range shuffle directly), then recover the
         # predecessor of each partition's first row from a triangular
         # broadcast join over the ≤ n boundary rows.
-        spark = df.sparkSession
+        spark = rows.sparkSession
         n = num_partitions or spark.sparkContext.defaultParallelism
+        dt = rows.schema[value_col].dataType
         pruned = rows.select(*order_names, value_col)  # explicit pruning:
         # only the sort keys and the checked value cross the shuffle
         parted = (
@@ -362,23 +398,139 @@ def check_monotonic(
         # values are non-NULL by construction, so after the shift pass
         # _prev is NULL exactly on each partition's first row — the one
         # place the boundary predecessor belongs.
-        stepped = local.join(F.broadcast(prev_last), "_gpid", "left").withColumn(
+        return local.join(F.broadcast(prev_last), "_gpid", "left").withColumn(
             "_prev", F.coalesce(F.col("_prev"), F.col("_bprev"))
-        )
+        ).drop("_gpid", "_bprev")
 
-    cur, prev = F.col(value_col), F.col("_prev")
-    if decreasing:
-        bad = (cur >= prev) if strictly else (cur > prev)
-    else:
-        bad = (cur <= prev) if strictly else (cur < prev)
-    violations = stepped.filter(prev.isNotNull() & bad)
 
+# ---------------------------------------------------------------------------
+# sequence contiguity (gap detection)
+# ---------------------------------------------------------------------------
+
+
+def check_contiguous(
+    df: DataFrame,
+    id_col: str,
+    *,
+    group_cols: Optional[ColumnsArg] = None,
+    step: int = 1,
+    check_id: str = "contiguous",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """``id_col`` must be gap-free in increments of ``step`` per group
+    (ingest completeness for offsets / sequence numbers / batch ids —
+    a gap means rows were lost, the one failure a per-row check can
+    never see).
+
+    Each gap yields ONE compact Missing row: ``value`` = first missing
+    id, ``expected`` = last missing id, ``deviation`` = number of
+    missing ids.  Duplicated ids impose no gap (predecessor == current
+    → stride 0; duplicates are ``check_unique``'s job), and the
+    sequence's own start point is whatever the smallest present id is
+    — an absolute-origin requirement composes as
+    ``check_interval(min=...)``.  NULL ids are excluded.
+
+    Physical plan: same machinery as ``check_monotonic`` — grouped →
+    one shuffle + lag window; ungrouped → range repartition of the
+    pruned id column, Arrow shift pass, triangular boundary join (no
+    ``Exchange SinglePartition``).
+    """
+    dt = df.schema[id_col].dataType
+    if not is_numeric_dtype(dt):
+        raise ValueError(f"check_contiguous needs a numeric id column: {dt}")
+    if step <= 0:
+        raise ValueError(f"step must be positive: {step}")
+    groups = _cols(group_cols) if group_cols is not None else []
+
+    rows = df.filter(F.col(id_col).isNotNull())
+    stepped = _with_prev(rows, id_col, [], groups, num_partitions)
+
+    cur, prev = F.col(id_col).cast("double"), F.col("_prev").cast("double")
+    n_missing = (cur - prev) / F.lit(float(step)) - F.lit(1.0)
+    violations = stepped.filter(F.col("_prev").isNotNull() & (n_missing > 0))
     return make_differences(
         violations,
         check_id=check_id,
-        kind=KIND_DEVIATION if numeric else KIND_INVALID,
+        kind=KIND_MISSING,
         key=_canon_tuple(groups) if groups else None,
-        value=cur,
-        expected=prev,
-        deviation=(cur.cast("double") - prev.cast("double")) if numeric else None,
+        value=(prev + F.lit(float(step))).cast(dt),   # first missing id
+        expected=(cur - F.lit(float(step))).cast(dt),  # last missing id
+        deviation=n_missing,
+    )
+
+
+# ---------------------------------------------------------------------------
+# validity-interval overlap
+# ---------------------------------------------------------------------------
+
+
+def check_interval_overlap(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    group_cols: ColumnsArg,
+    allow_touching: bool = True,
+    check_id: str = "interval_overlap",
+) -> DataFrame:
+    """Per-entity validity ranges [start, end) must not overlap (SCD
+    tables, booking calendars, effective-dated dimensions).
+
+    Overlap is judged against the RUNNING MAX of all earlier ends in
+    start order — not just the immediate predecessor, so a long early
+    interval overlapping several later ones is caught on every later
+    row.  ``allow_touching=True`` (default) permits end == next start
+    (half-open ranges).  Rows with NULL start are excluded; a NULL end
+    means open-ended (= +∞, overlaps everything after it).
+
+    Each overlapping row yields Deviation(value = its start,
+    expected = the running max end it violates, deviation = overlap
+    amount as a double — epoch seconds for timestamps).
+
+    ``group_cols`` is required: overlap validation is per-entity by
+    nature; a single global timeline is the degenerate one-group case
+    whose sequential semantics cannot be distributed (and at 10^12-row
+    scale a single entity owning every interval is a modeling bug, not
+    a workload).
+
+    Physical plan: one shuffle on the group columns, then a bounded
+    running-max window (rows unbounded-preceding → 1-preceding) —
+    never a global sort.
+    """
+    groups = _cols(group_cols)
+    if not groups:
+        raise ValueError("check_interval_overlap requires group_cols")
+    start, end = F.col(start_col), F.col(end_col)
+    rows = df.filter(start.isNotNull())
+    # NULL end = open-ended: substitute the type's max by ordering trick —
+    # running max of a struct (is_open, end) puts open intervals on top
+    open_end = end.isNull()
+    w = (
+        Window.partitionBy(*[F.col(g) for g in groups])
+        .orderBy(start.asc(), end.asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.struct(open_end.alias("_open"), end.alias("_e"))).over(w)
+    stepped = rows.withColumn("_pm", prev_max)
+    pm_open = F.col("_pm._open")
+    pm_end = F.col("_pm._e")
+    if allow_touching:
+        bad = pm_open | (pm_end > start)
+    else:
+        bad = pm_open | (pm_end >= start)
+    violations = stepped.filter(F.col("_pm").isNotNull() & bad)
+
+    overlap = F.when(
+        ~pm_open, pm_end.cast("double") - start.cast("double")
+    )  # NULL when the earlier interval is open-ended (infinite overlap)
+    return make_differences(
+        violations,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=_canon_tuple(groups),
+        value=start,
+        expected=F.when(pm_open, F.lit("open-ended")).otherwise(
+            pm_end.cast("string")
+        ),
+        deviation=overlap,
     )

@@ -131,6 +131,18 @@ class _Validate:
 
         return check_monotonic(df, value_col, **kw)
 
+    @staticmethod
+    def contiguous(df, id_col, **kw):
+        from .consistency import check_contiguous
+
+        return check_contiguous(df, id_col, **kw)
+
+    @staticmethod
+    def interval_overlap(df, start_col, end_col, **kw):
+        from .consistency import check_interval_overlap
+
+        return check_interval_overlap(df, start_col, end_col, **kw)
+
 
 validate = _Validate()
 

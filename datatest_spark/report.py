@@ -1,0 +1,140 @@
+"""Run reports: compact per-check summaries of a difference relation.
+
+The verdict relation answers "which partitions failed"; this module
+answers "what is failing and how badly" — the operator's first question
+when a 10^12-file run goes red.  ``summarize_differences`` is a lazy
+DataFrame (one shuffle over the diff relation, which is assumed ≪ the
+input); the render helpers collect only that tiny summary to the
+driver.
+
+Determinism: examples are ``min`` / ``max`` over the canonical string
+encodings, so the report bytes are identical at any parallelism (same
+property the violation sink guarantees).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUMMARY_COLUMNS = [
+    "check_id",
+    "diff_kind",
+    "n",
+    "n_values",
+    "n_partitions",
+    "example_value",
+    "example_expected",
+    "min_deviation",
+    "max_deviation",
+]
+
+
+def summarize_differences(diffs: DataFrame) -> DataFrame:
+    """Collapse a difference relation to one row per (check_id,
+    diff_kind): violation count, distinct offending values, partitions
+    touched, a deterministic example, and the deviation envelope.
+
+    One hash aggregate (map-side partial) over the diff relation — no
+    window, no second pass.
+    """
+    return (
+        diffs.groupBy("check_id", "diff_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("value")).alias("n_values"),
+            F.count_distinct(F.col("partition_id")).alias("n_partitions"),
+            F.min("value").alias("example_value"),
+            F.min("expected").alias("example_expected"),
+            F.min("deviation").alias("min_deviation"),
+            F.max("deviation").alias("max_deviation"),
+        )
+        .select(*SUMMARY_COLUMNS)
+    )
+
+
+def report_dict(
+    summary_rows,
+    verdict_rows=None,
+    *,
+    run_id: Optional[str] = None,
+) -> dict:
+    """Driver-side JSON-able report from collected summary (and
+    optionally verdict) rows."""
+    checks = [
+        {k: r[k] for k in SUMMARY_COLUMNS}
+        for r in sorted(
+            summary_rows, key=lambda r: (-r["n"], r["check_id"], r["diff_kind"])
+        )
+    ]
+    out = {
+        "run_id": run_id,
+        "n_violations": sum(c["n"] for c in checks),
+        "n_failing_checks": len({c["check_id"] for c in checks}),
+        "checks": checks,
+    }
+    if verdict_rows is not None:
+        failed = [r for r in verdict_rows if r["status"] == "failed"]
+        total_rows = sum(r["n_rows"] for r in verdict_rows)
+        out["partitions"] = {
+            "checked": len(verdict_rows),
+            "failed": len(failed),
+            "rows": total_rows,
+            "violation_rate": (
+                out["n_violations"] / total_rows if total_rows else None
+            ),
+            "failed_ids": sorted(str(r["partition_id"]) for r in failed)[:50],
+        }
+    return out
+
+
+def report_markdown(report: dict) -> str:
+    """Render a ``report_dict`` as markdown (stable field order)."""
+    lines = [f"# Validation report — run `{report.get('run_id') or 'ad-hoc'}`", ""]
+    p = report.get("partitions")
+    if p:
+        rate = p["violation_rate"]
+        lines += [
+            f"- partitions checked: **{p['checked']}**, failed: "
+            f"**{p['failed']}**",
+            f"- rows: **{p['rows']:,}**, violations: "
+            f"**{report['n_violations']:,}**"
+            + (f" ({rate:.4%} of rows)" if rate is not None else ""),
+            "",
+        ]
+    else:
+        lines += [f"- violations: **{report['n_violations']:,}**", ""]
+    if not report["checks"]:
+        lines.append("All checks passed.")
+        return "\n".join(lines) + "\n"
+    lines += [
+        "| check | kind | n | distinct values | partitions | example | "
+        "expected | deviation range |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for c in report["checks"]:
+        dev = (
+            f"{c['min_deviation']:.6g} … {c['max_deviation']:.6g}"
+            if c["min_deviation"] is not None
+            else ""
+        )
+        ex = "" if c["example_value"] is None else str(c["example_value"])
+        exp = "" if c["example_expected"] is None else str(c["example_expected"])
+        lines.append(
+            f"| {c['check_id']} | {c['diff_kind']} | {c['n']:,} "
+            f"| {c['n_values']:,} | {c['n_partitions']:,} "
+            f"| {ex[:60]} | {exp[:60]} | {dev} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def write_report(report: dict, path: str) -> None:
+    """Write the JSON report (and a .md sibling) to local/driver paths."""
+    with open(path, "w") as fh:
+        json.dump(report, fh, indent=2, default=str)
+    md = path[:-5] + ".md" if path.endswith(".json") else path + ".md"
+    with open(md, "w") as fh:
+        fh.write(report_markdown(report))

@@ -61,6 +61,21 @@ class SuiteResult:
     def passed(self) -> bool:
         return self.n_violations == 0
 
+    def report(self, *, write_to: Optional[str] = None) -> dict:
+        """Per-check breakdown of this run: one summary row per
+        (check_id, diff_kind) with counts, partitions touched, and
+        deterministic examples (see ``report.summarize_differences``).
+        Collects only the tiny summary + verdict relations; optionally
+        writes JSON (+ .md sibling) to a driver-local path."""
+        from .report import report_dict, summarize_differences, write_report
+
+        summary_rows = summarize_differences(self.differences).collect()
+        verdict_rows = self.verdicts.collect()
+        rep = report_dict(summary_rows, verdict_rows, run_id=self.run_id)
+        if write_to:
+            write_report(rep, write_to)
+        return rep
+
 
 class ValidationSuite:
     """Composable suite of checks over a dict of input DataFrames.

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from datatest_spark.operators.consistency import (
     check_aggregate_match,
+    check_contiguous,
     check_functional_dependency,
+    check_interval_overlap,
     check_monotonic,
 )
 
@@ -303,3 +305,109 @@ def test_monotonic_timestamps_as_value(spark):
     )
     # timestamp is non-numeric for deviation purposes → Invalid
     assert len(got) == 1 and got[0][0] == "invalid"
+
+
+# ---------------------------------------------------------------------------
+# contiguity (gap detection)
+# ---------------------------------------------------------------------------
+
+
+def test_contiguous_grouped_gaps(spark):
+    rows = [("a", 1), ("a", 2), ("a", 5), ("b", 10), ("b", 14)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    got = diff_multiset(
+        check_contiguous(df, "i", group_cols="g", check_id="seq")
+    )
+    # gap a: 3..4 missing (2 ids); gap b: 11..13 missing (3 ids)
+    assert got == [
+        ("missing", "a", "3", "4", 2.0),
+        ("missing", "b", "11", "13", 3.0),
+    ]
+
+
+def test_contiguous_duplicates_are_not_gaps(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("a", 2)], ["g", "i"])
+    assert check_contiguous(df, "i", group_cols="g").count() == 0
+
+
+def test_contiguous_step_and_global(spark):
+    # even ids 0..20, missing 8 and 14..16 (i.e. even ids 8, 14, 16)
+    ids = [i for i in range(0, 22, 2) if i not in (8, 14, 16)]
+    df = spark.createDataFrame([(i,) for i in ids], ["i"]).repartition(5)
+    got = diff_multiset(
+        check_contiguous(df, "i", step=2, num_partitions=4)
+    )
+    assert got == [
+        ("missing", None, "14", "16", 2.0),
+        ("missing", None, "8", "8", 1.0),
+    ]
+
+
+def test_contiguous_rejects_non_numeric_and_bad_step(spark):
+    df = spark.createDataFrame([("x",)], ["i"])
+    with pytest.raises(ValueError):
+        check_contiguous(df, "i")
+    df2 = spark.createDataFrame([(1,)], ["i"])
+    with pytest.raises(ValueError):
+        check_contiguous(df2, "i", step=0)
+
+
+# ---------------------------------------------------------------------------
+# validity-interval overlap
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_running_max_not_just_lag(spark):
+    # entity 'a': [0,100) overlaps BOTH later intervals, even though
+    # [10,20) does not overlap [30,40) — lag-only would miss the 30 row
+    rows = [("a", 0.0, 100.0), ("a", 10.0, 20.0), ("a", 30.0, 40.0),
+            ("b", 0.0, 10.0), ("b", 10.0, 20.0)]  # touching ok by default
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    got = diff_multiset(
+        check_interval_overlap(df, "s", "e", group_cols="g")
+    )
+    assert got == [
+        ("deviation", "a", "10.0", "100.0", 90.0),
+        ("deviation", "a", "30.0", "100.0", 70.0),
+    ]
+
+
+def test_interval_overlap_touching_mode(spark):
+    rows = [("b", 0.0, 10.0), ("b", 10.0, 20.0)]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    assert check_interval_overlap(df, "s", "e", group_cols="g").count() == 0
+    strict = check_interval_overlap(
+        df, "s", "e", group_cols="g", allow_touching=False
+    )
+    assert diff_multiset(strict) == [("deviation", "b", "10.0", "10.0", 0.0)]
+
+
+def test_interval_overlap_open_ended(spark):
+    rows = [("a", 0.0, None), ("a", 50.0, 60.0)]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    got = diff_multiset(check_interval_overlap(df, "s", "e", group_cols="g"))
+    # open-ended earlier interval overlaps everything after it;
+    # overlap amount is undefined (NULL deviation)
+    assert got == [("deviation", "a", "50.0", "open-ended", None)]
+
+
+def test_interval_overlap_timestamps(spark):
+    rows = [
+        ("r", "2026-01-01 00:00:00", "2026-01-10 00:00:00"),
+        ("r", "2026-01-05 00:00:00", "2026-01-07 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"]).select(
+        "g",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = diff_multiset(check_interval_overlap(df, "s", "e", group_cols="g"))
+    assert len(got) == 1
+    # overlap amount = 5 days in seconds
+    assert got[0][4] == 5 * 86400.0
+
+
+def test_interval_overlap_requires_groups(spark):
+    df = spark.createDataFrame([("a", 0.0, 1.0)], ["g", "s", "e"])
+    with pytest.raises(ValueError):
+        check_interval_overlap(df, "s", "e", group_cols=[])

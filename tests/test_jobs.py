@@ -264,3 +264,32 @@ def test_spec_consistency_checks_match_python_api(spark, code_tables):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_spec_contiguous_and_overlap_match_python_api(spark):
+    from datatest_spark.operators.consistency import (
+        check_contiguous,
+        check_interval_overlap,
+    )
+
+    seq = spark.createDataFrame(
+        [("a", 1, 0.0, 5.0), ("a", 2, 3.0, 6.0), ("a", 5, 10.0, 11.0)],
+        "g string, i long, s double, e double",
+    ).withColumn("partition_id", F.lit(0))
+    tables = {"seq": seq}
+    spec_checks = [
+        {"check": "contiguous", "column": "i", "group_by": "g"},
+        {"check": "interval_overlap", "start": "s", "end": "e",
+         "group_by": "g"},
+    ]
+    suite = compile_suite(
+        {"primary": "seq", "partition_col": "partition_id",
+         "checks": spec_checks}
+    )
+    got = diff_multiset(suite.build_differences(tables))
+    want = diff_multiset(
+        check_contiguous(seq, "i", group_cols="g", check_id="c").unionByName(
+            check_interval_overlap(seq, "s", "e", group_cols="g", check_id="o")
+        )
+    )
+    assert got == want and len(got) == 2  # one gap (3..4), one overlap

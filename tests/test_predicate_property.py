@@ -1,0 +1,135 @@
+"""Property-based parity: the predicate compiler vs the reference's
+Python matching semantics (SURVEY.md §2.3 table).
+
+Each example draws ONE predicate and a batch of values, evaluates the
+compiled Column over the whole batch in a single job, and compares
+against a Python-side evaluator implementing the documented rules
+(NULL fails every form except ``None`` / sets containing ``None``; NaN
+matches NaN; ``~`` is logical negation of the collapsed boolean).
+
+Regex predicates are drawn from a literal-only alphabet: the compiler
+translates ``re`` patterns to Java regex, which agrees with Python on
+literals + anchors but not on exotic syntax — the documented boundary.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datatest_spark.plans.predicate import PredicateSpec, compile_predicate
+
+_RE_TYPE = type(re.compile(""))
+
+
+def _py_truthy(v) -> bool:
+    return bool(v) if v is not None else False
+
+
+def py_matches(pred, v) -> bool:
+    """Reference matching semantics (datatest _predicate, SURVEY §2.3)."""
+    if isinstance(pred, PredicateSpec):
+        r = py_matches(pred.obj, v)
+        return (not r) if pred.negated else r
+    if pred is Ellipsis:
+        return True
+    if pred is None:
+        return v is None
+    if isinstance(pred, bool):
+        return _py_truthy(v) == pred
+    if isinstance(pred, (set, frozenset)):
+        if v is None:
+            return None in pred
+        if isinstance(v, float) and math.isnan(v):
+            return any(isinstance(p, float) and math.isnan(p) for p in pred)
+        return any(
+            p is not None
+            and not (isinstance(p, float) and math.isnan(p))
+            and v == p
+            for p in pred
+        )
+    if isinstance(pred, _RE_TYPE):
+        return v is not None and bool(pred.search(v))
+    if isinstance(pred, float) and math.isnan(pred):
+        return isinstance(v, float) and math.isnan(v)
+    return v is not None and v == pred
+
+
+def _spark_matches(spark, pred, values, spark_type):
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("v", spark_type, True),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(values)), schema)
+    ok = compile_predicate(pred, F.col("v"), spark_type)
+    rows = df.select("i", ok.alias("m")).collect()
+    return [bool(r["m"]) for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def _maybe_negated(pred_st):
+    return st.tuples(pred_st, st.booleans()).map(
+        lambda t: PredicateSpec(t[0], True) if t[1] else t[0]
+    )
+
+
+_floats = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.integers(-3, 3).map(float),
+)
+_float_values = st.lists(st.one_of(st.none(), _floats), min_size=1, max_size=24)
+_float_preds = _maybe_negated(
+    st.one_of(
+        _floats,                                    # literal (incl. NaN/inf)
+        st.sets(st.one_of(_floats, st.none()), max_size=4),
+        st.none(),
+        st.just(Ellipsis),
+        st.booleans(),                              # truthiness
+    )
+)
+
+_TEXT = st.text(alphabet="abcxy 01\n", max_size=6)
+_string_values = st.lists(st.one_of(st.none(), _TEXT), min_size=1, max_size=24)
+_string_preds = _maybe_negated(
+    st.one_of(
+        _TEXT,                                      # literal
+        st.sets(st.one_of(_TEXT, st.none()), max_size=4),
+        st.none(),
+        st.just(Ellipsis),
+        st.booleans(),                              # truthiness (len > 0)
+        st.text(alphabet="abcxy", max_size=3).map(re.compile),  # literal regex
+        st.text(alphabet="abcxy", min_size=1, max_size=2).map(
+            lambda s: re.compile("^" + s)
+        ),
+    )
+)
+
+_SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestPredicateParity:
+    @given(pred=_float_preds, values=_float_values)
+    @_SETTINGS
+    def test_double_domain(self, spark, pred, values):
+        got = _spark_matches(spark, pred, values, T.DoubleType())
+        want = [py_matches(pred, v) for v in values]
+        assert got == want, f"pred={pred!r} values={values!r}"
+
+    @given(pred=_string_preds, values=_string_values)
+    @_SETTINGS
+    def test_string_domain(self, spark, pred, values):
+        got = _spark_matches(spark, pred, values, T.StringType())
+        want = [py_matches(pred, v) for v in values]
+        assert got == want, f"pred={pred!r} values={values!r}"

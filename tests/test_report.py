@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from datatest_spark import validate
+from datatest_spark.report import (
+    SUMMARY_COLUMNS,
+    report_dict,
+    report_markdown,
+    summarize_differences,
+)
+from datatest_spark.suite import Check, ValidationSuite
+
+
+def test_summarize_differences_counts_and_examples(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (50.0,), (60.0,), (60.0,)], ["v"]
+    )
+    d = validate.interval(df, "v", min=5.0, max=45.0, check_id="iv")
+    rows = {r["diff_kind"]: r for r in summarize_differences(d).collect()}
+    dev = rows["deviation"]
+    assert dev["n"] == 5
+    assert dev["n_values"] == 4  # 1.0 2.0 50.0 60.0
+    assert dev["n_partitions"] == 0  # no partition attribution
+    assert dev["example_value"] == "1.0"  # min canonical string
+    assert dev["min_deviation"] == -4.0 and dev["max_deviation"] == 15.0
+
+
+def test_summarize_is_single_hash_aggregate(spark):
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    d = validate.interval(df, "v", min=5.0, check_id="iv")
+    plan = summarize_differences(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_suite_report_end_to_end(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1.0, "A", 0), (50.0, "R", 0), (10.0, "N", 1)], ["v", "f", "partition_id"]
+    )
+    suite = ValidationSuite(
+        [
+            Check("iv", lambda t: validate.interval(
+                t["d"], "v", min=5.0, max=45.0, check_id="iv",
+                partition_id=F.col("partition_id"),
+            )),
+            Check("rf", lambda t: validate.set(
+                t["d"], "f", {"A", "N"}, check_id="rf",
+            )),
+        ],
+        partition_col="partition_id",
+    )
+    res = suite.run({"d": df}, primary="d")
+    out = str(tmp_path / "report.json")
+    rep = res.report(write_to=out)
+
+    assert rep["run_id"] == res.run_id
+    assert rep["n_violations"] == res.n_violations == 3
+    assert rep["n_failing_checks"] == 2
+    assert rep["partitions"]["checked"] >= 2
+    assert rep["partitions"]["failed"] >= 1
+    by = {(c["check_id"], c["diff_kind"]): c for c in rep["checks"]}
+    assert by[("iv", "deviation")]["n"] == 2
+    assert by[("iv", "deviation")]["n_partitions"] == 1  # both in partition 0
+    assert by[("rf", "extra")]["example_value"] == "R"
+
+    # files written, markdown renders every failing check
+    reloaded = json.load(open(out))
+    assert reloaded["n_violations"] == 3
+    md = open(str(tmp_path / "report.md")).read()
+    assert "| iv | deviation |" in md and "| rf | extra |" in md
+
+
+def test_report_dict_ordering_and_all_green(spark):
+    rep = report_dict([], [], run_id="r1")
+    assert rep["n_violations"] == 0 and rep["checks"] == []
+    assert "All checks passed" in report_markdown(rep)
+    # ordering: most violations first
+    rows = [
+        dict(zip(SUMMARY_COLUMNS, ("a", "invalid", 1, 1, 0, "x", None, None, None))),
+        dict(zip(SUMMARY_COLUMNS, ("b", "invalid", 9, 2, 0, "y", None, None, None))),
+    ]
+    rep2 = report_dict(rows, run_id="r2")
+    assert [c["check_id"] for c in rep2["checks"]] == ["b", "a"]
+
+
+def test_summary_deterministic_across_parallelism(spark):
+    rows = [(float(i % 97),) for i in range(500)]
+    a = spark.createDataFrame(rows, ["v"]).repartition(1)
+    b = spark.createDataFrame(rows, ["v"]).repartition(13)
+    da = summarize_differences(
+        validate.interval(a, "v", min=5.0, max=45.0, check_id="iv")
+    ).collect()
+    db = summarize_differences(
+        validate.interval(b, "v", min=5.0, max=45.0, check_id="iv")
+    ).collect()
+    key = lambda r: (r["check_id"], r["diff_kind"])  # noqa: E731
+    assert sorted(map(tuple, da), key=str) == sorted(map(tuple, db), key=str)
