@@ -450,3 +450,115 @@ def stateful_unique_stream(
         outputMode="append",
         timeMode=time_mode,
     )
+
+
+def stateful_contiguous_stream(
+    sdf: DataFrame,
+    id_col: str,
+    *,
+    group_cols: Sequence[str],
+    step: int = 1,
+    check_id: str = "stream_contiguous",
+) -> DataFrame:
+    """Cross-batch sequence-gap detection: the stateful streaming
+    analogue of ``validate.contiguous`` (ingest completeness for Kafka
+    offsets / sequence numbers, where a gap means rows were lost).
+
+    Per group the ONLY state is the highest id seen so far (one long) —
+    per-batch state writes are O(groups touched in the batch), never a
+    function of stream lifetime.  Each micro-batch sorts its own ids
+    (within-batch disorder is fine), stitches them onto the state max,
+    and emits one compact Missing row per gap (``value`` = first
+    missing id, ``expected`` = last missing id, ``deviation`` = number
+    of missing ids), exactly the batch operator's difference shape.
+
+    ARRIVAL CONTRACT: streams cannot revisit history, so ids are
+    assumed non-decreasing per group ACROSS batches (the Kafka
+    per-partition guarantee).  An id arriving at or below the state
+    max is emitted as Invalid (out-of-order/duplicate arrival — the
+    upstream guarantee is broken) rather than silently retracting a
+    previously reported gap; duplicates WITHIN one batch are ignored
+    (that is ``stateful_unique_stream``'s job).
+
+    Feeding the batches of a gap-free ordered stream reproduces
+    ``validate.contiguous`` output exactly (parity-tested).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if step <= 0:
+        raise ValueError(f"step must be positive: {step}")
+    names = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    keyed = sdf.filter(F.col(id_col).isNotNull()).select(
+        *names, F.col(id_col).cast("long").alias("_id")
+    )
+
+    out_schema = (
+        "check_id string, diff_kind string, key string, value string, "
+        "expected string, deviation double, repo string, path string, "
+        "commit string, partition_id string"
+    )
+
+    def _key_canon(key) -> str:
+        import json as _json
+
+        if len(key) == 1:
+            return None if key[0] is None else str(key[0])
+        return _json.dumps(
+            [None if k is None else str(k) for k in key],
+            separators=(",", ":"),
+        )
+
+    def detect(key, pdfs, state: GroupState):
+        prev = int(state.get[0]) if state.exists else None
+        ids: set = set()
+        for pdf in pdfs:
+            ids.update(int(v) for v in pdf["_id"])
+        if not ids:
+            return
+        kenc = _key_canon(key)
+        rows = []
+        late = sorted(i for i in ids if prev is not None and i <= prev)
+        for i in late:
+            rows.append(("invalid", kenc, str(i), None, None))
+        cursor = prev
+        for i in sorted(ids):
+            if cursor is not None and i <= cursor:
+                continue  # late/duplicate, already reported above
+            if cursor is not None and i - cursor > step:
+                n_missing = (i - cursor) / step - 1.0
+                rows.append(
+                    (
+                        "missing",
+                        kenc,
+                        str(cursor + step),
+                        str(i - step),
+                        n_missing,
+                    )
+                )
+            cursor = i
+        state.update((int(cursor),))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "check_id": check_id,
+                    "diff_kind": [r[0] for r in rows],
+                    "key": kenc,
+                    "value": [r[2] for r in rows],
+                    "expected": [r[3] for r in rows],
+                    "deviation": [r[4] for r in rows],
+                    "repo": None,
+                    "path": None,
+                    "commit": None,
+                    "partition_id": None,
+                }
+            )
+
+    return keyed.groupBy(*names).applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType="max_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

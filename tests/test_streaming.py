@@ -357,3 +357,81 @@ def test_windowed_drift_matches_batch(spark, tmp_path):
         assert n_obs == win_rows.count()
     # the window containing 'novel' reports it
     assert got["2026-01-01 00:00:00"][1] == 1
+
+
+def test_stateful_contiguous_across_batches(spark, tmp_path):
+    """Gap detection across micro-batches: state = one long per group;
+    batches stitch onto the state max and reproduce the batch
+    operator's compact Missing rows."""
+    from datatest_spark.streaming.validate_stream import (
+        stateful_contiguous_stream,
+    )
+
+    p = str(tmp_path / "seqsrc")
+    schema = "g string, i long"
+    # batch 1: a: 1,2  b: 10 ;  batch 2: a: 5 (gap 3..4), b: 11,14 (gap 12..13)
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    spark.createDataFrame(
+        [("a", 5), ("b", 11), ("b", 14)], schema
+    ).coalesce(1).write.mode("append").parquet(p)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    d = stateful_contiguous_stream(sdf, "i", group_cols=["g"])
+    q = (
+        d.writeStream.format("memory")
+        .queryName("seq_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("seq_mem").collect()
+    got = sorted(
+        (r["diff_kind"], r["key"], r["value"], r["expected"], r["deviation"])
+        for r in rows
+    )
+    assert got == [
+        ("missing", "a", "3", "4", 2.0),
+        ("missing", "b", "12", "13", 2.0),
+    ]
+
+    # parity with the batch operator over the union of all batches
+    from datatest_spark.operators.consistency import check_contiguous
+
+    allb = spark.read.parquet(p)
+    batch = sorted(
+        (r["diff_kind"], r["key"], r["value"], r["expected"], r["deviation"])
+        for r in check_contiguous(allb, "i", group_cols="g").collect()
+    )
+    assert got == batch
+
+
+def test_stateful_contiguous_flags_out_of_order_arrival(spark, tmp_path):
+    from datatest_spark.streaming.validate_stream import (
+        stateful_contiguous_stream,
+    )
+
+    p = str(tmp_path / "seqsrc_ooo")
+    schema = "g string, i long"
+    spark.createDataFrame([("a", 5), ("a", 6)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    # 3 arrives AFTER the max reached 6: contract broken → Invalid, and
+    # the previously-implied ordering is never silently retracted
+    spark.createDataFrame([("a", 3), ("a", 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(p)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    d = stateful_contiguous_stream(sdf, "i", group_cols=["g"])
+    q = (
+        d.writeStream.format("memory")
+        .queryName("seq_ooo_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("seq_ooo_mem").collect()
+    got = sorted((r["diff_kind"], r["value"]) for r in rows)
+    assert got == [("invalid", "3")]
