@@ -76,6 +76,7 @@ from ..operators.stats import (
     check_freshness,
     check_partition_outliers,
     check_row_count_drift,
+    check_schema_drift,
     histograms,
 )
 from ..suite import Check, ValidationSuite
@@ -276,6 +277,13 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 t[table], _c, order_by=_o, group_cols=_g,
                 strictly=_s, decreasing=_d, check_id=_i,
             )
+        )
+    elif kind == "schema_drift":
+        baseline = e.pop("baseline")  # path written by write_schema_snapshot
+        strict = e.pop("strict", True)
+        cid = check_id or "schema_drift"
+        builder = lambda t, _b=baseline, _s=strict, _i=cid: (  # noqa: E731
+            check_schema_drift(t[table], _b, strict=_s, check_id=_i)
         )
     elif kind == "contiguous":
         column = e.pop("column")

@@ -193,6 +193,66 @@ def read_snapshot(spark, path: str):
 
 
 # ---------------------------------------------------------------------------
+# schema snapshots + drift
+# ---------------------------------------------------------------------------
+
+
+def schema_snapshot(df: DataFrame) -> dict:
+    """Freeze the DataFrame's column → Spark-type-string mapping (the
+    schema analogue of the stats baseline: "what the table looked like
+    when it was last known good")."""
+    return {
+        "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    }
+
+
+def write_schema_snapshot(df: DataFrame, path: str) -> None:
+    """Persist a schema snapshot next to the stats baselines — a 1-row
+    parquet with a JSON payload, so it lives on the same storage the
+    cluster job already writes to (no driver-local filesystem
+    assumption)."""
+    import json as _json
+
+    spark = df.sparkSession
+    payload = _json.dumps(schema_snapshot(df), sort_keys=True)
+    spark.createDataFrame([(payload,)], "payload string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/schema")
+
+
+def read_schema_snapshot(spark, path: str) -> dict:
+    import json as _json
+
+    row = spark.read.parquet(f"{path}/schema").head()
+    return _json.loads(row["payload"])
+
+
+def check_schema_drift(
+    df: DataFrame,
+    snapshot,
+    *,
+    strict: bool = True,
+    check_id: str = "schema_drift",
+) -> DataFrame:
+    """Schema drift vs a frozen snapshot: dropped column → Missing,
+    type change → Invalid(actual, expected), new column → Extra (when
+    ``strict``).  ``snapshot`` is a ``schema_snapshot()`` dict or a
+    baseline path written by ``write_schema_snapshot``.
+
+    Driver-side metadata only (one tiny snapshot read when a path is
+    given) — composes with suites/acceptances like every check; pair
+    with ``check_chi_square_drift``/``check_quantile_drift`` for the
+    full "vs last known good" gate."""
+    from .requirements import check_schema
+
+    if isinstance(snapshot, str):
+        snapshot = read_schema_snapshot(df.sparkSession, snapshot)
+    return check_schema(
+        df, snapshot["columns"], strict=strict, check_id=check_id
+    )
+
+
+# ---------------------------------------------------------------------------
 # drift checks → Deviation rows
 # ---------------------------------------------------------------------------
 

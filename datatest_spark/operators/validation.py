@@ -112,6 +112,12 @@ class _Validate:
 
         return check_freshness(df, ts_column, **kw)
 
+    @staticmethod
+    def schema_drift(df, snapshot, **kw):
+        from .stats import check_schema_drift
+
+        return check_schema_drift(df, snapshot, **kw)
+
     # cross-row / cross-table consistency (consistency module)
     @staticmethod
     def functional_dependency(df, determinants, dependents, **kw):

@@ -78,3 +78,43 @@ def test_partition_outliers(spark):
 
     with _pytest.raises(ValueError):
         check_partition_outliers(base, "v", "p", metric="median")
+
+
+def test_schema_snapshot_roundtrip_and_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators.stats import (
+        check_schema_drift,
+        read_schema_snapshot,
+        schema_snapshot,
+        write_schema_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "baseline")
+    write_schema_snapshot(base, path)
+    snap = read_schema_snapshot(spark, path)
+    assert snap == schema_snapshot(base)
+    assert snap["columns"] == {"id": "bigint", "name": "string",
+                               "score": "double"}
+
+    # identical schema → clean (path form)
+    assert check_schema_drift(base, path).count() == 0
+
+    # drifted: score dropped, id re-typed, extra column added
+    drifted = base.select(
+        F.col("id").cast("string").alias("id"), "name",
+        F.lit(True).alias("flag"),
+    )
+    rows = {
+        (r["diff_kind"], r["key"]): (r["value"], r["expected"])
+        for r in check_schema_drift(drifted, snap).collect()
+    }
+    assert rows[("missing", "score")] == (None, "double")
+    assert rows[("invalid", "id")] == ("string", "bigint")
+    assert rows[("extra", "flag")] == ("boolean", None)
+    assert len(rows) == 3
+    # non-strict: new columns tolerated
+    assert check_schema_drift(drifted, snap, strict=False).count() == 2
