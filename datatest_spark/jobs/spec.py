@@ -40,6 +40,7 @@ Spec shape::
         {"check": "monotonic", "column": "value", "order_by": "ts",
          "group_by": "user_id"},
         {"check": "contiguous", "column": "offset", "group_by": "shard"},
+        {"check": "schema_drift", "baseline": "/data/baseline"},
         {"check": "interval_overlap", "start": "valid_from",
          "end": "valid_to", "group_by": "entity_id"}
       ]
