@@ -101,6 +101,13 @@ def check_functional_dependency(
     """
     xs = _cols(determinants)
     ys = _cols(dependents)
+    if not xs or not ys:
+        raise ValueError("determinants and dependents must be non-empty")
+    overlap = set(xs) & set(ys)
+    if overlap:
+        # a column trivially determines itself; a shared column would
+        # also make the groupBy/select ambiguous
+        raise ValueError(f"determinants and dependents overlap: {sorted(overlap)}")
     ycanon = _canon_tuple(ys)
 
     pairs = (
@@ -176,6 +183,11 @@ def check_aggregate_match(
       the empty set is 0 and the comparison proceeds with actual=0;
       for ``min``/``max``/``avg`` (no identity) → Missing(key,
       expected=expected).
+    * child rows present but every aggregated value NULL (``min``/
+      ``max``/``avg`` only) → Invalid(key, expected=expected) — there
+      is nothing to aggregate, which is its own defect, never a
+      silent pass (for ``sum``/``count`` the all-NULL set aggregates
+      to the identity 0 like the empty set).
 
     ``value`` is the child column being aggregated — a Column or a SQL
     expression string (so declarative specs can state derived rollups
@@ -206,7 +218,11 @@ def check_aggregate_match(
     # is one) so the JSON spec surface can express derived rollups too
     vcol = F.expr(value) if isinstance(value, str) else value
     actual = _AGG_FNS[agg](vcol).cast("double").alias("_actual")
-    child_agg = child.groupBy(*[F.col(k) for k in ks]).agg(actual)
+    # explicit presence count: SQL aggregates of all-NULL values are
+    # NULL, which must not be confused with "no child rows at all"
+    child_agg = child.groupBy(*[F.col(k) for k in ks]).agg(
+        actual, F.count(F.lit(1)).alias("_n")
+    )
 
     parent_sel = parent.select(
         *[F.col(p).alias(k) for p, k in zip(pks, ks)],
@@ -214,9 +230,11 @@ def check_aggregate_match(
     )
     joined = child_agg.join(parent_sel, ks, "full_outer")
 
-    has_child = F.col("_actual").isNotNull()
+    has_child = F.col("_n").isNotNull()
     has_parent = F.col("_expected").isNotNull()
     actual_f = (
+        # sum/count: the empty set AND the all-NULL set aggregate to
+        # the identity 0
         F.coalesce(F.col("_actual"), F.lit(0.0))
         if agg in _ZERO_IDENTITY
         else F.col("_actual")
@@ -225,12 +243,20 @@ def check_aggregate_match(
 
     orphan = has_child & ~has_parent
     absent = ~has_child & has_parent & F.lit(agg not in _ZERO_IDENTITY)
-    deviates = has_parent & ~absent & mismatch
+    # min/max/avg over rows whose values are ALL NULL: the key is
+    # present but there is nothing to aggregate — an Invalid fact of
+    # its own, never a silent pass
+    novalue = (
+        has_child & has_parent & F.col("_actual").isNull()
+        & F.lit(agg not in _ZERO_IDENTITY)
+    )
+    deviates = has_parent & ~absent & ~novalue & mismatch
 
-    violations = joined.filter(orphan | absent | deviates)
+    violations = joined.filter(orphan | absent | novalue | deviates)
     kind = (
         F.when(orphan, F.lit(KIND_EXTRA))
         .when(absent, F.lit(KIND_MISSING))
+        .when(novalue, F.lit(KIND_INVALID))
         .otherwise(F.lit(KIND_DEVIATION))
     )
     return make_differences(

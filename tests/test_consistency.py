@@ -411,3 +411,37 @@ def test_interval_overlap_requires_groups(spark):
     df = spark.createDataFrame([("a", 0.0, 1.0)], ["g", "s", "e"])
     with pytest.raises(ValueError):
         check_interval_overlap(df, "s", "e", group_cols=[])
+
+
+def test_fd_rejects_overlapping_or_empty_column_sets(spark):
+    df = spark.createDataFrame([("a", 1)], ["x", "y"])
+    with pytest.raises(ValueError, match="overlap"):
+        check_functional_dependency(df, ["x", "y"], ["y"])
+    with pytest.raises(ValueError, match="non-empty"):
+        check_functional_dependency(df, [], ["y"])
+
+
+def test_aggregate_match_all_null_values_is_invalid_not_missing(spark):
+    parent = spark.createDataFrame([(1, 5.0), (2, 7.0)], ["k", "t"])
+    child = spark.createDataFrame(
+        [(1, None), (1, None), (2, 7.0)], "k long, v double"
+    )
+    got = diff_multiset(
+        check_aggregate_match(
+            child, parent, keys="k", expected_col="t", agg="min", value="v",
+        )
+    )
+    # key 1 HAS child rows but nothing to aggregate → Invalid, not
+    # Missing (and never a silent pass); key 2 matches exactly
+    assert got == [("invalid", "1", None, "5.0", None)]
+
+
+def test_aggregate_match_sum_all_null_uses_identity_zero(spark):
+    parent = spark.createDataFrame([(1, 5.0)], ["k", "t"])
+    child = spark.createDataFrame([(1, None)], "k long, v double")
+    got = diff_multiset(
+        check_aggregate_match(
+            child, parent, keys="k", expected_col="t", agg="sum", value="v",
+        )
+    )
+    assert got == [("deviation", "1", "0.0", "5.0", -5.0)]
