@@ -138,3 +138,54 @@ def write_report(report: dict, path: str) -> None:
     md = path[:-5] + ".md" if path.endswith(".json") else path + ".md"
     with open(md, "w") as fh:
         fh.write(report_markdown(report))
+
+
+def compare_reports(previous: dict, current: dict) -> dict:
+    """Trend diff between two ``report_dict`` outputs (same suite, two
+    runs): which checks regressed, improved, appeared, or cleared —
+    the "did this ingest get worse" question a scheduled validation
+    job answers run over run.
+
+    Pure driver-side arithmetic over the two tiny summaries.  Keys are
+    (check_id, diff_kind); ``delta`` is current − previous violation
+    count.  Rate deltas are included when both reports carry partition
+    row counts.
+    """
+
+    def _index(rep):
+        return {(c["check_id"], c["diff_kind"]): c["n"] for c in rep["checks"]}
+
+    prev_n, cur_n = _index(previous), _index(current)
+    regressed, improved, new, cleared = [], [], [], []
+    for k in sorted(set(prev_n) | set(cur_n)):
+        p, c = prev_n.get(k, 0), cur_n.get(k, 0)
+        entry = {
+            "check_id": k[0], "diff_kind": k[1],
+            "previous": p, "current": c, "delta": c - p,
+        }
+        if p == 0 and c > 0:
+            new.append(entry)
+        elif c == 0 and p > 0:
+            cleared.append(entry)
+        elif c > p:
+            regressed.append(entry)
+        elif c < p:
+            improved.append(entry)
+
+    out = {
+        "previous_run_id": previous.get("run_id"),
+        "current_run_id": current.get("run_id"),
+        "regressed": regressed,
+        "improved": improved,
+        "new": new,
+        "cleared": cleared,
+        "worse": bool(regressed or new),
+    }
+    p_part, c_part = previous.get("partitions"), current.get("partitions")
+    if p_part and c_part and p_part.get("rows") and c_part.get("rows"):
+        out["violation_rate"] = {
+            "previous": p_part["violation_rate"],
+            "current": c_part["violation_rate"],
+            "delta": c_part["violation_rate"] - p_part["violation_rate"],
+        }
+    return out

@@ -98,3 +98,34 @@ def test_summary_deterministic_across_parallelism(spark):
     ).collect()
     key = lambda r: (r["check_id"], r["diff_kind"])  # noqa: E731
     assert sorted(map(tuple, da), key=str) == sorted(map(tuple, db), key=str)
+
+
+def test_compare_reports_trend(spark):
+    from datatest_spark.report import compare_reports
+
+    def rep(run_id, pairs, rows=100):
+        checks = [
+            dict(zip(SUMMARY_COLUMNS, (c, k, n, 1, 0, "x", None, None, None)))
+            for (c, k), n in pairs.items()
+        ]
+        r = report_dict(checks, run_id=run_id)
+        r["partitions"] = {"checked": 2, "failed": 1, "rows": rows,
+                           "violation_rate": r["n_violations"] / rows,
+                           "failed_ids": []}
+        return r
+
+    prev = rep("r1", {("iv", "deviation"): 10, ("rf", "extra"): 2,
+                      ("old", "invalid"): 3})
+    cur = rep("r2", {("iv", "deviation"): 15, ("rf", "extra"): 1,
+                     ("fresh", "missing"): 4})
+    d = compare_reports(prev, cur)
+    assert d["worse"] is True
+    assert [e["check_id"] for e in d["regressed"]] == ["iv"]
+    assert [e["check_id"] for e in d["improved"]] == ["rf"]
+    assert [e["check_id"] for e in d["new"]] == ["fresh"]
+    assert [e["check_id"] for e in d["cleared"]] == ["old"]
+    assert d["regressed"][0]["delta"] == 5
+    assert round(d["violation_rate"]["delta"], 6) == round((20 - 15) / 100, 6)
+
+    same = compare_reports(cur, cur)
+    assert same["worse"] is False and not same["regressed"]
