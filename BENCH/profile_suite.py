@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Phase-level profile of the scaling-suite worker: where does the
+wall go at a given thread count?  Splits the measured region into
+(a) narrow persist+count (the scan + sha2 + projection),
+(b) suite diffs force, (c) column_stats force — each timed separately
+(sequential here, unlike the concurrent measured run) so a
+thread-count-dependent serialization is attributable to a phase.
+
+Usage: python BENCH/profile_suite.py --cpus 32 [--rows 16000000]
+Input parquet must already exist (BENCH/scaling.py --prepare).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from BENCH.scaling import INPUT_DIR, PARENTS_DIR  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=16_000_000)
+    args = ap.parse_args()
+
+    from bench import build_session, force
+    from datatest_spark import validate
+    from datatest_spark.operators.referential import check_referential
+    from datatest_spark.operators.stats import column_stats
+    from datatest_spark.sources.fixtures import LANGS
+    from datatest_spark.suite import Check, ValidationSuite
+    from pyspark.sql import functions as F
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    df = spark.read.parquet(INPUT_DIR)
+    parents = spark.read.parquet(PARENTS_DIR)
+    suite = ValidationSuite(
+        [
+            Check("lang_subset", lambda t: validate.subset(t["code"], "lang", set(LANGS), check_id="lang_subset")),
+            Check("content_not_null", lambda t: validate.predicate(
+                t["code"], "content_null", False, check_id="content_not_null")),
+            Check("size_interval", lambda t: validate.interval(
+                t["code"], "content_len", min=1, max=50_000, check_id="size_interval")),
+            Check("pk_unique", lambda t: validate.unique(
+                t["code"], ["repo", "path", "commit"], check_id="pk_unique",
+                per_occurrence=False)),
+            Check("repo_fk", lambda t: check_referential(
+                t["code"], "repo", t["repos"], "repo", check_id="repo_fk")),
+            Check("commit_regex", lambda t: validate.regex(
+                t["code"], "commit", r"^[0-9a-f]{40}$", check_id="commit_regex")),
+        ]
+    )
+
+    def narrow_of(src):
+        return src.select(
+            "repo", "path", "commit", "lang", "partition_id",
+            F.length("content").alias("content_len"),
+            F.col("content").isNull().alias("content_null"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+        )
+
+    # untimed warm-up (same shapes, 1/16 sample)
+    sample = narrow_of(df.filter(F.pmod(F.xxhash64("path"), F.lit(16)) == 0))
+    wd = suite.build_differences({"code": sample, "repos": parents})
+    force(wd)
+    force(column_stats(sample, ["repo", "lang", "content_sha"], table_name="code_files"))
+
+    out = {"cpus": args.cpus, "phases": {}}
+
+    def timed(name, fn, repeats=2):
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out["phases"][name] = round(best, 3)
+
+    narrow = narrow_of(df)
+
+    # phase A: bare scan ceiling (length only)
+    bare = df.select(F.length("content").alias("l"))
+    force(bare)
+    timed("bare_scan", lambda: force(bare))
+
+    # phase B: narrow projection WITHOUT persist (scan + sha2)
+    timed("narrow_nopersist", lambda: force(narrow))
+
+    # phase C: persist + count (the measured run's first step)
+    def persist_count():
+        narrow.unpersist()
+        narrow.persist().count()
+
+    timed("persist_count", persist_count)
+
+    # phases D/E off the persisted narrow (persisted state from C)
+    diffs = suite.build_differences({"code": narrow, "repos": parents})
+    stats = column_stats(narrow, ["repo", "lang", "content_sha"], table_name="code_files")
+    timed("diffs_force", lambda: force(diffs))
+    timed("stats_force", lambda: force(stats))
+
+    # per-check forces (each re-planned off the persisted narrow)
+    for name, fn in [
+        ("check_subset", lambda: force(validate.subset(narrow, "lang", set(LANGS), check_id="s"))),
+        ("check_predicate", lambda: force(validate.predicate(narrow, "content_null", False, check_id="p"))),
+        ("check_interval", lambda: force(validate.interval(narrow, "content_len", min=1, max=50_000, check_id="i"))),
+        ("check_unique", lambda: force(validate.unique(narrow, ["repo", "path", "commit"], check_id="u", per_occurrence=False))),
+        ("check_referential", lambda: force(check_referential(narrow, "repo", parents, "repo", check_id="fk"))),
+        ("check_regex", lambda: force(validate.regex(narrow, "commit", r"^[0-9a-f]{40}$", check_id="r"))),
+    ]:
+        timed(name, fn, repeats=1)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Measure physical variants of duplicate detection for check_unique
+on the 16M-row code_files narrow projection, at a given thread count.
+Finds the strategy whose wall scales with cores (the suite's scaling
+bottleneck per BENCH/profile_suite.py).
+
+Usage: python BENCH/unique_variants.py --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from BENCH.scaling import INPUT_DIR  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from bench import build_session, force
+    from datatest_spark import validate
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    df = spark.read.parquet(INPUT_DIR)
+    narrow = df.select("repo", "path", "commit").persist()
+    narrow.count()
+
+    h = F.xxhash64("repo", "path", "commit")
+    out = {"cpus": args.cpus, "variants": {}}
+
+    def timed(name, build, repeats=2):
+        d = build()
+        force(d)  # warm-up/JIT
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            force(d)
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out["variants"][name] = round(best, 3)
+
+    # current engine path, end to end
+    timed("engine_compact", lambda: validate.unique(
+        narrow, ["repo", "path", "commit"], check_id="u", per_occurrence=False))
+    timed("engine_salted", lambda: validate.unique(
+        narrow, ["repo", "path", "commit"], check_id="u", per_occurrence=False,
+        method="salted"))
+    timed("engine_direct", lambda: validate.unique(
+        narrow, ["repo", "path", "commit"], check_id="u", per_occurrence=False,
+        method="direct"))
+
+    # subplans of compact
+    timed("dup_hashes_agg", lambda: narrow.select(h.alias("_h"))
+          .groupBy("_h").agg(F.count(F.lit(1)).alias("c")).filter("c > 1"))
+    timed("dup_hashes_repart_complete", lambda: narrow.select(h.alias("_h"))
+          .repartition(64, "_h")
+          .groupBy("_h").agg(F.count(F.lit(1)).alias("c")).filter("c > 1"))
+    timed("dup_hashes_window", lambda: narrow.select(h.alias("_h"))
+          .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+          .filter("c > 1"))
+    timed("hash_project_only", lambda: narrow.select(h.alias("_h")))
+
+    # dissect compact's second phase
+    def dup_hashes():
+        return (narrow.select(h.alias("_h")).groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("c")).filter("c > 1").select("_h"))
+
+    timed("compact_join_only", lambda: narrow.withColumn("_h", h)
+          .join(F.broadcast(dup_hashes()), "_h"))
+    timed("compact_join_auto", lambda: narrow.withColumn("_h", h)
+          .join(dup_hashes(), "_h"))
+    timed("compact_full_explicit_bcast", lambda: narrow.withColumn("_h", h)
+          .join(F.broadcast(dup_hashes()), "_h")
+          .groupBy("repo", "path", "commit")
+          .agg(F.count(F.lit(1)).alias("_cnt")).filter("_cnt > 1"))
+
+    # single-pass window over REAL keys: one full-width shuffle + sort,
+    # zero hash tables, no join-back
+    wk = Window.partitionBy("repo", "path", "commit")
+    timed("window_real_keys", lambda: narrow
+          .withColumn("_cnt", F.count(F.lit(1)).over(wk))
+          .withColumn("_rn", F.row_number().over(
+              wk.orderBy(F.lit(1))))
+          .filter("_cnt > 1 and _rn = 1")
+          .select("repo", "path", "commit", "_cnt"))
+
+    # direct groupBy with pre-shuffle (complete agg, no partial tables)
+    timed("direct_repart_complete", lambda: narrow
+          .repartition(64, "repo", "path", "commit")
+          .groupBy("repo", "path", "commit")
+          .agg(F.count(F.lit(1)).alias("_cnt")).filter("_cnt > 1"))
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

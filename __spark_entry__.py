@@ -1159,57 +1159,106 @@ FROM d WHERE abs(deviation / bound) > 0.2
 """
 
 
+def _mm_expected_pure(n: int) -> dict:
+    """INDEPENDENT multimodal oracle: regenerates the synthetic
+    payload bytes and recomputes the checked features in pure
+    stdlib Python — imports NOTHING from ``datatest_spark`` and uses
+    no numpy, so a bug in the engine's shared generator / decoder /
+    feature math cannot cancel out of the comparison.
+
+    * payloads: PPM header + sha256-repeated pixels; WAV as a
+      hand-rolled canonical 44-byte RIFF/PCM16 header + sha256-repeated
+      samples (verified byte-identical to the stdlib-``wave`` output
+      the engine writes); video = sha512 digest bytes.
+    * features are chosen to be BIT-exact across summation orders, so
+      pure-Python arithmetic must equal the engine's numpy result with
+      no rounding: f0 (image width / audio sample rate / digest word 0)
+      and fx (image red-channel mean — an integer-valued sum < 2^53;
+      audio sample mean — dyadic samples with a common 2^15
+      denominator; video digest word 1).
+    """
+    import hashlib
+    import struct
+
+    kinds, ids, shas, lens, f0s, fxs = [], [], [], [], [], []
+    for i in range(n):
+        k = i % 3
+        if k == 0:  # PPM P6 image
+            w, h = 8 + i % 24, 8 + i % 18
+            h0 = hashlib.sha256(b"pix:%d" % i).digest()
+            pix = (h0 * ((w * h * 3) // len(h0) + 1))[: w * h * 3]
+            payload = b"P6\n%d %d\n255\n" % (w, h) + pix
+            f0 = float(w)
+            fx = sum(pix[0::3]) / (w * h)  # red-channel mean, exact
+        elif k == 1:  # RIFF/PCM16 mono WAV at 8 kHz
+            sr = 8000
+            ns = sr * (20 + i % 180) // 1000
+            h0 = hashlib.sha256(b"pcm:%d" % i).digest()
+            pcm = (h0 * ((ns * 2) // len(h0) + 1))[: ns * 2]
+            payload = (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+            f0 = float(sr)
+            s_sum = sum(struct.unpack("<%dh" % ns, pcm))
+            fx = (s_sum / 32768.0) / ns  # sample mean, exact
+        else:  # video: digest payload, digest-derived features
+            payload = hashlib.sha512(b"media:%d" % i).digest()
+            d = hashlib.sha256(payload).digest()
+            f0 = int.from_bytes(d[0:4], "big") / 2**32
+            fx = int.from_bytes(d[4:8], "big") / 2**32
+        ids.append(i)
+        kinds.append(("image", "audio", "video")[k])
+        shas.append(hashlib.sha256(payload).hexdigest())
+        lens.append(len(payload))
+        f0s.append(f0)
+        fxs.append(fx)
+    return {
+        "media_id": ids,
+        "kind": kinds,
+        "payload_sha256": shas,
+        "n_bytes": lens,
+        "f0": f0s,
+        "fx": fxs,
+    }
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media through the REAL decoders: image/audio rows carry
     WELL-FORMED PPM/WAV payloads (numpy header parse + sample math);
     video rows (codec formats, by-design decode boundary) use the
-    digest feature path.  Oracle: the deterministic payloads are
-    recomputed in plain single-process Python on the driver and written
-    to an expected-parquet the DuckDB side reads — verifying the whole
-    distributed mapInPandas path against a non-Spark reference.  f0 is
-    exact in every branch (integer-valued or dyadic-rational doubles),
-    so no rounding is needed on either side."""
-    import hashlib
+    digest feature path.  Oracle: ``_mm_expected_pure`` — a standalone
+    stdlib-Python regeneration of the payload bytes AND the feature
+    arithmetic (zero ``datatest_spark`` imports), written to an
+    expected-parquet the DuckDB side reads — so the comparison verifies
+    the distributed mapInPandas path, the payload generator (via
+    sha256), and the feature MATH against an independent reference.
+    Both checked features are exact in every branch (integer-valued or
+    order-independent dyadic doubles), so no rounding on either side."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from datatest_spark.operators.multimodal import (
-        _fake_features,
-        _ppm_payload,
-        _real_features,
-        _wav_payload,
         extract_features,
         synthetic_media,
     )
 
     n = 3000
-    kinds, ids, shas, lens, f0s = [], [], [], [], []
-    for i in range(n):
-        k = i % 3
-        kind = ("image", "audio", "video")[k]
-        if k == 0:
-            payload = _ppm_payload(i)
-        elif k == 1:
-            payload = _wav_payload(i)
-        else:
-            payload = hashlib.sha512(b"media:%d" % i).digest()
-        feats = _fake_features(payload) if k == 2 else _real_features(kind, payload)
-        ids.append(i)
-        kinds.append(kind)
-        shas.append(hashlib.sha256(payload).hexdigest())
-        lens.append(len(payload))
-        f0s.append(float(feats[0]))
+    exp = _mm_expected_pure(n)
     os.makedirs(f"{ORACLE_SHARE_DIR}/multimodal_expected", exist_ok=True)
     pq.write_table(
         pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "kind": pa.array(kinds, pa.string()),
-                "payload_sha256": pa.array(shas, pa.string()),
-                "n_bytes": pa.array(lens, pa.int64()),
-                "f0": pa.array(f0s, pa.float64()),
+                "media_id": pa.array(exp["media_id"], pa.int64()),
+                "kind": pa.array(exp["kind"], pa.string()),
+                "payload_sha256": pa.array(exp["payload_sha256"], pa.string()),
+                "n_bytes": pa.array(exp["n_bytes"], pa.int64()),
+                "f0": pa.array(exp["f0"], pa.float64()),
+                "fx": pa.array(exp["fx"], pa.float64()),
             }
         ),
         f"{ORACLE_SHARE_DIR}/multimodal_expected/expected.parquet",
@@ -1219,17 +1268,23 @@ def q_multimodal_features(spark, sf_dir):
     real = extract_features(m.filter(F.col("kind") != "video"), decoder="real")
     fake = extract_features(m.filter(F.col("kind") == "video"), decoder="fake")
     f = real.unionByName(fake)
+    fx = (
+        F.when(F.col("kind") == "image", F.element_at("features", 3))
+        .when(F.col("kind") == "audio", F.element_at("features", 6))
+        .otherwise(F.element_at("features", 2))
+    )
     return f.select(
         "media_id",
         "kind",
         "payload_sha256",
         "n_bytes",
         F.element_at("features", 1).alias("f0"),
+        fx.alias("fx"),
     )
 
 
 SQL_MULTIMODAL_FEATURES = f"""
-SELECT media_id, kind, payload_sha256, n_bytes, f0
+SELECT media_id, kind, payload_sha256, n_bytes, f0, fx
 FROM read_parquet('{ORACLE_SHARE_DIR}/multimodal_expected/*.parquet')
 """
 
@@ -2456,6 +2511,96 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+def q_table_diff_orders(spark, sf_dir):
+    """datacompy-style two-table reconciliation ("compare this load
+    against yesterday's"): actual vs a deterministically perturbed
+    snapshot of ``orders`` — Missing / Extra by key plus per-column
+    Deviation (numeric, beyond tolerance), a within-tolerance
+    perturbation that must stay silent, value Invalid (string swap),
+    and NULL-mismatch Invalid — all through ONE
+    ``validate.table_diff`` call (one full-outer join)."""
+    from datatest_spark.operators.consistency import check_table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    actual = o.filter(k % 89 != 0)  # dropped keys → Missing
+    expected = (
+        o.filter(k % 97 != 0)  # dropped keys → Extra in actual
+        .withColumn(
+            "o_custkey",
+            F.col("o_custkey")
+            + F.when(k % 53 == 0, F.lit(7))  # beyond tolerance → Deviation
+            .when(k % 47 == 1, F.lit(1))     # within tolerance → silent
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 59 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % 61 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    d = check_table_diff(
+        actual,
+        expected,
+        keys="o_orderkey",
+        compare_cols=["o_custkey", "o_orderstatus", "o_orderpriority"],
+        tolerance=2.0,
+        check_id="td_orders",
+    )
+    return d.select("check_id", "diff_kind", "key", "value", "expected", "deviation")
+
+
+SQL_TABLE_DIFF_ORDERS = """
+WITH actual AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 <> 0
+), expected AS (
+  SELECT o_orderkey,
+         o_custkey + CASE WHEN o_orderkey % 53 = 0 THEN 7
+                          WHEN o_orderkey % 47 = 1 THEN 1
+                          ELSE 0 END AS o_custkey,
+         CASE WHEN o_orderkey % 59 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 61 = 0 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+), j AS (
+  SELECT a.o_orderkey AS ak, e.o_orderkey AS ek,
+         a.o_custkey AS ac, e.o_custkey AS ec,
+         a.o_orderstatus AS ast, e.o_orderstatus AS est,
+         a.o_orderpriority AS ap, e.o_orderpriority AS ep
+  FROM actual a FULL OUTER JOIN expected e ON a.o_orderkey = e.o_orderkey
+)
+SELECT 'td_orders' AS check_id, 'missing' AS diff_kind,
+       CAST(ek AS VARCHAR) AS key, CAST(NULL AS VARCHAR) AS value,
+       CAST(NULL AS VARCHAR) AS expected, CAST(NULL AS DOUBLE) AS deviation
+FROM j WHERE ak IS NULL
+UNION ALL
+SELECT 'td_orders', 'extra', CAST(ak AS VARCHAR), NULL, NULL, NULL
+FROM j WHERE ek IS NULL
+UNION ALL
+SELECT 'td_orders.o_custkey', 'deviation', CAST(ak AS VARCHAR),
+       CAST(ac AS VARCHAR), CAST(ec AS VARCHAR), CAST(ac - ec AS DOUBLE)
+FROM j WHERE ak IS NOT NULL AND ek IS NOT NULL AND abs(ac - ec) > 2
+UNION ALL
+SELECT 'td_orders.o_orderstatus', 'invalid', CAST(ak AS VARCHAR),
+       ast, est, NULL
+FROM j WHERE ak IS NOT NULL AND ek IS NOT NULL AND ast <> est
+UNION ALL
+SELECT 'td_orders.o_orderpriority', 'invalid', CAST(ak AS VARCHAR),
+       ap, ep, NULL
+FROM j WHERE ak IS NOT NULL AND ek IS NOT NULL
+  AND (ap IS NULL) <> (ep IS NULL)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -2527,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contiguous_orderkeys": q_contiguous_orderkeys,
         "overlap_events": q_overlap_events,
         "dq_summary_lineitem": q_dq_summary_lineitem,
+        "table_diff_orders": q_table_diff_orders,
     }
 
 
@@ -2601,4 +2747,5 @@ def oracle_sql() -> dict[str, str]:
         "contiguous_orderkeys": SQL_CONTIGUOUS_ORDERKEYS,
         "overlap_events": SQL_OVERLAP_EVENTS,
         "dq_summary_lineitem": SQL_DQ_SUMMARY,
+        "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
     }

@@ -65,7 +65,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="range-partitioned multi-part sink instead of one file")
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 when violations remain")
+    ap.add_argument("--report", default=None,
+                    help="write the per-check run report (JSON + .md "
+                         "sibling) to this driver-local path")
+    ap.add_argument("--previous-report", default=None,
+                    help="previous run's report JSON: emit the "
+                         "run-over-run trend diff (regressed/new/"
+                         "improved/cleared checks) in the output line")
+    ap.add_argument("--fail-on-regression", action="store_true",
+                    help="exit 2 when the trend diff vs "
+                         "--previous-report has regressed or new checks")
     args = ap.parse_args(argv)
+    if args.fail_on_regression and not args.previous_report:
+        ap.error("--fail-on-regression needs --previous-report")
 
     spec = load_spec(args.spec)
     spark = _session()
@@ -91,18 +103,31 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         }
         for r in result.verdicts.collect()
     ]
-    print(
-        json.dumps(
-            {
-                "run_id": result.run_id,
-                "passed": result.passed,
-                "n_violations": result.n_violations,
-                "n_partitions_checked": result.n_partitions_checked,
-                "verdicts": verdicts,
-            }
-        )
-    )
-    return 1 if (args.strict and not result.passed) else 0
+    out = {
+        "run_id": result.run_id,
+        "passed": result.passed,
+        "n_violations": result.n_violations,
+        "n_partitions_checked": result.n_partitions_checked,
+        "verdicts": verdicts,
+    }
+    trend = None
+    if args.report or args.previous_report:
+        # one extra summary agg over the (tiny) diff relation; only
+        # the summary is collected to the driver
+        report = result.report(write_to=args.report)
+        if args.previous_report:
+            from ..report import compare_reports
+
+            with open(args.previous_report) as fh:
+                previous = json.load(fh)
+            trend = compare_reports(previous, report)
+            out["trend"] = trend
+    print(json.dumps(out))
+    if args.strict and not result.passed:
+        return 1
+    if args.fail_on_regression and trend is not None and trend["worse"]:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":

@@ -37,6 +37,9 @@ Spec shape::
         {"check": "aggregate_match", "table": "lines", "keys": ["okey"],
          "parent": "orders", "expected_col": "total",
          "agg": "sum", "value": "amount"},
+        {"check": "table_diff", "table": "orders", "keys": ["okey"],
+         "expected": "orders_snapshot",
+         "compare_cols": ["total", "status"], "tolerance": 0.01},
         {"check": "monotonic", "column": "value", "order_by": "ts",
          "group_by": "user_id"},
         {"check": "contiguous", "column": "offset", "group_by": "shard"},
@@ -68,6 +71,7 @@ from ..operators.consistency import (
     check_functional_dependency,
     check_interval_overlap,
     check_monotonic,
+    check_table_diff,
 )
 from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
@@ -264,6 +268,19 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
             check_aggregate_match(
                 t[table], t[_p], keys=_k, parent_keys=_pk, expected_col=_e,
                 agg=_a, value=_v, tolerance=float(_tl), check_id=_i,
+            )
+        )
+    elif kind == "table_diff":
+        keys = e.pop("keys")
+        expected_table = e.pop("expected")
+        expected_keys = e.pop("expected_keys", None)
+        compare = e.pop("compare_cols", None)
+        tolerance = e.pop("tolerance", 0.0)
+        cid = check_id or f"table_diff_{expected_table}"
+        builder = lambda t, _k=keys, _x=expected_table, _xk=expected_keys, _cc=compare, _tl=tolerance, _i=cid: (  # noqa: E731
+            check_table_diff(
+                t[table], t[_x], keys=_k, expected_keys=_xk,
+                compare_cols=_cc, tolerance=float(_tl), check_id=_i,
             )
         )
     elif kind == "monotonic":

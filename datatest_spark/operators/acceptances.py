@@ -196,7 +196,14 @@ class _MultisetAcceptance(Acceptance):
         return df
 
     def mark(self, df: DataFrame) -> Column:
-        # group equal instances → quota per distinct difference shape
+        # group equal instances → quota per distinct difference SHAPE
+        # (multiset consumption).  The window partitions by WHICH shape
+        # a row matches (first match in list order wins), never by the
+        # raw difference columns: a shape that leaves a field
+        # unconstrained (``Invalid('x')`` with no expected) must consume
+        # its quota ONCE across all matching rows — a raw-column
+        # partition would re-grant it per distinct value of the
+        # unconstrained field.
         from collections import Counter
 
         counts = Counter()
@@ -205,24 +212,31 @@ class _MultisetAcceptance(Acceptance):
             k = repr(d)
             counts[k] += 1
             shapes[k] = d
-        out = F.lit(False)
-        part_cols = ["check_id", "diff_kind", "value", "expected", "deviation"]
-        if self.key is not None:
-            part_cols = ["key"] + part_cols
-        w = Window.partitionBy(*part_cols).orderBy(*_order_cols())
-        # within a shape partition every row matches the same instance, so
-        # a conditional running count of gated rows = the consumed quota
-        gate_ok = F.lit(True) if self._gate is None else self._gate
-        rn = F.sum(F.when(gate_ok, 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        conds, quotas = [], []
         for k, n in counts.items():
-            d = shapes[k]
-            cond = _instance_match(d)
+            cond = _instance_match(shapes[k])
             if self.key is not None:
                 cond = cond & F.col("key").eqNullSafe(_canon_lit(self.key))
-            out = out | (cond & gate_ok & (rn <= F.lit(n)))
-        return out
+            conds.append(cond)
+            quotas.append(n)
+        gate_ok = F.lit(True) if self._gate is None else self._gate
+        shape_id = F.lit(None).cast("int")
+        for i in range(len(conds) - 1, -1, -1):  # first match wins
+            shape_id = F.when(conds[i], F.lit(i)).otherwise(shape_id)
+        quota = F.element_at(
+            F.array(*[F.lit(q) for q in quotas]), shape_id + F.lit(1)
+        )
+        # non-matching rows never consume quota; spread their (possibly
+        # huge) NULL-shape partition across values to avoid window skew
+        w = Window.partitionBy(
+            shape_id,
+            F.when(shape_id.isNull(), F.col("value")),
+        ).orderBy(*_order_cols())
+        consumes = shape_id.isNotNull() & gate_ok
+        rn = F.sum(F.when(consumes, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return consumes & (rn <= quota)
 
 
 _SCOPE_ORDER = {"element": 0, "group": 1, "whole": 2}
@@ -354,7 +368,12 @@ class _AcceptedFactory:
 
         def make(df):
             exp = F.col("expected").try_cast("double")
-            ratio = F.col("deviation") / exp
+            # try_divide, not `/`: under ANSI mode a plain division is
+            # evaluated eagerly inside codegen (`&` does not
+            # short-circuit), so an expected of 0 would crash the whole
+            # job at runtime despite the `exp != 0` guard — found by the
+            # acceptance-algebra property harness
+            ratio = F.try_divide(F.col("deviation"), exp)
             return (
                 (F.col("diff_kind") == KIND_DEVIATION)
                 & exp.isNotNull()

@@ -188,6 +188,11 @@ def check_aggregate_match(
       is nothing to aggregate, which is its own defect, never a
       silent pass (for ``sum``/``count`` the all-NULL set aggregates
       to the identity 0 like the empty set).
+    * parent row present but its rollup column is NULL →
+      Invalid(key, value=actual-if-any, expected=NULL) — a parent
+      with no stated expectation is the parent's own defect, distinct
+      from an absent parent (presence is tracked with an explicit
+      join-side marker, never inferred from the rollup's NULLness).
 
     ``value`` is the child column being aggregated — a Column or a SQL
     expression string (so declarative specs can state derived rollups
@@ -227,11 +232,17 @@ def check_aggregate_match(
     parent_sel = parent.select(
         *[F.col(p).alias(k) for p, k in zip(pks, ks)],
         F.col(expected_col).cast("double").alias("_expected"),
+        # explicit presence marker: a full-outer join side must never
+        # be inferred present from a nullable payload column — a
+        # parent row whose rollup is NULL is PRESENT with no
+        # expectation, not absent
+        F.lit(1).alias("_p"),
     )
     joined = child_agg.join(parent_sel, ks, "full_outer")
 
     has_child = F.col("_n").isNotNull()
-    has_parent = F.col("_expected").isNotNull()
+    has_parent = F.col("_p").isNotNull()
+    null_expected = has_parent & F.col("_expected").isNull()
     actual_f = (
         # sum/count: the empty set AND the all-NULL set aggregate to
         # the identity 0
@@ -242,21 +253,26 @@ def check_aggregate_match(
     mismatch = F.abs(actual_f - F.col("_expected")) > F.lit(float(tolerance))
 
     orphan = has_child & ~has_parent
-    absent = ~has_child & has_parent & F.lit(agg not in _ZERO_IDENTITY)
+    absent = (
+        ~has_child & has_parent & ~null_expected
+        & F.lit(agg not in _ZERO_IDENTITY)
+    )
     # min/max/avg over rows whose values are ALL NULL: the key is
     # present but there is nothing to aggregate — an Invalid fact of
     # its own, never a silent pass
     novalue = (
-        has_child & has_parent & F.col("_actual").isNull()
+        has_child & has_parent & ~null_expected & F.col("_actual").isNull()
         & F.lit(agg not in _ZERO_IDENTITY)
     )
-    deviates = has_parent & ~absent & ~novalue & mismatch
+    deviates = has_parent & ~null_expected & ~absent & ~novalue & mismatch
 
-    violations = joined.filter(orphan | absent | novalue | deviates)
+    violations = joined.filter(
+        orphan | null_expected | absent | novalue | deviates
+    )
     kind = (
         F.when(orphan, F.lit(KIND_EXTRA))
+        .when(null_expected | novalue, F.lit(KIND_INVALID))
         .when(absent, F.lit(KIND_MISSING))
-        .when(novalue, F.lit(KIND_INVALID))
         .otherwise(F.lit(KIND_DEVIATION))
     )
     return make_differences(
@@ -268,6 +284,178 @@ def check_aggregate_match(
         expected=F.when(has_parent, F.col("_expected")),
         deviation=F.when(deviates, actual_f - F.col("_expected")),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-table row-level reconciliation
+# ---------------------------------------------------------------------------
+
+
+def check_table_diff(
+    actual: DataFrame,
+    expected: DataFrame,
+    *,
+    keys: ColumnsArg,
+    expected_keys: Optional[ColumnsArg] = None,
+    compare_cols: Optional[ColumnsArg] = None,
+    tolerance: float = 0.0,
+    check_id: str = "table_diff",
+) -> DataFrame:
+    """Row-level reconciliation of ``actual`` against ``expected``
+    (the datacompy shape: "compare this load against yesterday's") —
+    Missing / Extra by key plus per-column Invalid / Deviation on
+    key-matched rows, in ONE call.
+
+    Per key (``keys`` on both sides, or ``expected_keys`` when the
+    expected table names them differently):
+
+    * key only in ``expected`` → Missing(key)
+    * key only in ``actual``   → Extra(key)
+    * key matched → each compared column that differs yields one row
+      with ``check_id = '<check_id>.<column>'`` (each column is its
+      own sub-check, so per-column counts fall out of the standard
+      report aggregation):
+
+      - both sides numeric, both non-NULL, |a − e| > ``tolerance``
+        → Deviation(value=a, expected=e, deviation=a−e); NaN equals
+        NaN, NaN vs a number → Invalid
+      - exactly one side NULL → Invalid
+      - non-numeric → Invalid when canonical encodings differ
+        (NULL == NULL)
+
+    ``compare_cols`` defaults to every non-key column present on BOTH
+    sides (in ``actual``'s column order).  Keys are matched
+    NULL-safely; duplicate keys on either side are that side's own
+    uniqueness violation (pair with ``check_unique``) — each actual
+    dup row joins each expected dup row.
+
+    Physical plan: both sides prune to keys + compared columns, then
+    ONE full-outer hash join on the keys (the unavoidable — and only —
+    shuffle; no broadcast: Spark rejects broadcast full-outer joins).
+    Per-column comparison happens scan-local AFTER the join: each
+    compared column contributes a struct to an array ONLY when it
+    mismatches (``F.when`` + ``F.filter``), and only non-empty arrays
+    explode — output rows = violations, never rows × columns.  At
+    10^12-file scale the join cost is two table scans + one co-shuffle
+    of the pruned columns, which is the information-theoretic floor
+    for row-level reconciliation.
+    """
+    ks = _cols(keys)
+    eks = _cols(expected_keys) if expected_keys is not None else ks
+    if len(ks) != len(eks):
+        raise ValueError("keys and expected_keys must have the same arity")
+    if compare_cols is None:
+        shared = set(expected.columns) - set(eks)
+        cols = [c for c in actual.columns if c not in ks and c in shared]
+    else:
+        cols = _cols(compare_cols)
+        for c in cols:
+            if c not in actual.columns or c not in expected.columns:
+                raise ValueError(f"compare column {c!r} missing on one side")
+    if not cols and compare_cols is not None:
+        raise ValueError("compare_cols is empty")
+
+    # prune BOTH sides before the join: only keys + compared columns
+    # cross the shuffle (column pruning is the difference between
+    # shuffling 2 columns and shuffling the whole 1.4 KB row)
+    a_sel = actual.select(
+        *[F.col(k) for k in ks],
+        *[F.col(c).alias(f"_a_{i}") for i, c in enumerate(cols)],
+        F.lit(1).alias("_am"),
+    )
+    e_sel = expected.select(
+        *[F.col(ek).alias(f"_ek_{i}") for i, ek in enumerate(eks)],
+        *[F.col(c).alias(f"_e_{i}") for i, c in enumerate(cols)],
+        F.lit(1).alias("_em"),
+    )
+    cond = None
+    for i, k in enumerate(ks):
+        c = F.col(k).eqNullSafe(F.col(f"_ek_{i}"))
+        cond = c if cond is None else cond & c
+    joined = a_sel.join(e_sel, cond, "full_outer")
+
+    key_parts = [F.coalesce(F.col(k), F.col(f"_ek_{i}")) for i, k in enumerate(ks)]
+    key_enc = (
+        canon_col(key_parts[0])
+        if len(key_parts) == 1
+        else F.to_json(F.array(*[canon_col(p) for p in key_parts]))
+    )
+    in_a = F.col("_am").isNotNull()
+    in_e = F.col("_em").isNotNull()
+
+    missing = make_differences(
+        joined.filter(~in_a & in_e),
+        check_id=check_id,
+        kind=KIND_MISSING,
+        key=key_enc,
+    )
+    extra = make_differences(
+        joined.filter(in_a & ~in_e),
+        check_id=check_id,
+        kind=KIND_EXTRA,
+        key=key_enc,
+    )
+
+    entries = []
+    for i, c in enumerate(cols):
+        a, e = F.col(f"_a_{i}"), F.col(f"_e_{i}")
+        a_num = is_numeric_dtype(actual.schema[c].dataType)
+        e_num = is_numeric_dtype(expected.schema[c].dataType)
+        if a_num and e_num:
+            ad, ed = a.cast("double"), e.cast("double")
+            nan_a, nan_e = F.isnan(ad), F.isnan(ed)
+            both = a.isNotNull() & e.isNotNull()
+            # NaN == NaN (a reconciliation identity, not arithmetic);
+            # NaN vs a number can't deviate numerically → Invalid
+            nan_mismatch = both & (nan_a != nan_e)
+            deviates = (
+                both & ~nan_a & ~nan_e
+                & (F.abs(ad - ed) > F.lit(float(tolerance)))
+            )
+            null_mismatch = a.isNull() != e.isNull()
+            mismatch = deviates | nan_mismatch | null_mismatch
+            kind = F.when(deviates, F.lit(KIND_DEVIATION)).otherwise(
+                F.lit(KIND_INVALID)
+            )
+            dev = F.when(deviates, ad - ed)
+        else:
+            mismatch = ~F.coalesce(
+                canon_col(a) == canon_col(e), a.isNull() & e.isNull()
+            )
+            kind = F.lit(KIND_INVALID)
+            dev = F.lit(None).cast("double")
+        entries.append(
+            F.when(
+                mismatch,
+                F.struct(
+                    F.lit(c).alias("c"),
+                    canon_col(a).alias("a"),
+                    canon_col(e).alias("e"),
+                    dev.cast("double").alias("d"),
+                    kind.alias("k"),
+                ),
+            )
+        )
+
+    matched = joined.filter(in_a & in_e)
+    mism = matched.select(
+        key_enc.alias("_key"),
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        ).alias("m"),
+    )
+    invalid = make_differences(
+        mism,
+        check_id=F.concat(F.lit(check_id + "."), F.col("m.c")),
+        kind_col=F.col("m.k"),
+        key=F.col("_key"),
+        value=F.col("m.a"),
+        expected=F.col("m.e"),
+        deviation=F.col("m.d"),
+    )
+    from ..plans.differences import union_differences
+
+    return union_differences(missing, extra, invalid)
 
 
 # ---------------------------------------------------------------------------
@@ -460,6 +648,13 @@ def check_contiguous(
     one shuffle + lag window; ungrouped → range repartition of the
     pruned id column, Arrow shift pass, triangular boundary join (no
     ``Exchange SinglePartition``).
+
+    Integral id columns do ALL gap arithmetic in long space — the
+    gap predicate and endpoints stay exact above 2^53 (hashed or
+    composite sequence ids live there even when Kafka offsets do
+    not); only the ``deviation`` count is cast to double at the end,
+    because DIFF_SCHEMA's deviation field is a double by contract.
+    Fractional id types keep the double path.
     """
     dt = df.schema[id_col].dataType
     if not is_numeric_dtype(dt):
@@ -467,20 +662,36 @@ def check_contiguous(
     if step <= 0:
         raise ValueError(f"step must be positive: {step}")
     groups = _cols(group_cols) if group_cols is not None else []
+    integral = isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
 
     rows = df.filter(F.col(id_col).isNotNull())
     stepped = _with_prev(rows, id_col, [], groups, num_partitions)
 
-    cur, prev = F.col(id_col).cast("double"), F.col("_prev").cast("double")
-    n_missing = (cur - prev) / F.lit(float(step)) - F.lit(1.0)
-    violations = stepped.filter(F.col("_prev").isNotNull() & (n_missing > 0))
+    if integral:
+        cur, prev = F.col(id_col).cast("long"), F.col("_prev").cast("long")
+        gap = cur - prev
+        # gap > step  ⇔  gap/step − 1 > 0 — the exact-integer form of
+        # the double predicate below, with no 2^53 rounding hazard
+        bad = gap > F.lit(int(step))
+        first_missing = (prev + F.lit(int(step))).cast(dt)
+        last_missing = (cur - F.lit(int(step))).cast(dt)
+        n_missing = gap.cast("double") / F.lit(float(step)) - F.lit(1.0)
+    else:
+        cur, prev = F.col(id_col).cast("double"), F.col("_prev").cast("double")
+        n_missing = (cur - prev) / F.lit(float(step)) - F.lit(1.0)
+        bad = n_missing > 0
+        first_missing = (prev + F.lit(float(step))).cast(dt)
+        last_missing = (cur - F.lit(float(step))).cast(dt)
+    violations = stepped.filter(F.col("_prev").isNotNull() & bad)
     return make_differences(
         violations,
         check_id=check_id,
         kind=KIND_MISSING,
         key=_canon_tuple(groups) if groups else None,
-        value=(prev + F.lit(float(step))).cast(dt),   # first missing id
-        expected=(cur - F.lit(float(step))).cast(dt),  # last missing id
+        value=first_missing,   # first missing id
+        expected=last_missing,  # last missing id
         deviation=n_missing,
     )
 

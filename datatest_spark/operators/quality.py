@@ -308,6 +308,12 @@ def repetition_stats(
     arithmetically instead; a union of per-family explodes is fast
     locally but scans the source once PER FAMILY (5 FileScans vs 1 —
     wrong at corpus scale).
+
+    Contract: ``id_cols`` must uniquely identify documents.  The
+    output has ONE row per distinct id tuple (it is a groupBy over the
+    ids, not a per-input-row projection); rows sharing an id tuple are
+    folded into a single document for every metric.  Duplicate ids are
+    ``check_unique``'s job — run it first if uniqueness is in doubt.
     """
     ids = list(id_cols)
     c = F.coalesce(F.col(text_col), F.lit(""))

@@ -299,6 +299,7 @@ def check_unique(
     per_occurrence: bool = True,
     partition_id: Optional[Column] = None,
     method: str = "auto",
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """No duplicate elements (reference validate.unique).
 
@@ -317,11 +318,20 @@ def check_unique(
       key width.
     * ``compact`` — hash-compaction: shuffle ONLY ``xxhash64(keys)``
       (8 bytes/row) to find duplicate hash values, then re-resolve the
-      real keys for that (tiny) candidate set with a join — AQE
-      broadcasts it — and a second groupBy verifies true key equality,
-      so 64-bit collisions can never produce a false positive.  ~20×
-      less shuffle width for (repo,path,commit)-style keys; measured
-      2-4× faster end-to-end and linear in cores.
+      real keys for that (tiny) candidate set with a join, and a second
+      groupBy verifies true key equality, so 64-bit collisions can
+      never produce a false positive.  ~20× less shuffle width for
+      (repo,path,commit)-style keys.  The duplicate-hash set gets an
+      EXPLICIT broadcast: AQE does not reliably convert the join (the
+      agg-derived build side carries a conservative size estimate), and
+      the resulting sort-merge join sorts the full probe side — measured
+      3-6× slower at 16 M rows AND anti-scaling in threads (11 s at 32
+      threads vs 6.9 s at 8; explicitly broadcast: 1.8 s at 32, 3.0×
+      ladder scaling).  The broadcast is bounded by the duplicate-value
+      count — the diff-relation ≪ input contract the whole engine
+      assumes; for pathological mostly-duplicate inputs pass
+      ``broadcast_dups=False`` to fall back to a (sort-free)
+      shuffled-hash join.
     * ``salted``  — explicit two-phase partial/final count per (key,
       input-partition): a hot key never funnels raw rows into one
       reducer (skew mitigation for heavily-duplicated data).
@@ -357,7 +367,12 @@ def check_unique(
             .filter(F.col("_hc") > 1)
             .select("_h")
         )
-        cand = df.withColumn("_h", h).join(dup_hashes, "_h")
+        dup_side = (
+            F.broadcast(dup_hashes)
+            if broadcast_dups
+            else dup_hashes.hint("shuffle_hash")
+        )
+        cand = df.withColumn("_h", h).join(dup_side, "_h")
         counts = cand.groupBy(*[F.col(n) for n in names]).agg(
             F.count(F.lit(1)).alias("_cnt")
         )

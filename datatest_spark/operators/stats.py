@@ -23,6 +23,7 @@ Design (scale-first):
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -453,8 +454,26 @@ def check_freshness(
     instant (byte-identical output is a north_rule invariant; a
     wall-clock default would break it).
 
+    ``max_age`` is validated against a strict ``<count> <unit>``
+    grammar (units: second/minute/hour/day/week, optional plural)
+    before it reaches the plan — the string is reachable from JSON
+    specs, so an arbitrary value must fail loudly here rather than
+    surface as an opaque Catalyst parse error (or an expression
+    injection point).  Calendar units (month/year) are rejected: their
+    length is instant-dependent, which would break the byte-identical
+    invariant across runs pinned to different ``now`` values.
+
     Cost: one max() agg — map-side partial max per partition, scalar
     combine, no shuffle of data rows."""
+    if not re.fullmatch(
+        r"\s*\d{1,9}\s+(second|minute|hour|day|week)s?\s*",
+        str(max_age),
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "max_age must be '<count> <unit>' with unit in "
+            f"second/minute/hour/day/week: {max_age!r}"
+        )
     newest = df.agg(F.max(F.col(ts_column)).alias("newest"))
     now_ts = F.to_timestamp(F.lit(now))
     lag_s = F.unix_timestamp(now_ts) - F.unix_timestamp(F.col("newest"))

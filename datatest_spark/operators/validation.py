@@ -132,6 +132,12 @@ class _Validate:
         return check_aggregate_match(child, parent, **kw)
 
     @staticmethod
+    def table_diff(actual, expected, **kw):
+        from .consistency import check_table_diff
+
+        return check_table_diff(actual, expected, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -88,7 +88,7 @@ def empty_differences(spark) -> DataFrame:
 def make_differences(
     df: DataFrame,
     *,
-    check_id: str,
+    check_id: Union[str, Column],
     kind: Optional[str] = None,
     kind_col: Optional[Column] = None,
     key: Optional[Column] = None,
@@ -115,7 +115,9 @@ def make_differences(
 
     null_str = F.lit(None).cast("string")
     return df.select(
-        F.lit(check_id).alias("check_id"),
+        (F.lit(check_id) if isinstance(check_id, str) else check_id).alias(
+            "check_id"
+        ),
         (kind_col if kind_col is not None else F.lit(kind)).alias("diff_kind"),
         (canon_col(key) if key is not None else null_str).alias("key"),
         (canon_col(value) if value is not None else null_str).alias("value"),

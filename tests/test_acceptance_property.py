@@ -1,0 +1,433 @@
+"""Property-based parity for the acceptance ALGEBRA (SURVEY.md §2.4).
+
+Random difference multisets × random acceptance compositions, compared
+against ``ref_eval`` — a LITERAL single-process Python evaluator of the
+pinned §2.4 semantics (element → group → whole scope ordering, gated
+quota consumption, per-shape multiset counting).  The evaluator is
+written from the semantics doc, not from the engine: it walks sorted
+row dicts with plain loops and counters, so any Catalyst-side mistake
+(window partitioning, gate propagation, null handling) shows up as a
+survivor-multiset mismatch.
+
+Only the acceptance algebra is generated here; the key/args predicate
+sub-language has its own property harness
+(``test_predicate_property.py``), so predicates are limited to
+scalars/sets.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datatest_spark import (
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    accepted,
+    apply_acceptance,
+)
+from datatest_spark.plans.differences import DIFF_SCHEMA, NOVALUE
+
+# ---------------------------------------------------------------------------
+# difference-row strategy (canonical-encoded dicts, small colliding domains)
+# ---------------------------------------------------------------------------
+
+_KEYS = st.sampled_from([None, "k1", "k2"])
+_CHECKS = st.sampled_from(["c1", "c2"])
+_VALUES = st.sampled_from(["1", "2", "x"])
+_DEVS = st.sampled_from([-2.0, -0.5, 0.5, 1.0, 2.0, 4.0])
+_DEV_EXPECTED = st.sampled_from(["4", "0", None])
+
+
+@st.composite
+def _row(draw):
+    kind = draw(st.sampled_from(["missing", "extra", "invalid", "deviation"]))
+    base = {
+        "check_id": draw(_CHECKS),
+        "diff_kind": kind,
+        "key": draw(_KEYS),
+        "value": None,
+        "expected": None,
+        "deviation": None,
+    }
+    if kind in ("missing", "extra"):
+        base["value"] = draw(_VALUES)
+    elif kind == "invalid":
+        base["value"] = draw(st.sampled_from(["1", "x", None]))
+        base["expected"] = draw(st.sampled_from(["1", "y", None]))
+    else:
+        base["value"] = draw(st.sampled_from(["5", None]))
+        base["expected"] = draw(_DEV_EXPECTED)
+        base["deviation"] = draw(_DEVS)
+    return base
+
+
+_ROWS = st.lists(_row(), min_size=0, max_size=10)
+
+# ---------------------------------------------------------------------------
+# acceptance-spec strategy (data first; built into BOTH implementations)
+# ---------------------------------------------------------------------------
+
+_INSTANCES = st.one_of(
+    st.builds(Missing, st.sampled_from(["1", "2", "x"])),
+    st.builds(Extra, st.sampled_from(["1", "2", "x"])),
+    st.builds(Invalid, st.sampled_from(["1", "x"])),
+    st.builds(
+        Invalid, st.sampled_from(["1", "x"]), st.sampled_from(["1", "y"])
+    ),
+    st.builds(
+        Deviation, st.sampled_from([-2.0, 0.5, 2.0]), st.sampled_from([4, 0])
+    ),
+)
+
+_LEAVES = st.one_of(
+    st.tuples(st.just("instance"), _INSTANCES),
+    st.tuples(
+        st.just("class"),
+        st.sampled_from(["missing", "extra", "invalid", "deviation"]),
+    ),
+    st.tuples(st.just("list"), st.lists(_INSTANCES, min_size=1, max_size=3)),
+    st.tuples(
+        st.just("dict"),
+        st.dictionaries(
+            st.sampled_from(["k1", "k2"]),
+            st.lists(_INSTANCES, min_size=1, max_size=2),
+            min_size=1,
+            max_size=2,
+        ),
+    ),
+    st.tuples(
+        st.just("keys"), st.sampled_from(["k1", frozenset({"k1"}), frozenset({"k1", "k2"})])
+    ),
+    st.tuples(st.just("args"), st.sampled_from([1, frozenset({1, 2})])),
+    st.tuples(st.just("tolerance"), st.sampled_from([0.5, 2.0])),
+    st.tuples(st.just("percent"), st.sampled_from([0.2, 0.6])),
+    st.tuples(
+        st.just("count"),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["whole", "group"]),
+    ),
+)
+
+_SPECS = st.recursive(
+    _LEAVES,
+    lambda inner: st.tuples(st.sampled_from(["and", "or"]), inner, inner),
+    max_leaves=4,
+)
+
+_CLASSES = {
+    "missing": Missing,
+    "extra": Extra,
+    "invalid": Invalid,
+    "deviation": Deviation,
+}
+
+
+def build_engine(spec):
+    t = spec[0]
+    if t == "instance":
+        return accepted(spec[1])
+    if t == "class":
+        return accepted(_CLASSES[spec[1]])
+    if t == "list":
+        return accepted(list(spec[1]))
+    if t == "dict":
+        return accepted(dict(spec[1]))
+    if t == "keys":
+        p = spec[1]
+        return accepted.keys(set(p) if isinstance(p, frozenset) else p)
+    if t == "args":
+        p = spec[1]
+        return accepted.args(set(p) if isinstance(p, frozenset) else p)
+    if t == "tolerance":
+        return accepted.tolerance(spec[1])
+    if t == "percent":
+        return accepted.percent(spec[1])
+    if t == "count":
+        return accepted.count(spec[1], scope=spec[2])
+    a, b = build_engine(spec[1]), build_engine(spec[2])
+    return (a & b) if t == "and" else (a | b)
+
+
+# ---------------------------------------------------------------------------
+# the literal evaluator (plain Python, written from the semantics doc)
+# ---------------------------------------------------------------------------
+
+_SCOPE_NUM = {"element": 0, "group": 1, "whole": 2}
+
+
+def _scope(spec):
+    t = spec[0]
+    if t == "count":
+        return spec[2]
+    if t == "dict":
+        return "group"
+    if t == "and":
+        return min(_scope(spec[1]), _scope(spec[2]), key=_SCOPE_NUM.get)
+    if t == "or":
+        return max(_scope(spec[1]), _scope(spec[2]), key=_SCOPE_NUM.get)
+    return "element"
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return repr(v)
+    return str(v)
+
+
+def _match(d, r):
+    """Literal _instance_match: row r equals difference instance d."""
+    kind = {Missing: "missing", Extra: "extra", Invalid: "invalid", Deviation: "deviation"}[type(d)]
+    if r["diff_kind"] != kind:
+        return False
+    if isinstance(d, Deviation):
+        dev = float(d.deviation)
+        if r["deviation"] is None:
+            return False
+        if math.isnan(dev):
+            if not math.isnan(r["deviation"]):
+                return False
+        elif r["deviation"] != dev:
+            return False
+        return r["expected"] == _canon(d.expected)
+    if isinstance(d, Invalid):
+        if r["value"] != _canon(d.invalid):
+            return False
+        if d.expected is not NOVALUE and r["expected"] != _canon(d.expected):
+            return False
+        return True
+    return r["value"] == _canon(d.value)
+
+
+def _try_float(s):
+    if s is None:
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _lower(spec):
+    """Normalize list/dict sugar to ('mlist', key, diffs) / or-chains."""
+    t = spec[0]
+    if t == "list":
+        return ("mlist", None, list(spec[1]))
+    if t == "dict":
+        parts = [("mlist", k, list(v)) for k, v in dict(spec[1]).items()]
+        out = parts[0]
+        for p in parts[1:]:
+            out = ("or", out, p)
+        return out
+    if t in ("and", "or"):
+        return (t, _lower(spec[1]), _lower(spec[2]))
+    return spec
+
+
+def _lowered_scope(spec):
+    if spec[0] == "mlist":
+        return "element" if spec[1] is None else "group"
+    if spec[0] == "count":
+        return spec[2]
+    if spec[0] == "and":
+        return min(_lowered_scope(spec[1]), _lowered_scope(spec[2]), key=_SCOPE_NUM.get)
+    if spec[0] == "or":
+        return max(_lowered_scope(spec[1]), _lowered_scope(spec[2]), key=_SCOPE_NUM.get)
+    return "element"
+
+
+def ref_eval(spec, rows, gate=None):
+    """marks[i] = does the acceptance admit rows[i]?  ``rows`` MUST be in
+    canonical order; ``gate`` carries composition scope-ordering."""
+    spec = _lower(spec)
+    return _ev(spec, rows, gate if gate is not None else [True] * len(rows))
+
+
+def _ev(spec, rows, gate):
+    t = spec[0]
+    if t in ("and", "or"):
+        a, b = spec[1], spec[2]
+        first, second = (
+            (a, b)
+            if _SCOPE_NUM[_lowered_scope(a)] <= _SCOPE_NUM[_lowered_scope(b)]
+            else (b, a)
+        )
+        fm = _ev(first, rows, gate)
+        if t == "or":
+            g2 = [g and not m for g, m in zip(gate, fm)]
+        else:
+            g2 = [g and m for g, m in zip(gate, fm)]
+        sm = _ev(second, rows, g2)
+        return [
+            (x and y) if t == "and" else (x or y) for x, y in zip(fm, sm)
+        ]
+    if t == "count":
+        n, scope = spec[1], spec[2]
+        counters, marks = {}, []
+        for r, g in zip(rows, gate):
+            k = r["key"] if scope == "group" else None
+            if g:  # gated rows consume quota (inner = True)
+                c = counters.get(k, 0) + 1
+                counters[k] = c
+                marks.append(c <= n)
+            else:
+                marks.append(False)
+        return marks
+    if t == "mlist":
+        key, diffs = spec[1], spec[2]
+        shapes, quotas = [], []
+        for d in diffs:  # group equal instances, list order preserved
+            for i, s in enumerate(shapes):
+                if repr(s) == repr(d):
+                    quotas[i] += 1
+                    break
+            else:
+                shapes.append(d)
+                quotas.append(1)
+        consumed = [0] * len(shapes)
+        marks = []
+        for r, g in zip(rows, gate):
+            sid = None
+            for i, s in enumerate(shapes):  # first match in list order
+                if _match(s, r) and (key is None or r["key"] == _canon(key)):
+                    sid = i
+                    break
+            if sid is None or not g:
+                marks.append(False)
+                continue
+            consumed[sid] += 1
+            marks.append(consumed[sid] <= quotas[sid])
+        return marks
+    # element-scope predicates: gate is ignored (stateless)
+    if t == "instance":
+        return [_match(spec[1], r) for r in rows]
+    if t == "class":
+        return [r["diff_kind"] == spec[1] for r in rows]
+    if t == "keys":
+        p = spec[1]
+        if isinstance(p, frozenset):
+            return [r["key"] in p for r in rows]
+        return [r["key"] == p for r in rows]
+    if t == "args":
+        p = spec[1]
+
+        def ok(r):
+            if r["diff_kind"] == "deviation":
+                d = r["deviation"]
+                if isinstance(p, frozenset):
+                    return d is not None and d in {float(x) for x in p}
+                return d is not None and d == float(p)
+            v = r["value"]
+            if isinstance(p, frozenset):
+                return v is not None and v in {str(x) for x in p}
+            return v is not None and v == str(p)
+
+        return [ok(r) for r in rows]
+    if t == "tolerance":
+        lo, hi = -abs(spec[1]), abs(spec[1])
+
+        def ok(r):
+            if r["diff_kind"] == "deviation":
+                d = r["deviation"]
+                return d is not None and lo <= d <= hi
+            if r["diff_kind"] in ("missing", "extra"):
+                v = _try_float(r["value"])
+                return v is not None and lo <= v <= hi
+            return False
+
+        return [ok(r) for r in rows]
+    if t == "percent":
+        lo, hi = -abs(spec[1]), abs(spec[1])
+
+        def ok(r):
+            if r["diff_kind"] != "deviation":
+                return False
+            e = _try_float(r["expected"])
+            d = r["deviation"]
+            return (
+                e is not None and e != 0 and d is not None
+                and lo <= d / e <= hi
+            )
+
+        return [ok(r) for r in rows]
+    raise AssertionError(f"unknown spec {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# the property
+# ---------------------------------------------------------------------------
+
+_ORDER = ["check_id", "diff_kind", "key", "value", "expected", "deviation"]
+
+
+def _sort_key(r):
+    out = []
+    for c in _ORDER:
+        v = r[c]
+        out.append((0, "") if v is None else (1, v if isinstance(v, str) else ""))
+        if c == "deviation" and v is not None:
+            out[-1] = (1, v)
+    return tuple(out)
+
+
+def _row_tuple(r):
+    return tuple(r[c] for c in _ORDER)
+
+
+def _spark_survivors(spark, rows, acc):
+    full = [
+        (
+            r["check_id"], r["diff_kind"], r["key"], r["value"],
+            r["expected"], r["deviation"], None, None, None, None,
+        )
+        for r in rows
+    ]
+    df = spark.createDataFrame(full, DIFF_SCHEMA)
+    out = apply_acceptance(df, acc).collect()
+    return sorted(
+        (
+            (r["check_id"], r["diff_kind"], r["key"], r["value"],
+             r["expected"], r["deviation"])
+            for r in out
+        ),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestAcceptanceAlgebraParity:
+    @given(spec=_SPECS, rows=_ROWS)
+    @_SETTINGS
+    def test_survivor_parity(self, spark, spec, rows):
+        acc = build_engine(spec)
+        rows_sorted = sorted(rows, key=_sort_key)
+        marks = ref_eval(spec, rows_sorted)
+        want = sorted(
+            (
+                _row_tuple(r)
+                for r, m in zip(rows_sorted, marks)
+                if not m
+            ),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+        got = _spark_survivors(spark, rows, acc)
+        assert got == want, f"spec={spec!r}\nrows={rows_sorted!r}"

@@ -11,6 +11,7 @@ from datatest_spark.operators.consistency import (
     check_functional_dependency,
     check_interval_overlap,
     check_monotonic,
+    check_table_diff,
 )
 
 from .conftest import diff_multiset
@@ -445,3 +446,158 @@ def test_aggregate_match_sum_all_null_uses_identity_zero(spark):
         )
     )
     assert got == [("deviation", "1", "0.0", "5.0", -5.0)]
+
+
+def test_aggregate_match_null_parent_rollup_is_invalid_not_extra(spark):
+    # a parent row whose rollup column is NULL is PRESENT with no
+    # expectation — Invalid for its child rows (not a misclassified
+    # Extra orphan), and Invalid even with no child rows (not dropped)
+    parent = spark.createDataFrame(
+        [(1, None), (2, None), (3, 9.0)], "k long, t double"
+    )
+    child = spark.createDataFrame([(1, 4.0), (3, 9.0)], "k long, v double")
+    got = diff_multiset(
+        check_aggregate_match(
+            child, parent, keys="k", expected_col="t", agg="sum", value="v",
+        )
+    )
+    assert got == [
+        ("invalid", "1", "4.0", None, None),
+        ("invalid", "2", "0.0", None, None),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# two-table row-level reconciliation (table_diff)
+# ---------------------------------------------------------------------------
+
+
+def _tdiff_rows(d):
+    return sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"], r["expected"],
+         r["deviation"])
+        for r in d.collect()
+    )
+
+
+def test_table_diff_all_kinds(spark):
+    actual = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (4, 40.0, "d")],
+        "k long, amount double, status string",
+    )
+    expected = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "x"), (3, 30.0, "c")],
+        "k long, amount double, status string",
+    )
+    got = _tdiff_rows(
+        check_table_diff(actual, expected, keys="k", check_id="td")
+    )
+    assert got == [
+        ("td", "extra", "4", None, None, None),
+        ("td", "missing", "3", None, None, None),
+        ("td.amount", "deviation", "2", "20.0", "21.0", -1.0),
+        ("td.status", "invalid", "2", "b", "x", None),
+    ]
+
+
+def test_table_diff_tolerance_and_null_semantics(spark):
+    actual = spark.createDataFrame(
+        [(1, 10.001, None), (2, None, "b"), (3, 3.0, "c")],
+        "k long, amount double, status string",
+    )
+    expected = spark.createDataFrame(
+        [(1, 10.0, None), (2, 2.0, "b"), (3, 3.0, "c")],
+        "k long, amount double, status string",
+    )
+    got = _tdiff_rows(
+        check_table_diff(
+            actual, expected, keys="k", tolerance=0.01, check_id="td"
+        )
+    )
+    # key 1: within tolerance + NULL==NULL on status → clean;
+    # key 2: NULL vs 2.0 → Invalid (never a numeric deviation)
+    assert got == [("td.amount", "invalid", "2", None, "2.0", None)]
+
+
+def test_table_diff_nan_equals_nan(spark):
+    actual = spark.createDataFrame(
+        [(1, float("nan")), (2, float("nan"))], "k long, v double"
+    )
+    expected = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0)], "k long, v double"
+    )
+    got = _tdiff_rows(check_table_diff(actual, expected, keys="k", check_id="td"))
+    # NaN == NaN is a match; NaN vs number is Invalid (no numeric deviation)
+    assert got == [("td.v", "invalid", "2", "NaN", "5.0", None)]
+
+
+def test_table_diff_multi_key_and_renamed_expected_keys(spark):
+    actual = spark.createDataFrame(
+        [("r1", "p1", 5), ("r1", "p2", 6)], "repo string, path string, n long"
+    )
+    expected = spark.createDataFrame(
+        [("r1", "p1", 5), ("r1", "p3", 7)], "r string, p string, n long"
+    )
+    got = _tdiff_rows(
+        check_table_diff(
+            actual, expected, keys=["repo", "path"],
+            expected_keys=["r", "p"], compare_cols=["n"], check_id="td",
+        )
+    )
+    k_extra = json.dumps(["r1", "p2"], separators=(",", ":"))
+    k_missing = json.dumps(["r1", "p3"], separators=(",", ":"))
+    assert got == [
+        ("td", "extra", k_extra, None, None, None),
+        ("td", "missing", k_missing, None, None, None),
+    ]
+
+
+def test_table_diff_default_compare_cols_are_shared_non_keys(spark):
+    actual = spark.createDataFrame(
+        [(1, 1.0, "only_a")], "k long, v double, extra_col string"
+    )
+    expected = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    got = _tdiff_rows(check_table_diff(actual, expected, keys="k", check_id="td"))
+    # extra_col exists on one side only → silently not compared
+    assert got == [("td.v", "deviation", "1", "1.0", "2.0", -1.0)]
+
+
+def test_table_diff_validates_compare_cols(spark):
+    actual = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    expected = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="missing on one side"):
+        check_table_diff(actual, expected, keys="k", compare_cols=["nope"])
+
+
+def test_table_diff_single_join_no_row_explosion(spark):
+    # 1000 matched rows, 3 compared columns, ONE mismatch → exactly one
+    # output row; the plan contains exactly one join
+    actual = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("a"),
+        F.lit("s").alias("b"), (F.col("id") % 7).alias("c"),
+    )
+    expected = actual.withColumn(
+        "a", F.when(F.col("k") == 500, F.lit(-1.0)).otherwise(F.col("a"))
+    )
+    d = check_table_diff(actual, expected, keys="k", check_id="td")
+    rows = d.collect()
+    assert len(rows) == 1 and rows[0]["check_id"] == "td.a"
+    plan = _plan(d)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# ---------------------------------------------------------------------------
+# contiguity above 2^53 (exact long-space gap arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def test_contiguous_exact_above_2_53(spark):
+    base = 2**60
+    # ids base, base+1, base+3 → one gap: exactly id base+2 missing.
+    # In double space base+1 and base+3 both round to the same value
+    # and the gap vanishes (or misreports its endpoints).
+    df = spark.createDataFrame(
+        [(base,), (base + 1,), (base + 3,)], "id long"
+    )
+    got = diff_multiset(check_contiguous(df, "id"))
+    assert got == [("missing", None, str(base + 2), str(base + 2), 1.0)]

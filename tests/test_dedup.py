@@ -281,3 +281,76 @@ def test_duplicate_clusters_rejects_string_ids(spark):
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
     with pytest.raises(TypeError, match="integral ids"):
         duplicate_clusters(pairs)
+
+
+def test_duplicate_clusters_hash_ids_restores_originals(spark):
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("z", None)],
+        "id_a string, id_b string",
+    )
+    out = duplicate_clusters(pairs, ids="hash")
+    rows = out.collect()
+    # NULL-endpoint pair dropped; originals restored on both columns
+    nodes = {r["doc_id"] for r in rows}
+    assert nodes == {"a", "b", "c", "x", "y"}
+    assert {type(r["doc_id"]) for r in rows} == {str}
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    groups = sorted(frozenset(v) for v in clusters.values())
+    assert sorted(map(sorted, groups)) == [["a", "b", "c"], ["x", "y"]]
+    # the representative is a member of its own cluster
+    for rep, members in clusters.items():
+        assert rep in members
+
+
+def test_duplicate_clusters_hash_ids_deterministic(spark):
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("d%d" % i, "d%d" % (i + 1)) for i in range(30)],
+        "id_a string, id_b string",
+    )
+    a = sorted(map(tuple, duplicate_clusters(pairs, ids="hash").collect()))
+    b = sorted(map(tuple, duplicate_clusters(pairs, ids="hash").collect()))
+    assert a == b and len(a) == 31
+    assert len({c for _, c in a}) == 1  # one chain → one cluster
+
+
+def test_duplicate_clusters_hash_ids_type_mismatch(spark):
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([("a", 1)], "id_a string, id_b long")
+    with pytest.raises(TypeError, match="matching id types"):
+        duplicate_clusters(pairs, ids="hash")
+
+
+def test_dedup_near_hash_ids(spark, docs):
+    from datatest_spark.operators.dedup import dedup_near
+
+    sdocs = docs.withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    kept = dedup_near(sdocs, ngram=3, threshold=0.7, ids="hash")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # docs 0/1/2 form one near-dup cluster → ONE of them survives
+    assert len(ids) == 3 and "doc-3" in ids and "doc-4" in ids
+    assert len({"doc-0", "doc-1", "doc-2"} & set(ids)) == 1
+    assert kept.columns == sdocs.columns
+
+
+def test_duplicate_clusters_local_contract_off_matches_on(spark):
+    from datatest_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(100, 101), (7, 7)],
+        "id_a long, id_b long",
+    ).repartition(8)
+    on = sorted(map(tuple, duplicate_clusters(pairs).collect()))
+    off = sorted(
+        map(tuple, duplicate_clusters(pairs, local_contract=False).collect())
+    )
+    assert on == off
+    assert {c for _, c in on} == {0, 100}

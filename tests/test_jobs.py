@@ -293,3 +293,79 @@ def test_spec_contiguous_and_overlap_match_python_api(spark):
         )
     )
     assert got == want and len(got) == 2  # one gap (3..4), one overlap
+
+
+def test_spec_table_diff_matches_python_api(spark):
+    from datatest_spark.operators.consistency import check_table_diff
+
+    actual = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (4, 40.0, "d")],
+        "k long, amount double, status string",
+    ).withColumn("partition_id", F.lit(0))
+    snapshot = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "x"), (3, 30.0, "c")],
+        "k long, amount double, status string",
+    )
+    tables = {"orders": actual, "orders_snapshot": snapshot}
+    suite = compile_suite(
+        {
+            "primary": "orders",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "table_diff", "table": "orders", "keys": ["k"],
+                 "expected": "orders_snapshot",
+                 "compare_cols": ["amount", "status"], "tolerance": 0.5,
+                 "id": "td"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences(tables))
+    want = diff_multiset(
+        check_table_diff(
+            actual.drop("partition_id"), snapshot, keys="k",
+            compare_cols=["amount", "status"], tolerance=0.5, check_id="td",
+        )
+    )
+    assert got == want and len(got) == 4  # missing, extra, deviation, invalid
+
+
+def test_cli_report_and_trend_gate(spark, code_tables, tmp_path, capsys):
+    _, _, code_p, repos_p = code_tables
+    base = {
+        "primary": "code",
+        "partition_col": "partition_id",
+        "tables": {"code": {"path": code_p}, "repos": {"path": repos_p}},
+    }
+    spec_v1 = dict(base, checks=[
+        {"check": "interval", "column": "content_len", "min": 1, "max": 50},
+    ])
+    spec_v2 = dict(base, checks=[
+        {"check": "interval", "column": "content_len", "min": 1, "max": 50},
+        {"check": "regex", "column": "commit", "pattern": "^[0-9a-f]{40}$"},
+    ])
+    rep1 = str(tmp_path / "run1.json")
+
+    rc1 = job_main(["--spec", json.dumps(spec_v1), "--report", rep1])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc1 == 0 and "trend" not in out1
+    with open(rep1) as fh:
+        rep1_dict = json.load(fh)
+    assert rep1_dict["n_violations"] == out1["n_violations"] > 0
+    # the .md sibling renders
+    with open(rep1[:-5] + ".md") as fh:
+        assert "Validation report" in fh.read()
+
+    # a NEW failing check appears → trend is worse → exit 2 under the gate
+    rc2 = job_main(["--spec", json.dumps(spec_v2),
+                    "--previous-report", rep1, "--fail-on-regression"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 2
+    assert out2["trend"]["worse"] is True
+    assert len(out2["trend"]["new"]) >= 1  # the regex check's violations
+
+    # identical run vs its own report → not worse → exit 0, trend present
+    rc3 = job_main(["--spec", json.dumps(spec_v1),
+                    "--previous-report", rep1, "--fail-on-regression"])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc3 == 0 and out3["trend"]["worse"] is False
+    assert out3["trend"]["regressed"] == [] and out3["trend"]["new"] == []

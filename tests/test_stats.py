@@ -118,3 +118,25 @@ def test_schema_snapshot_roundtrip_and_drift(spark, tmp_path):
     assert len(rows) == 3
     # non-strict: new columns tolerated
     assert check_schema_drift(drifted, snap, strict=False).count() == 2
+
+
+def test_freshness_rejects_malformed_max_age(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators.stats import check_freshness
+
+    df = spark.createDataFrame([("2026-01-01 00:00:00",)], "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+
+    for bad in ("3; drop", "1 month", "days 3", "1e3 days", ""):
+        with _pytest.raises(ValueError, match="max_age"):
+            check_freshness(df, "ts", max_age=bad, now="2026-01-02 00:00:00")
+    # the strict grammar still admits the documented forms
+    assert (
+        check_freshness(
+            df, "ts", max_age="2 days", now="2026-01-02 00:00:00"
+        ).count()
+        == 0
+    )
