@@ -73,6 +73,27 @@ def test_unique_compact_shuffles_hashes_not_keys(spark):
     assert "l_returnflag" in read_schema and "l_orderkey" not in read_schema
 
 
+def test_unique_compact_broadcasts_dup_hashes(spark):
+    """The duplicate-hash join must be an EXPLICIT BroadcastHashJoin:
+    AQE leaves the agg-derived build side on a sort-merge join
+    (conservative size estimate) that sorts the full probe side —
+    measured anti-scaling in threads (11 s at 32 vs 6.9 s at 8 on 16 M
+    rows; broadcast: 1.8 s at 32).  broadcast_dups=False must still be
+    sort-free (shuffled-hash hint) for pathological mostly-dup inputs."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.unique(li, ["l_returnflag", "l_linestatus"], method="compact")
+    plan = _plan(d)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    d2 = validate.unique(
+        li, ["l_returnflag", "l_linestatus"], method="compact",
+        broadcast_dups=False,
+    )
+    plan2 = _plan(d2)
+    assert "SortMergeJoin" not in plan2, plan2
+    assert "ShuffledHashJoin" in plan2, plan2
+
+
 def test_mapping_lookup_broadcasts_requirement(spark):
     n = spark.read.parquet(f"{SF}/nation.parquet")
     counts = n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("c"))
