@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Measure the exact n-gram-Jaccard physical strategies (posting_list
+vs prefix-filtered) and their downstream duplicate_clusters cost on the
+heavy-ops documents fixture (sf docs + the 10x token-salted copy).
+
+The prefix strategy (all-pairs prefix rule, Bayardo et al. WWW'07 /
+PPJoin family) posts only each doc's ⌊(1-t)·n⌋+1 rarest grams, so the
+Σ df² self-join term shrinks ~(1-t)²; this script quantifies that on
+real-ish Zipf text at threshold 0.8 — the heavy_ops configuration.
+
+Usage: python BENCH/jaccard_variants.py [--cpus 32] [--repeats 3]
+Expects the heavy-ops fixtures at /tmp/dts_heavy (run BENCH/heavy_ops.py
+first, or it materializes them itself).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--scales", default="1,10")
+    args = ap.parse_args()
+
+    from bench import build_session
+    from BENCH.heavy_ops import materialize_scaled
+    from datatest_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scales = [int(x) for x in args.scales.split(",")]
+    paths = {m: materialize_scaled(spark, m) for m in scales}
+
+    def pairs(path, strat):
+        d = spark.read.parquet(path)
+        return ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy=strat)
+
+    variants = {
+        "pairs_posting": lambda p: pairs(p, "posting_list"),
+        "pairs_prefix": lambda p: pairs(p, "prefix"),
+        "clusters_posting": lambda p: duplicate_clusters(pairs(p, "posting_list")),
+        "clusters_prefix": lambda p: duplicate_clusters(pairs(p, "prefix")),
+    }
+
+    # warm-up at 1x, and cross-variant output parity while we're at it
+    counts = {name: fn(paths[scales[0]]).count() for name, fn in variants.items()}
+    assert counts["pairs_posting"] == counts["pairs_prefix"], counts
+    assert counts["clusters_posting"] == counts["clusters_prefix"], counts
+
+    times: dict = {name: {m: [] for m in scales} for name in variants}
+    rows: dict = {name: {} for name in variants}
+    for _ in range(args.repeats):
+        for name, fn in variants.items():
+            for m in scales:
+                t0 = time.time()
+                n = fn(paths[m]).count()
+                times[name][m].append(round(time.time() - t0, 2))
+                rows[name][m] = n
+
+    out = {"cpus": args.cpus, "repeats": args.repeats, "results": {}}
+    for name in variants:
+        out["results"][name] = {
+            str(m): {
+                "rows": rows[name][m],
+                "median_s": statistics.median(times[name][m]),
+                "raw_s": times[name][m],
+            }
+            for m in scales
+        }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

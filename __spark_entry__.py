@@ -467,6 +467,19 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
 """
 
 
+def q_jaccard_prefix_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard via the prefix-filtered inverted index
+    (the all-pairs prefix rule, Bayardo et al. WWW'07 / PPJoin family):
+    only each doc's ⌊(1-t)·n⌋+1 rarest unigrams are posted, candidates
+    verified exactly.  Same ground-truth oracle as token_jaccard_pairs —
+    a driver-green row proves the candidate rule loses no true pair on
+    real-ish Zipf text."""
+    from datatest_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, ngram=1, threshold=0.8, strategy="prefix")
+
+
 def q_minhash_lsh_neardup(spark, sf_dir):
     """MinHash-LSH candidates verified by exact 3-gram Jaccard.  The
     oracle is the exact pairwise ground truth — LSH params (64 hashes /
@@ -2620,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift_quantity": q_quantile_drift_quantity,
         "dedup_exact_documents": q_dedup_exact_documents,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2695,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_drift_quantity": SQL_QUANTILE_DRIFT,
         "dedup_exact_documents": SQL_DEDUP_EXACT,
         "token_jaccard_pairs": SQL_TOKEN_JACCARD,
+        "jaccard_prefix_pairs": SQL_TOKEN_JACCARD,
         "minhash_lsh_neardup": SQL_MINHASH_NEARDUP,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -437,6 +437,14 @@ def check_table_diff(
             )
         )
 
+    from ..plans.differences import union_differences
+
+    if not entries:
+        # no shared non-key columns: reconciliation degenerates to a
+        # key census (an empty F.array() would be ARRAY<VOID> and its
+        # struct-field access fails at plan time)
+        return union_differences(missing, extra)
+
     matched = joined.filter(in_a & in_e)
     mism = matched.select(
         key_enc.alias("_key"),
@@ -453,8 +461,6 @@ def check_table_diff(
         expected=F.col("m.e"),
         deviation=F.col("m.d"),
     )
-    from ..plans.differences import union_differences
-
     return union_differences(missing, extra, invalid)
 
 

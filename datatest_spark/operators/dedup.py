@@ -146,14 +146,23 @@ def ngram_jaccard_pairs(
 
     With ``candidates`` (id_a, id_b) the join is candidate-driven (the
     LSH verification path).  Without it, candidates come from an exact
-    prefix-filtered inverted-index join (PPJoin rule — see inline
-    comment), then the same verification applies.
+    inverted-index join, then the same verification applies.
 
     ``strategy`` picks the candidate-free physical plan (exact either
     way):
 
-    * ``"posting_list"`` (default) — the inverted-index counting join;
-      PURE lazy builder, constructing the DataFrame runs zero jobs.
+    * ``"posting_list"`` (default) — the full inverted-index counting
+      join; PURE lazy builder, constructing the DataFrame runs zero
+      jobs.  Cost is Σ_gram df² over ALL posting lists.
+    * ``"prefix"`` — prefix-filtered inverted index (the all-pairs
+      prefix rule of Bayardo et al., WWW'07 / the PPJoin family):
+      only each doc's ``⌊(1-t)·|x|⌋+1`` rarest grams are posted, the
+      prefix-postings self-join yields a complete candidate set, and
+      candidates are verified exactly.  Also pure-lazy (the
+      document-frequency ranking is part of the plan, not a probe
+      job).  Wins when the threshold is high — posting volume shrinks
+      ~(1-t)× and hot-gram join blow-up ~(1-t)²× — at the price of
+      shipping the two gram arrays for each surviving candidate.
     * ``"bitset"`` — the ≤64-gram dictionary fast path (doc gram set
       encoded as one long, pairs compared with two bit_counts).  Runs
       one small vocabulary probe job at plan-construction time and
@@ -166,9 +175,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
     )
     if candidates is None:
-        if strategy not in ("posting_list", "bitset", "auto"):
+        if strategy not in ("posting_list", "prefix", "bitset", "auto"):
             raise ValueError(
-                "strategy must be 'posting_list', 'bitset' or 'auto'"
+                "strategy must be 'posting_list', 'prefix', 'bitset' or 'auto'"
             )
         # Inverted-index intersection COUNTING: explode to (id, gram)
         # postings, self-join on the gram, count shared grams per pair,
@@ -187,6 +196,67 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("_gid"),
             F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
         )
+        if strategy == "prefix":
+            # All-pairs prefix filter (Bayardo et al., "Scaling Up All
+            # Pairs Similarity Search", WWW'07; the PPJoin family): fix
+            # ANY global total order on grams; if J(x,y) ≥ t, the
+            # order-smallest gram of x∩y must sit within the first
+            # |x|-⌈t·|x|⌉+1 grams of x AND the first |y|-⌈t·|y|⌉+1 of y
+            # (were it outside either prefix, that set's intersection
+            # would fit in its last ⌈t·n⌉-1 slots — below the t·n ≤
+            # |x∩y| floor).  So an inverted index over PREFIX grams
+            # only is a COMPLETE candidate generator.  The order used
+            # is ascending document frequency (ties: gram text): the
+            # rarest grams land in prefixes, so hot-gram posting lists
+            # — the Σ df² quadratic term — mostly vanish.  The df
+            # ranking is one lazy agg + join + per-doc window inside
+            # the plan; candidates then take the same exact-verify
+            # path as LSH (Arrow Jaccard on the two gram arrays).
+            from pyspark.sql.window import Window
+
+            dfreq = g.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+            doc_n = df.select(
+                F.col(id_col).alias("_gid"),
+                F.size(word_ngrams(F.col(text_col), ngram)).alias("_n"),
+            )
+            rn = F.row_number().over(
+                Window.partitionBy("_gid").orderBy("_df", "_gram")
+            )
+            # Two safety margins, both only ever LENGTHENING the prefix:
+            # (a) the output filter keeps round(J, 6) ≥ t, so a pair with
+            # true J in [t − 5e-7, t) still belongs in the output — the
+            # candidate rule must therefore run at t − 1e-6, and (b)
+            # float t·n can land an ulp ABOVE the true rational value
+            # (0.8*5 → 4.0000000000000002, ceil 5), which would SHORTEN
+            # the prefix and drop true pairs — hence the 1e-9 inside the
+            # ceil.
+            plen = (
+                F.col("_n")
+                - F.ceil(
+                    F.col("_n") * F.lit(float(threshold) - 1e-6) - F.lit(1e-9)
+                )
+                + F.lit(1)
+            )
+            pre = (
+                g.join(dfreq, "_gram")
+                .withColumn("_rn", rn)
+                .join(doc_n, "_gid")
+                .filter(F.col("_rn") <= plen)
+                .select("_gid", "_gram")
+            )
+            n_tasks = df.sparkSession.sparkContext.defaultParallelism
+            cand = (
+                pre.select(F.col("_gid").alias("id_a"), "_gram")
+                .repartition(n_tasks)
+                .join(pre.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            return ngram_jaccard_pairs(
+                df, id_col=id_col, text_col=text_col, ngram=ngram,
+                threshold=threshold, candidates=cand,
+            )
         # Small-dictionary fast path: when the distinct-gram vocabulary
         # fits in 64 bits (dictionary-encoded corpora, tag sets, tiny
         # synthetic vocabularies), encode each doc's gram SET as one

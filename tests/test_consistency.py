@@ -601,3 +601,14 @@ def test_contiguous_exact_above_2_53(spark):
     )
     got = diff_multiset(check_contiguous(df, "id"))
     assert got == [("missing", None, str(base + 2), str(base + 2), 1.0)]
+
+
+def test_table_diff_keys_only_census(spark):
+    # zero shared non-key columns → pure Missing/Extra key census
+    actual = spark.createDataFrame([(1, "x")], "k long, only_a string")
+    expected = spark.createDataFrame([(2, 9.0)], "k long, only_e double")
+    got = _tdiff_rows(check_table_diff(actual, expected, keys="k", check_id="td"))
+    assert got == [
+        ("td", "extra", "1", None, None, None),
+        ("td", "missing", "2", None, None, None),
+    ]

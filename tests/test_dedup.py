@@ -198,12 +198,12 @@ def test_ngram_jaccard_default_is_lazy(spark, docs):
 
 
 def test_ngram_jaccard_strategies_agree(spark, docs):
-    """bitset / auto / posting_list are different physical plans for the
-    same exact result on a small-vocab corpus."""
+    """bitset / auto / prefix / posting_list are different physical
+    plans for the same exact result on a small-vocab corpus."""
     want = sorted(
         map(tuple, ngram_jaccard_pairs(docs, threshold=0.5).collect())
     )
-    for strat in ("bitset", "auto"):
+    for strat in ("bitset", "auto", "prefix"):
         got = sorted(
             map(
                 tuple,
@@ -211,6 +211,84 @@ def test_ngram_jaccard_strategies_agree(spark, docs):
             )
         )
         assert got == want, strat
+
+
+def test_ngram_jaccard_prefix_is_lazy_and_exact(spark):
+    """strategy='prefix' is a pure plan builder (zero probe jobs) and its
+    prefix-filtered candidate set loses NO true pair vs the full
+    posting-list join — including the float-boundary case t*n integral
+    (0.8*5 = 4.0, where an unguarded ceil would shorten the prefix)."""
+    rows = [
+        # 5 distinct unigrams each, 4 shared → jaccard 4/6 = 0.666…
+        (0, "alpha beta gamma delta one"),
+        (1, "alpha beta gamma delta two"),
+        # identical pair → jaccard 1.0 at the t*n=4.0 boundary
+        (2, "p q r s t"),
+        (3, "p q r s t"),
+        # unrelated
+        (4, "x y z w v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = _n_jobs(spark)
+    plan = ngram_jaccard_pairs(df, ngram=1, threshold=0.8, strategy="prefix")
+    assert _n_jobs(spark) == before
+    assert sorted(map(tuple, plan.collect())) == sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(df, ngram=1, threshold=0.8).collect(),
+        )
+    ) == [(2, 3, 1.0)]
+    # lower threshold: the 4/6 pair appears in both plans identically
+    got = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                df, ngram=1, threshold=0.6, strategy="prefix"
+            ).collect(),
+        )
+    )
+    assert got == sorted(
+        map(tuple, ngram_jaccard_pairs(df, ngram=1, threshold=0.6).collect())
+    )
+    assert (0, 1, 0.666667) in got
+
+
+def test_ngram_jaccard_prefix_random_parity(spark):
+    """Seeded random corpora: the prefix-filtered join equals the full
+    posting-list join at every threshold (completeness of the prefix
+    candidate rule, incl. threshold=1.0 where the prefix is 1 gram)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(40)
+    ]
+    # planted identical pair: every threshold keeps ≥1 pair, so the
+    # parity assertion below can never pass vacuously (empty == empty)
+    rows += [(100, "t0 t1 t2"), (101, "t2 t1 t0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    try:
+        for t in (0.3, 0.5, 0.75, 0.9, 1.0):
+            a = sorted(
+                map(
+                    tuple,
+                    ngram_jaccard_pairs(
+                        df, ngram=1, threshold=t, strategy="prefix"
+                    ).collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    ngram_jaccard_pairs(df, ngram=1, threshold=t).collect(),
+                )
+            )
+            assert a == b, t
+            assert a, t  # non-vacuous: every threshold keeps some pair
+    finally:
+        df.unpersist()
 
 
 def test_ngram_jaccard_bitset_rejects_large_vocab(spark):
