@@ -2614,6 +2614,104 @@ FROM j WHERE ak IS NOT NULL AND ek IS NOT NULL
 """
 
 
+def q_cardinality_lineitem_order(spark, sf_dir):
+    """Relationship-multiplicity check (dbt/Deequ fan-out test): every
+    order must carry 1–7 line items.  One map-side-partial count agg
+    collapses lineitem to (orderkey, n) before the parent join; orders
+    with no line items → Missing, fan-out > 7 → Invalid, line items
+    referencing no order → Extra (none in this data — referential
+    integrity holds; the branch is exercised in unit tests)."""
+    from datatest_spark.operators.consistency import check_cardinality
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = check_cardinality(
+        li,
+        keys="l_orderkey",
+        min_count=1,
+        max_count=7,
+        parent=o,
+        parent_keys="o_orderkey",
+        check_id="card_li",
+    )
+    return d.select("check_id", "diff_kind", "key", "value", "expected", "deviation")
+
+
+SQL_CARDINALITY_LINEITEM = """
+WITH c AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1
+), j AS (
+  SELECT c.k AS ck, p.o_orderkey AS pk, coalesce(c.n, 0) AS n
+  FROM c FULL OUTER JOIN orders p ON c.k = p.o_orderkey
+)
+SELECT 'card_li' AS check_id, 'missing' AS diff_kind,
+       CAST(pk AS VARCHAR) AS key, '0' AS value, '1' AS expected,
+       CAST(-1 AS DOUBLE) AS deviation
+FROM j WHERE ck IS NULL
+UNION ALL
+SELECT 'card_li', 'invalid', CAST(ck AS VARCHAR), CAST(n AS VARCHAR),
+       '7', CAST(n - 7 AS DOUBLE)
+FROM j WHERE ck IS NOT NULL AND pk IS NOT NULL AND n > 7
+UNION ALL
+SELECT 'card_li', 'extra', CAST(ck AS VARCHAR), CAST(n AS VARCHAR),
+       NULL, NULL
+FROM j WHERE ck IS NOT NULL AND pk IS NULL
+"""
+
+
+def q_completeness_events(spark, sf_dir):
+    """Per-column NULL-ratio ceilings over a deterministically masked
+    projection of ``events`` (the driver data itself is fully
+    populated): props nulled on event_id % 7 (≈14.3% > ceiling 0.1 →
+    Invalid), value on % 29 (≈3.4% > ceiling 0.01 → Invalid),
+    event_type untouched (ceiling 0 → silent).  ONE fused agg computes
+    every column count in a single scan."""
+    from datatest_spark.operators.stats import check_completeness
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    m = e.select(
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+        F.when(k % 29 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.col("event_type"),
+    )
+    d = check_completeness(
+        m,
+        {"props": 0.1, "value": 0.01, "event_type": 0.0},
+        check_id="cmp_events",
+    )
+    return d.select("check_id", "diff_kind", "key", "value", "expected", "deviation")
+
+
+SQL_COMPLETENESS_EVENTS = """
+WITH m AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props,
+         CASE WHEN event_id % 29 = 0 THEN NULL ELSE value END AS value,
+         event_type
+  FROM events
+), a AS (
+  SELECT COUNT(*) AS total, COUNT(props) AS c_props,
+         COUNT(value) AS c_value, COUNT(event_type) AS c_et
+  FROM m
+), p AS (
+  SELECT 'props' AS col, total, total - c_props AS nulls,
+         CAST(0.1 AS DOUBLE) AS thr FROM a
+  UNION ALL
+  SELECT 'value', total, total - c_value, CAST(0.01 AS DOUBLE) FROM a
+  UNION ALL
+  SELECT 'event_type', total, total - c_et, CAST(0.0 AS DOUBLE) FROM a
+)
+SELECT 'cmp_events' AS check_id, 'invalid' AS diff_kind, col AS key,
+       CAST(nulls AS VARCHAR) AS value, CAST(thr AS VARCHAR) AS expected,
+       (CAST(nulls AS DOUBLE) / total) - thr AS deviation
+FROM p WHERE (CAST(nulls AS DOUBLE) / total) > thr
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -2687,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_events": q_overlap_events,
         "dq_summary_lineitem": q_dq_summary_lineitem,
         "table_diff_orders": q_table_diff_orders,
+        "cardinality_lineitem_order": q_cardinality_lineitem_order,
+        "completeness_events": q_completeness_events,
     }
 
 
@@ -2763,4 +2863,6 @@ def oracle_sql() -> dict[str, str]:
         "overlap_events": SQL_OVERLAP_EVENTS,
         "dq_summary_lineitem": SQL_DQ_SUMMARY,
         "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
+        "cardinality_lineitem_order": SQL_CARDINALITY_LINEITEM,
+        "completeness_events": SQL_COMPLETENESS_EVENTS,
     }

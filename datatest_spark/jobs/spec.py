@@ -67,6 +67,7 @@ from .. import validate
 from ..operators.acceptances import accepted
 from ..operators.consistency import (
     check_aggregate_match,
+    check_cardinality,
     check_contiguous,
     check_functional_dependency,
     check_interval_overlap,
@@ -78,6 +79,7 @@ from ..operators.referential import check_referential
 from ..operators.secrets import check_no_secrets
 from ..operators.stats import (
     check_chi_square_drift,
+    check_completeness,
     check_freshness,
     check_partition_outliers,
     check_row_count_drift,
@@ -321,6 +323,32 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
             check_interval_overlap(
                 t[table], _s, _e, group_cols=_g,
                 allow_touching=_a, check_id=_i,
+            )
+        )
+    elif kind == "cardinality":
+        keys = e.pop("keys")
+        min_count = e.pop("min_count", 1)
+        max_count = e.pop("max_count", None)
+        parent = e.pop("parent", None)
+        parent_keys = e.pop("parent_keys", None)
+        cid = check_id or "cardinality_" + "_".join(
+            keys if isinstance(keys, list) else [keys]
+        )
+        builder = lambda t, _k=keys, _mn=min_count, _mx=max_count, _p=parent, _pk=parent_keys, _i=cid: (  # noqa: E731
+            check_cardinality(
+                t[table], keys=_k, min_count=int(_mn),
+                max_count=None if _mx is None else int(_mx),
+                parent=None if _p is None else t[_p],
+                parent_keys=_pk, check_id=_i,
+            )
+        )
+    elif kind == "completeness":
+        columns = e.pop("columns", None)  # name, list, or {column: ceiling}
+        max_null_ratio = e.pop("max_null_ratio", 0.0)
+        cid = check_id or "completeness"
+        builder = lambda t, _c=columns, _r=max_null_ratio, _i=cid: (  # noqa: E731
+            check_completeness(
+                t[table], _c, max_null_ratio=float(_r), check_id=_i
             )
         )
     elif kind == "partition_outliers":

@@ -777,3 +777,113 @@ def check_interval_overlap(
         ),
         deviation=overlap,
     )
+
+
+# ---------------------------------------------------------------------------
+# relationship cardinality
+# ---------------------------------------------------------------------------
+
+
+def check_cardinality(
+    child: DataFrame,
+    *,
+    keys: ColumnsArg,
+    min_count: int = 1,
+    max_count: Optional[int] = None,
+    parent: Optional[DataFrame] = None,
+    parent_keys: Optional[ColumnsArg] = None,
+    check_id: str = "cardinality",
+) -> DataFrame:
+    """Per-key fan-out bounds: every key must map to between
+    ``min_count`` and ``max_count`` child rows (the dbt/Deequ
+    "relationship multiplicity" test — every order carries 1–7 line
+    items, every user at most one active session, …).
+
+    Without ``parent`` the key universe is the child's own distinct
+    keys, so ``min_count`` ≤ 1 is vacuous there (every present key has
+    ≥ 1 row) — at least one non-vacuous bound is required.  With
+    ``parent`` (the key universe, a dimension table) absent keys count
+    as 0.  Per key with count n:
+
+    * in parent, n = 0, ``min_count`` > 0 → Missing(key, value=0,
+      expected=min_count, deviation=−min_count)
+    * in parent, 0 < n < ``min_count`` → Invalid(key, value=n,
+      expected=min_count, deviation=n−min_count)
+    * n > ``max_count`` → Invalid(key, value=n, expected=max_count,
+      deviation=n−max_count)
+    * in child but NOT in parent → Extra(key, value=n) — fan-out from
+      a nonexistent parent (the row-level variant of this defect is
+      ``check_referential``; here it surfaces once per key).
+
+    Parent keys are assumed unique per the dimension contract (pair
+    with ``check_unique``), same as ``check_aggregate_match``; NULL
+    child keys form their own count group and — like every equi-join —
+    never match a parent row, so they surface as Extra.
+
+    Physical plan: ONE map-side-partial count aggregate collapses the
+    child to its (key, n) relation before anything else; the optional
+    parent join carries only (key, long) per side and reuses the
+    aggregate's hash partitioning (full-outer joins cannot broadcast
+    in Spark — the hint is rejected).
+    """
+    maxc = None if max_count is None else int(max_count)
+    minc = int(min_count)
+    if maxc is None and minc <= 1 and parent is None:
+        raise ValueError(
+            "bounds are vacuous: without parent every present key has "
+            "count >= 1 — give max_count, min_count > 1, or parent"
+        )
+    if maxc is not None and maxc < minc:
+        raise ValueError(f"max_count {maxc} < min_count {minc}")
+    ks = _cols(keys)
+    counts = child.groupBy(*[F.col(k) for k in ks]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+
+    if parent is not None:
+        pks = _cols(parent_keys) if parent_keys is not None else ks
+        parent_sel = parent.select(
+            *[F.col(p).alias(k) for p, k in zip(pks, ks)],
+            F.lit(1).alias("_p"),
+        )
+        joined = counts.join(parent_sel, ks, "full_outer")
+        has_parent = F.col("_p").isNotNull()
+        n = F.coalesce(F.col("_n"), F.lit(0))
+    else:
+        joined = counts
+        has_parent = F.lit(True)
+        n = F.col("_n")
+
+    orphan = ~has_parent
+    missing = has_parent & (n == F.lit(0)) & F.lit(minc > 0)
+    under = has_parent & (n > F.lit(0)) & (n < F.lit(minc))
+    over = (
+        has_parent & (n > F.lit(maxc)) if maxc is not None else F.lit(False)
+    )
+    violations = joined.filter(orphan | missing | under | over)
+
+    kind = (
+        F.when(orphan, F.lit(KIND_EXTRA))
+        .when(missing, F.lit(KIND_MISSING))
+        .otherwise(F.lit(KIND_INVALID))
+    )
+    exp_over = (
+        F.lit(maxc) if maxc is not None else F.lit(None).cast("int")
+    )
+    expected = F.when(over, exp_over).when(
+        missing | under, F.lit(minc)
+    )  # orphan → NULL (no bound applies to a key outside the universe)
+    deviation = (
+        F.when(over, n - exp_over)
+        .when(missing | under, n - F.lit(minc))
+        .cast("double")
+    )
+    return make_differences(
+        violations,
+        check_id=check_id,
+        kind_col=kind,
+        key=_canon_tuple(ks),
+        value=n,
+        expected=expected,
+        deviation=deviation,
+    )

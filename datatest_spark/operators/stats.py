@@ -24,13 +24,18 @@ Design (scale-first):
 from __future__ import annotations
 
 import re
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.differences import KIND_DEVIATION, make_differences, union_differences
+from ..plans.differences import (
+    KIND_DEVIATION,
+    KIND_INVALID,
+    make_differences,
+    union_differences,
+)
 from ..plans.predicate import is_numeric_dtype
 
 DECILES = [i / 10.0 for i in range(11)]  # 0.0 .. 1.0
@@ -860,4 +865,78 @@ def hot_keys(
             "key_count",
             F.round(F.col("key_count") / F.col("_tot"), 6).alias("key_share"),
         )
+    )
+
+
+def check_completeness(
+    df: DataFrame,
+    columns: Union[str, Sequence[str], Mapping[str, float], None] = None,
+    *,
+    max_null_ratio: float = 0.0,
+    check_id: str = "completeness",
+) -> DataFrame:
+    """Per-column NULL-ratio ceilings in ONE fused scan-local pass.
+
+    ``columns`` is a column name, a sequence (all sharing
+    ``max_null_ratio``), a mapping ``{column: ceiling}`` (per-column
+    ceilings), or None for every column of ``df``.  Each column whose
+    null ratio exceeds its ceiling yields one Invalid(key=column,
+    value=null_count, expected=ceiling, deviation=ratio−ceiling) row;
+    an empty input has no evidence of incompleteness and passes (pair
+    with ``check_row_count_drift`` to bound emptiness itself).
+
+    This is the count-only projection of the ``column_stats`` →
+    ``check_stats_bounds`` pipeline: use that pair when the full
+    profile (distinct counts, extrema) is wanted anyway; use this when
+    completeness is the only question — the plan is a single scan over
+    just the named columns (ReadSchema-pruned) with map-side partial
+    ``count`` aggregates, one tiny final merge, and a #columns-row
+    explode.  Nothing shuffles but the per-partition count vectors.
+    """
+    if isinstance(columns, Mapping):
+        thresholds = {c: float(v) for c, v in columns.items()}
+    elif columns is None:
+        thresholds = {c: float(max_null_ratio) for c in df.columns}
+    elif isinstance(columns, str):
+        thresholds = {columns: float(max_null_ratio)}
+    else:
+        thresholds = {c: float(max_null_ratio) for c in columns}
+    if not thresholds:
+        raise ValueError("no columns to check")
+    for c, v in thresholds.items():
+        if not (0.0 <= v < 1.0):
+            raise ValueError(f"ceiling for {c!r} must be in [0, 1): {v}")
+    unknown = [c for c in thresholds if c not in df.columns]
+    if unknown:
+        raise ValueError(f"columns not in DataFrame: {unknown}")
+    names = list(thresholds)
+
+    one = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.count(F.col(c)).alias(f"_c{i}") for i, c in enumerate(names)],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"_c{i}").alias("cnt"),
+                F.lit(thresholds[c]).alias("thr"),
+            )
+            for i, c in enumerate(names)
+        ]
+    )
+    per = one.select(F.col("_total"), F.explode(entries).alias("e"))
+    nulls = F.col("_total") - F.col("e.cnt")
+    # try_divide: a 0-row input yields NULL ratio → the > filter is
+    # false → pass (never a DIVIDE_BY_ZERO under ANSI mode)
+    ratio = F.try_divide(nulls, F.col("_total"))
+    bad = per.filter(ratio > F.col("e.thr"))
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_INVALID,
+        key=F.col("e.col"),
+        value=nulls,
+        expected=F.col("e.thr"),
+        deviation=ratio - F.col("e.thr"),
     )

@@ -138,6 +138,18 @@ class _Validate:
         return check_table_diff(actual, expected, **kw)
 
     @staticmethod
+    def cardinality(child, **kw):
+        from .consistency import check_cardinality
+
+        return check_cardinality(child, **kw)
+
+    @staticmethod
+    def completeness(df, columns=None, **kw):
+        from .stats import check_completeness
+
+        return check_completeness(df, columns, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

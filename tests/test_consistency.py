@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from datatest_spark.operators.consistency import (
     check_aggregate_match,
+    check_cardinality,
     check_contiguous,
     check_functional_dependency,
     check_interval_overlap,
@@ -612,3 +613,82 @@ def test_table_diff_keys_only_census(spark):
         ("td", "extra", "1", None, None, None),
         ("td", "missing", "2", None, None, None),
     ]
+
+
+# ---------------------------------------------------------------------------
+# relationship cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_cardinality_bounds_without_parent(spark):
+    rows = [(k,) for k in ["a"] * 3 + ["b"] * 1 + ["c"] * 2]
+    df = spark.createDataFrame(rows, ["k"])
+    got = diff_multiset(
+        check_cardinality(df, keys="k", min_count=2, max_count=2)
+    )
+    assert got == [
+        ("invalid", "a", "3", "2", 1.0),   # over max
+        ("invalid", "b", "1", "2", -1.0),  # under min
+    ]
+
+
+def test_cardinality_with_parent_all_kinds(spark):
+    child = spark.createDataFrame(
+        [(k,) for k in ["a"] * 2 + ["b"] * 9 + ["z"] * 3], ["k"]
+    )
+    parent = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    got = diff_multiset(
+        check_cardinality(
+            child, keys="k", min_count=1, max_count=7, parent=parent
+        )
+    )
+    assert got == [
+        ("extra", "z", "3", None, None),      # fan-out from no parent
+        ("invalid", "b", "9", "7", 2.0),      # over max
+        ("missing", "c", "0", "1", -1.0),     # parent with no children
+    ]
+
+
+def test_cardinality_min_zero_parent_absent_passes(spark):
+    child = spark.createDataFrame([("a",)], ["k"])
+    parent = spark.createDataFrame([("a",), ("c",)], ["k"])
+    assert (
+        check_cardinality(
+            child, keys="k", min_count=0, max_count=5, parent=parent
+        ).count()
+        == 0
+    )
+
+
+def test_cardinality_multi_key_and_parent_key_rename(spark):
+    child = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], ["ka", "kb"]
+    )
+    parent = spark.createDataFrame([(1, "x"), (2, "y")], ["pa", "pb"])
+    got = diff_multiset(
+        check_cardinality(
+            child,
+            keys=["ka", "kb"],
+            min_count=2,
+            parent=parent,
+            parent_keys=["pa", "pb"],
+        )
+    )
+    assert got == [("invalid", '["2","y"]', "1", "2", -1.0)]
+
+
+def test_cardinality_vacuous_and_inverted_bounds_rejected(spark):
+    df = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError, match="vacuous"):
+        check_cardinality(df, keys="k")
+    with pytest.raises(ValueError, match="max_count"):
+        check_cardinality(df, keys="k", min_count=3, max_count=2)
+
+
+def test_cardinality_null_child_key_is_extra(spark):
+    child = spark.createDataFrame([(None,), ("a",)], "k string")
+    parent = spark.createDataFrame([("a",)], "k string")
+    got = diff_multiset(
+        check_cardinality(child, keys="k", min_count=1, parent=parent)
+    )
+    assert got == [("extra", None, "1", None, None)]

@@ -329,6 +329,45 @@ def test_spec_table_diff_matches_python_api(spark):
     assert got == want and len(got) == 4  # missing, extra, deviation, invalid
 
 
+def test_spec_cardinality_and_completeness_match_python_api(spark):
+    from datatest_spark.operators.consistency import check_cardinality
+    from datatest_spark.operators.stats import check_completeness
+
+    child = spark.createDataFrame(
+        [(k, None if k == "a" else "v") for k in ["a"] * 3 + ["b"] + ["z"] * 2],
+        "k string, payload string",
+    ).withColumn("partition_id", F.lit(0))
+    parent = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    tables = {"events": child, "users": parent}
+    suite = compile_suite(
+        {
+            "primary": "events",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "cardinality", "table": "events", "keys": ["k"],
+                 "min_count": 1, "max_count": 2, "parent": "users",
+                 "id": "card"},
+                {"check": "completeness", "table": "events",
+                 "columns": {"payload": 0.25}, "id": "cmp"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences(tables))
+    want = diff_multiset(
+        check_cardinality(
+            child.drop("partition_id"), keys="k", min_count=1,
+            max_count=2, parent=parent, check_id="card",
+        )
+    ) + diff_multiset(
+        check_completeness(
+            child.drop("partition_id"), {"payload": 0.25}, check_id="cmp"
+        )
+    )
+    assert sorted(got) == sorted(want)
+    # over-max 'a', missing 'c', extra 'z', and payload 3/6 nulls > 0.25
+    assert len(got) == 4
+
+
 def test_cli_report_and_trend_gate(spark, code_tables, tmp_path, capsys):
     _, _, code_p, repos_p = code_tables
     base = {

@@ -140,3 +140,57 @@ def test_freshness_rejects_malformed_max_age(spark):
         ).count()
         == 0
     )
+
+
+def test_completeness_per_column_ceilings(spark):
+    from datatest_spark.operators.stats import check_completeness
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, None), (3, None, 4.0), (4, "d", 5.0)],
+        "id long, s string, v double",
+    )
+    # s: 2/4 null, v: 1/4 null
+    rows = check_completeness(
+        df, {"s": 0.4, "v": 0.4}, check_id="cmp"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["diff_kind"], r["key"], r["value"], r["expected"]) == (
+        "invalid", "s", "2", "0.4",
+    )
+    assert abs(r["deviation"] - 0.1) < 1e-12
+    # sequence form with a shared ceiling; id is fully populated
+    got = sorted(
+        x["key"]
+        for x in check_completeness(
+            df, ["id", "s", "v"], max_null_ratio=0.2
+        ).collect()
+    )
+    assert got == ["s", "v"]
+    # default: all columns at ratio 0
+    assert check_completeness(df).count() == 2
+
+
+def test_completeness_empty_input_and_validation(spark):
+    import pytest as _pytest
+    from datatest_spark.operators.stats import check_completeness
+
+    empty = spark.createDataFrame([], "a string, b long")
+    # no rows → no evidence of incompleteness (try_divide NULL ratio)
+    assert check_completeness(empty, max_null_ratio=0.0).count() == 0
+    with _pytest.raises(ValueError, match="ceiling"):
+        check_completeness(empty, {"a": 1.5})
+    with _pytest.raises(ValueError, match="no columns"):
+        check_completeness(empty, {})
+
+
+def test_completeness_single_scan_plan(spark):
+    """All column counts come from ONE aggregate over one scan."""
+    from datatest_spark.operators.stats import check_completeness
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    plan = (
+        check_completeness(df, ["id", "s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
