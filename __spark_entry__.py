@@ -2712,6 +2712,114 @@ FROM p WHERE (CAST(nulls AS DOUBLE) / total) > thr
 """
 
 
+def q_correlation_lineitem(spark, sf_dir):
+    """Pearson-correlation floor (Deequ hasCorrelation):
+    corr(l_quantity, l_extendedprice) is strongly positive but well
+    below 0.999, so the floor fires one Deviation row.  One scan-local
+    corr aggregate over two columns — no shuffle.  round(,4) in the
+    contract projection absorbs summation-order float noise between
+    engines (sample-vs-population convention cancels in the ratio)."""
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.correlation(
+        li, "l_quantity", "l_extendedprice", min_corr=0.999,
+        check_id="corr_li",
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("corr_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.round(F.col("deviation"), 4).alias("dev_num"),
+    )
+
+
+SQL_CORRELATION_LINEITEM = """
+WITH r AS (SELECT corr(l_quantity, l_extendedprice) AS r FROM lineitem)
+SELECT 'corr_li' AS check_id, 'deviation' AS diff_kind,
+       'corr(l_quantity,l_extendedprice)' AS key,
+       round(r, 4) AS corr_num, CAST(0.999 AS DOUBLE) AS bound_num,
+       round(r - 0.999, 4) AS dev_num
+FROM r WHERE r < 0.999
+"""
+
+
+def q_uniqueness_orders_custkey(spark, sf_dir):
+    """Uniqueness-ratio floor (Deequ hasUniqueness): repeat buyers mean
+    few custkeys appear exactly once in orders, so a 0.5 floor fires.
+    The ratio is an exact integer division (bit-identical across
+    engines and parallelism levels) — no rounding needed."""
+    from datatest_spark import validate
+
+    o = _t(spark, sf_dir, "orders")
+    d = validate.uniqueness(
+        o, "o_custkey", min_ratio=0.5, check_id="uniq_cust"
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.col("value").cast("double").alias("ratio_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.col("deviation").alias("dev_num"),
+    )
+
+
+SQL_UNIQUENESS_ORDERS = """
+WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+a AS (
+  SELECT sum(n) AS r, count(*) FILTER (WHERE n = 1) AS s FROM c
+)
+SELECT 'uniq_cust' AS check_id, 'deviation' AS diff_kind,
+       'uniqueness(o_custkey)' AS key,
+       CAST(s AS DOUBLE) / CAST(r AS DOUBLE) AS ratio_num,
+       CAST(0.5 AS DOUBLE) AS bound_num,
+       CAST(s AS DOUBLE) / CAST(r AS DOUBLE) - 0.5 AS dev_num
+FROM a WHERE CAST(s AS DOUBLE) / CAST(r AS DOUBLE) < 0.5
+"""
+
+
+def q_entropy_returnflag(spark, sf_dir):
+    """Shannon-entropy floor (Deequ hasEntropy): l_returnflag has 3
+    skewed categories (H ≈ 1.03 nats), so a 2.0-nat floor fires one
+    Deviation row.  Closed form H = ln N − (Σ n·ln n)/N from ONE hash
+    aggregate over the count relation; round(,4) absorbs ln/summation
+    float noise between engines."""
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.entropy(
+        li, "l_returnflag", min_entropy=2.0, check_id="ent_rf"
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("entropy_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.round(F.col("deviation"), 4).alias("dev_num"),
+    )
+
+
+SQL_ENTROPY_RETURNFLAG = """
+WITH c AS (
+  SELECT l_returnflag AS v, count(*) AS n
+  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+), a AS (
+  SELECT sum(n) AS t, sum(n * ln(n)) AS s FROM c
+), h AS (
+  SELECT ln(CAST(t AS DOUBLE)) - s / CAST(t AS DOUBLE) AS h FROM a
+)
+SELECT 'ent_rf' AS check_id, 'deviation' AS diff_kind,
+       'entropy(l_returnflag)' AS key,
+       round(h, 4) AS entropy_num, CAST(2.0 AS DOUBLE) AS bound_num,
+       round(h - 2.0, 4) AS dev_num
+FROM h WHERE h < 2.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -2787,6 +2895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": q_table_diff_orders,
         "cardinality_lineitem_order": q_cardinality_lineitem_order,
         "completeness_events": q_completeness_events,
+        "correlation_lineitem": q_correlation_lineitem,
+        "uniqueness_orders_custkey": q_uniqueness_orders_custkey,
+        "entropy_returnflag": q_entropy_returnflag,
     }
 
 
@@ -2865,4 +2976,7 @@ def oracle_sql() -> dict[str, str]:
         "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
         "cardinality_lineitem_order": SQL_CARDINALITY_LINEITEM,
         "completeness_events": SQL_COMPLETENESS_EVENTS,
+        "correlation_lineitem": SQL_CORRELATION_LINEITEM,
+        "uniqueness_orders_custkey": SQL_UNIQUENESS_ORDERS,
+        "entropy_returnflag": SQL_ENTROPY_RETURNFLAG,
     }

@@ -45,7 +45,15 @@ Spec shape::
         {"check": "contiguous", "column": "offset", "group_by": "shard"},
         {"check": "schema_drift", "baseline": "/data/baseline"},
         {"check": "interval_overlap", "start": "valid_from",
-         "end": "valid_to", "group_by": "entity_id"}
+         "end": "valid_to", "group_by": "entity_id"},
+        {"check": "cardinality", "keys": ["okey"], "min_count": 1,
+         "max_count": 7, "parent": "orders"},
+        {"check": "completeness", "columns": {"email": 0.05}},
+        {"check": "correlation", "col_x": "qty", "col_y": "price",
+         "min_corr": 0.5},
+        {"check": "uniqueness", "columns": ["custkey"], "min_ratio": 0.9,
+         "metric": "distinctness"},
+        {"check": "entropy", "column": "status", "min_entropy": 0.5}
       ]
     }
 
@@ -80,10 +88,13 @@ from ..operators.secrets import check_no_secrets
 from ..operators.stats import (
     check_chi_square_drift,
     check_completeness,
+    check_correlation,
+    check_entropy,
     check_freshness,
     check_partition_outliers,
     check_row_count_drift,
     check_schema_drift,
+    check_uniqueness,
     histograms,
 )
 from ..suite import Check, ValidationSuite
@@ -349,6 +360,45 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         builder = lambda t, _c=columns, _r=max_null_ratio, _i=cid: (  # noqa: E731
             check_completeness(
                 t[table], _c, max_null_ratio=float(_r), check_id=_i
+            )
+        )
+    elif kind == "correlation":
+        col_x = e.pop("col_x")
+        col_y = e.pop("col_y")
+        min_corr = e.pop("min_corr", None)
+        max_corr = e.pop("max_corr", None)
+        cid = check_id or f"correlation_{col_x}_{col_y}"
+        builder = lambda t, _x=col_x, _y=col_y, _lo=min_corr, _hi=max_corr, _i=cid: (  # noqa: E731
+            check_correlation(
+                t[table], _x, _y,
+                min_corr=None if _lo is None else float(_lo),
+                max_corr=None if _hi is None else float(_hi),
+                check_id=_i,
+            )
+        )
+    elif kind == "uniqueness":
+        columns = e.pop("columns")
+        min_ratio = e.pop("min_ratio")
+        metric = e.pop("metric", "uniqueness")
+        cid = check_id or "uniqueness_" + "_".join(
+            columns if isinstance(columns, list) else [columns]
+        )
+        builder = lambda t, _c=columns, _r=min_ratio, _m=metric, _i=cid: (  # noqa: E731
+            check_uniqueness(
+                t[table], _c, min_ratio=float(_r), metric=_m, check_id=_i
+            )
+        )
+    elif kind == "entropy":
+        column = e.pop("column")
+        min_entropy = e.pop("min_entropy", None)
+        max_entropy = e.pop("max_entropy", None)
+        cid = check_id or f"entropy_{column}"
+        builder = lambda t, _c=column, _lo=min_entropy, _hi=max_entropy, _i=cid: (  # noqa: E731
+            check_entropy(
+                t[table], _c,
+                min_entropy=None if _lo is None else float(_lo),
+                max_entropy=None if _hi is None else float(_hi),
+                check_id=_i,
             )
         )
     elif kind == "partition_outliers":

@@ -940,3 +940,220 @@ def check_completeness(
         expected=F.col("e.thr"),
         deviation=ratio - F.col("e.thr"),
     )
+
+
+def _bounds(
+    lo: Optional[float], hi: Optional[float], what: str
+) -> tuple[Optional[float], Optional[float]]:
+    """Validate an optional [lo, hi] bound pair; at least one required."""
+    lo = None if lo is None else float(lo)
+    hi = None if hi is None else float(hi)
+    if lo is None and hi is None:
+        raise ValueError(f"give at least one bound for {what}")
+    if lo is not None and hi is not None and hi < lo:
+        raise ValueError(f"max {hi} < min {lo} for {what}")
+    return lo, hi
+
+
+def _scalar_bound_diff(
+    one: DataFrame,
+    stat: Column,
+    *,
+    lo: Optional[float],
+    hi: Optional[float],
+    key: str,
+    check_id: str,
+) -> DataFrame:
+    """Shared emit path for single-statistic bound checks: one
+    Deviation row naming the violated bound, empty when the statistic
+    is inside the bounds or undefined (NULL — e.g. an empty input; an
+    undefined statistic is absence of evidence, pair with
+    ``check_row_count_drift``/``check_completeness`` to bound that)."""
+    bad = one.select(stat.alias("_stat")).filter(
+        (F.col("_stat") < F.lit(lo) if lo is not None else F.lit(False))
+        | (F.col("_stat") > F.lit(hi) if hi is not None else F.lit(False))
+    )
+    bound = (
+        F.when(F.col("_stat") < F.lit(lo), F.lit(lo)) if lo is not None
+        else F.when(F.lit(False), F.lit(None).cast("double"))
+    )
+    expected = bound.otherwise(F.lit(hi)) if hi is not None else bound
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(key),
+        value=F.col("_stat"),
+        expected=expected,
+        deviation=F.col("_stat") - expected,
+    )
+
+
+def check_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    min_corr: Optional[float] = None,
+    max_corr: Optional[float] = None,
+    check_id: str = "correlation",
+) -> DataFrame:
+    """Pearson correlation bound between two numeric columns (the
+    Deequ ``hasCorrelation`` constraint): emit ONE
+    Deviation(key="corr(x,y)", value=r, expected=violated bound)
+    row when r falls outside [``min_corr``, ``max_corr``]; empty
+    otherwise.  Rows where either column is NULL are ignored
+    (standard Pearson pairwise deletion); an UNDEFINED correlation
+    (fewer than two complete pairs, or a zero-variance column) passes
+    — it is absence of evidence, bound the inputs themselves with
+    ``check_completeness`` / ``check_stats_bounds`` when that matters.
+
+    Cost: one scan-local ``corr`` aggregate (map-side partial moment
+    sums, scalar combine) over just the two columns — no shuffle.
+    """
+    lo, hi = _bounds(min_corr, max_corr, "correlation")
+    if lo is not None and lo < -1.0 or hi is not None and hi > 1.0:
+        raise ValueError("correlation bounds must lie in [-1, 1]")
+    # r = covar_pop / (σx·σy) over complete pairs only (pop-vs-samp
+    # cancels in the ratio).  Built from the Welford central-moment
+    # aggregates + try_divide rather than F.corr because under ANSI
+    # mode Corr's final division raises DIVIDE_BY_ZERO on a
+    # zero-variance column instead of returning the undefined-corr
+    # NULL this check's pass semantics require.
+    both = F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    _x = F.when(both, F.col(col_x).cast("double"))
+    _y = F.when(both, F.col(col_y).cast("double"))
+    one = df.agg(
+        F.try_divide(
+            F.covar_pop(_x, _y),
+            F.sqrt(F.var_pop(_x)) * F.sqrt(F.var_pop(_y)),
+        ).alias("_r")
+    )
+    return _scalar_bound_diff(
+        one,
+        F.col("_r"),
+        lo=lo,
+        hi=hi,
+        key=f"corr({col_x},{col_y})",
+        check_id=check_id,
+    )
+
+
+def check_uniqueness(
+    df: DataFrame,
+    columns: Union[str, Sequence[str]],
+    *,
+    min_ratio: float,
+    metric: str = "uniqueness",
+    check_id: str = "uniqueness",
+) -> DataFrame:
+    """Key-cardinality ratio floor over one or more columns (the Deequ
+    uniqueness family), emitting ONE Deviation row when the ratio
+    falls below ``min_ratio``:
+
+    * ``metric="uniqueness"`` — rows whose key occurs exactly once ÷
+      total rows (Deequ ``hasUniqueness``; 1.0 ⇔ the key is unique).
+    * ``metric="distinctness"`` — distinct keys ÷ total rows (Deequ
+      ``hasDistinctness``).
+    * ``metric="unique_value_ratio"`` — keys occurring exactly once ÷
+      distinct keys (Deequ ``hasUniqueValueRatio``).
+
+    This is the MEASURE companion of ``check_unique`` (which names
+    every duplicated key): use this to gate "custkey is ≥99% unique"
+    without materializing per-key violations.  NULL keys form their
+    own group, like ``groupBy`` everywhere else in the engine.  All
+    three ratios are exact integer divisions evaluated in double —
+    deterministic at any parallelism.  An empty input passes (ratios
+    undefined — absence of evidence).
+
+    Cost: one hash aggregate on the key (map-side partial counts —
+    the count relation, never the rows, shuffles) followed by a
+    scalar combine over (key, n).
+    """
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    if not cols:
+        raise ValueError("no key columns")
+    if not (0.0 < float(min_ratio) <= 1.0):
+        raise ValueError(f"min_ratio must be in (0, 1]: {min_ratio}")
+    metrics = ("uniqueness", "distinctness", "unique_value_ratio")
+    if metric not in metrics:
+        raise ValueError(f"metric must be one of {metrics}: {metric!r}")
+    counts = df.groupBy(*[F.col(c) for c in cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    one = counts.agg(
+        F.count(F.lit(1)).alias("_distinct"),
+        F.sum("_n").alias("_rows"),
+        F.count_if(F.col("_n") == 1).alias("_single"),
+    )
+    num = {
+        "uniqueness": F.col("_single"),
+        "distinctness": F.col("_distinct"),
+        "unique_value_ratio": F.col("_single"),
+    }[metric]
+    den = (
+        F.col("_distinct")
+        if metric == "unique_value_ratio"
+        else F.col("_rows")
+    )
+    ratio = F.try_divide(num.cast("double"), den.cast("double"))
+    bad = one.select(ratio.alias("_ratio")).filter(
+        F.col("_ratio") < F.lit(float(min_ratio))
+    )
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(f"{metric}({','.join(cols)})"),
+        value=F.col("_ratio"),
+        expected=F.lit(float(min_ratio)),
+        deviation=F.col("_ratio") - F.lit(float(min_ratio)),
+    )
+
+
+def check_entropy(
+    df: DataFrame,
+    column: str,
+    *,
+    min_entropy: Optional[float] = None,
+    max_entropy: Optional[float] = None,
+    check_id: str = "entropy",
+) -> DataFrame:
+    """Shannon entropy bounds (natural log, nats) over a column's
+    value distribution — the Deequ ``hasEntropy`` constraint: a
+    collapsed-to-one-value column has entropy 0; a uniform n-value
+    column has entropy ln(n).  A floor catches "this feed suddenly
+    answers the same value for everyone"; a ceiling catches an
+    id-like column smuggled into a categorical slot.  NULLs are
+    excluded (they carry no category); an all-NULL or empty input is
+    undefined and passes.  Emits ONE Deviation row naming the
+    violated bound.
+
+    Computed closed-form from ONE hash aggregate: with per-value
+    counts n_i and N = Σ n_i,  H = ln N − (Σ n_i·ln n_i)/N — so the
+    second pass is a scalar combine over the count relation; the raw
+    rows shuffle only their (value, partial-count) pairs.
+    """
+    lo, hi = _bounds(min_entropy, max_entropy, "entropy")
+    if lo is not None and lo < 0.0:
+        raise ValueError("entropy is non-negative; min_entropy < 0 is vacuous")
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    one = counts.agg(
+        F.sum("_n").alias("_t"),
+        F.sum(F.col("_n").cast("double") * F.log(F.col("_n").cast("double"))).alias("_s"),
+    )
+    h = F.log(F.col("_t").cast("double")) - F.try_divide(
+        F.col("_s"), F.col("_t").cast("double")
+    )
+    return _scalar_bound_diff(
+        one,
+        h,
+        lo=lo,
+        hi=hi,
+        key=f"entropy({column})",
+        check_id=check_id,
+    )

@@ -150,6 +150,24 @@ class _Validate:
         return check_completeness(df, columns, **kw)
 
     @staticmethod
+    def correlation(df, col_x, col_y, **kw):
+        from .stats import check_correlation
+
+        return check_correlation(df, col_x, col_y, **kw)
+
+    @staticmethod
+    def uniqueness(df, columns, **kw):
+        from .stats import check_uniqueness
+
+        return check_uniqueness(df, columns, **kw)
+
+    @staticmethod
+    def entropy(df, column, **kw):
+        from .stats import check_entropy
+
+        return check_entropy(df, column, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

@@ -408,3 +408,40 @@ def test_cli_report_and_trend_gate(spark, code_tables, tmp_path, capsys):
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc3 == 0 and out3["trend"]["worse"] is False
     assert out3["trend"]["regressed"] == [] and out3["trend"]["new"] == []
+
+
+def test_spec_correlation_uniqueness_entropy_match_python_api(spark):
+    from datatest_spark.operators.stats import (
+        check_correlation,
+        check_entropy,
+        check_uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 9.0, "a"), (2.0, 5.0, "a"), (3.0, 1.0, "b"), (4.0, 0.0, "b")],
+        "x double, y double, v string",
+    ).withColumn("partition_id", F.lit(0))
+    tables = {"events": df}
+    suite = compile_suite(
+        {
+            "primary": "events",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "correlation", "table": "events", "col_x": "x",
+                 "col_y": "y", "min_corr": 0.0, "id": "corr"},
+                {"check": "uniqueness", "table": "events", "columns": ["v"],
+                 "min_ratio": 0.9, "metric": "distinctness", "id": "uq"},
+                {"check": "entropy", "table": "events", "column": "v",
+                 "max_entropy": 0.5, "id": "ent"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences(tables))
+    bare = df.drop("partition_id")
+    want = (
+        diff_multiset(check_correlation(bare, "x", "y", min_corr=0.0, check_id="corr"))
+        + diff_multiset(check_uniqueness(bare, ["v"], min_ratio=0.9, metric="distinctness", check_id="uq"))
+        + diff_multiset(check_entropy(bare, "v", max_entropy=0.5, check_id="ent"))
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == 3  # anti-correlated, 2 distinct / 4 rows, H=ln(2)>0.5

@@ -194,3 +194,129 @@ def test_completeness_single_scan_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
+
+
+def test_correlation_bounds(spark):
+    from datatest_spark.operators.stats import check_correlation
+
+    lin = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+    )
+    rows = check_correlation(lin, "x", "y", min_corr=-1.0, max_corr=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["diff_kind"] == "deviation" and r["key"] == "corr(x,y)"
+    assert abs(float(r["value"]) - 1.0) < 1e-9
+    assert float(r["expected"]) == 0.5 and abs(r["deviation"] - 0.5) < 1e-9
+    # inside the bounds → silent
+    assert check_correlation(lin, "x", "y", min_corr=0.9).count() == 0
+    # anti-correlated, floor violated
+    anti = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 2.0), (3.0, 1.0)], "x double, y double"
+    )
+    rows = check_correlation(anti, "x", "y", min_corr=0.0).collect()
+    assert len(rows) == 1 and abs(float(rows[0]["value"]) + 1.0) < 1e-9
+    assert float(rows[0]["expected"]) == 0.0
+
+
+def test_correlation_undefined_passes_and_validation(spark):
+    import pytest as _pytest
+    from datatest_spark.operators.stats import check_correlation
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    # zero variance → corr undefined → pass
+    assert check_correlation(const, "x", "y", min_corr=0.5).count() == 0
+    empty = spark.createDataFrame([], "x double, y double")
+    assert check_correlation(empty, "x", "y", max_corr=0.5).count() == 0
+    with _pytest.raises(ValueError, match="at least one bound"):
+        check_correlation(const, "x", "y")
+    with _pytest.raises(ValueError, match="max"):
+        check_correlation(const, "x", "y", min_corr=0.5, max_corr=0.1)
+    with _pytest.raises(ValueError, match=r"\[-1, 1\]"):
+        check_correlation(const, "x", "y", max_corr=1.5)
+
+
+def test_uniqueness_metrics(spark):
+    from datatest_spark.operators.stats import check_uniqueness
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a", "a", "b", "c"]], ["k"]
+    )
+    # rows=4, distinct=3, singletons=2
+    for metric, ratio in [
+        ("uniqueness", 0.5),
+        ("distinctness", 0.75),
+        ("unique_value_ratio", 2.0 / 3.0),
+    ]:
+        rows = check_uniqueness(
+            df, "k", min_ratio=0.99, metric=metric
+        ).collect()
+        assert len(rows) == 1, metric
+        assert abs(float(rows[0]["value"]) - ratio) < 1e-12, metric
+        assert rows[0]["key"] == f"{metric}(k)"
+        assert (
+            check_uniqueness(df, "k", min_ratio=ratio, metric=metric).count()
+            == 0
+        ), metric  # ratio == floor is not a violation
+    # multi-column key: all 4 (k, i) pairs distinct → fully unique
+    df2 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("c", 1)], ["k", "i"]
+    )
+    assert (
+        check_uniqueness(df2, ["k", "i"], min_ratio=1.0).count() == 0
+    )
+
+
+def test_uniqueness_empty_nulls_and_validation(spark):
+    import pytest as _pytest
+    from datatest_spark.operators.stats import check_uniqueness
+
+    empty = spark.createDataFrame([], "k string")
+    assert check_uniqueness(empty, "k", min_ratio=1.0).count() == 0
+    # NULL keys form one group: [null, null, 'a'] → singletons 1/3 rows
+    nulls = spark.createDataFrame([(None,), (None,), ("a",)], "k string")
+    rows = check_uniqueness(nulls, "k", min_ratio=0.9).collect()
+    assert abs(float(rows[0]["value"]) - 1.0 / 3.0) < 1e-12
+    with _pytest.raises(ValueError, match="min_ratio"):
+        check_uniqueness(nulls, "k", min_ratio=0.0)
+    with _pytest.raises(ValueError, match="metric"):
+        check_uniqueness(nulls, "k", min_ratio=0.5, metric="nope")
+    with _pytest.raises(ValueError, match="no key columns"):
+        check_uniqueness(nulls, [], min_ratio=0.5)
+
+
+def test_entropy_bounds(spark):
+    import math
+
+    from datatest_spark.operators.stats import check_entropy
+
+    const = spark.createDataFrame([("a",)] * 5, ["v"])
+    rows = check_entropy(const, "v", min_entropy=0.5).collect()
+    assert len(rows) == 1
+    assert float(rows[0]["value"]) == 0.0  # one value → zero entropy
+    assert float(rows[0]["expected"]) == 0.5
+    uniform = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d"] * 3], ["v"]
+    )
+    rows = check_entropy(uniform, "v", max_entropy=1.0).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["value"]) - math.log(4)) < 1e-9
+    assert check_entropy(uniform, "v", min_entropy=1.0).count() == 0
+
+
+def test_entropy_nulls_empty_and_validation(spark):
+    import pytest as _pytest
+    from datatest_spark.operators.stats import check_entropy
+
+    # NULLs carry no category: [a, a, NULL] has entropy 0
+    df = spark.createDataFrame([("a",), ("a",), (None,)], "v string")
+    rows = check_entropy(df, "v", min_entropy=0.1).collect()
+    assert len(rows) == 1 and float(rows[0]["value"]) == 0.0
+    all_null = spark.createDataFrame([(None,), (None,)], "v string")
+    assert check_entropy(all_null, "v", min_entropy=0.1).count() == 0
+    with _pytest.raises(ValueError, match="at least one bound"):
+        check_entropy(df, "v")
+    with _pytest.raises(ValueError, match="non-negative"):
+        check_entropy(df, "v", min_entropy=-1.0)
