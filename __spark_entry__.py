@@ -2820,6 +2820,121 @@ FROM h WHERE h < 2.0
 """
 
 
+def q_mutual_info_lineitem(spark, sf_dir):
+    """Mutual-information floor (Deequ hasMutualInformation):
+    l_returnflag and l_linestatus are independent in this corpus
+    (MI ~ 1e-6 nats), so a 0.1-nat floor fires one Deviation row.
+    One groupBy(flag, status) shuffle of the raw rows; marginals and
+    all three n*ln(n) sums derive from that compact joint relation.
+    round(,4) absorbs ln/summation float noise (the clamped-at-0 value
+    rounds to 0.0 in both engines)."""
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.mutual_information(
+        li, "l_returnflag", "l_linestatus", min_mi=0.1, check_id="mi_li"
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("mi_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.round(F.col("deviation"), 4).alias("dev_num"),
+    )
+
+
+SQL_MUTUAL_INFO_LINEITEM = """
+WITH j AS (
+  SELECT l_returnflag x, l_linestatus y, count(*) n FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2
+), a AS (SELECT sum(n) t, sum(n * ln(n)) sxy FROM j),
+mx AS (SELECT sum(sn * ln(sn)) sx FROM (SELECT sum(n) sn FROM j GROUP BY x)),
+my AS (SELECT sum(sn * ln(sn)) sy FROM (SELECT sum(n) sn FROM j GROUP BY y)),
+h AS (SELECT greatest(ln(CAST(t AS DOUBLE)) - (sx + sy - sxy) / CAST(t AS DOUBLE), 0.0) mi
+      FROM a, mx, my)
+SELECT 'mi_li' AS check_id, 'deviation' AS diff_kind,
+       'mutual_information(l_returnflag,l_linestatus)' AS key,
+       round(mi, 4) AS mi_num, CAST(0.1 AS DOUBLE) AS bound_num,
+       round(mi - 0.1, 4) AS dev_num
+FROM h WHERE mi < 0.1
+"""
+
+
+def q_distinct_count_priority(spark, sf_dir):
+    """Distinct-count floor (Deequ hasNumberOfDistinctValues):
+    o_orderpriority has exactly 5 values, so a floor of 10 fires one
+    Deviation row.  Exact count_distinct (partial dedup map-side) —
+    integer statistic, bit-identical across engines, no rounding."""
+    from datatest_spark import validate
+
+    o = _t(spark, sf_dir, "orders")
+    d = validate.distinct_count(
+        o, "o_orderpriority", min_count=10, check_id="dc_prio"
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.col("value").cast("double").alias("count_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.col("deviation").alias("dev_num"),
+    )
+
+
+SQL_DISTINCT_COUNT_PRIORITY = """
+WITH d AS (SELECT CAST(count(DISTINCT o_orderpriority) AS DOUBLE) d FROM orders)
+SELECT 'dc_prio' AS check_id, 'deviation' AS diff_kind,
+       'distinct_count(o_orderpriority)' AS key,
+       d AS count_num, CAST(10 AS DOUBLE) AS bound_num,
+       d - 10 AS dev_num
+FROM d WHERE d < 10
+"""
+
+
+def q_ts_anomaly_events(spark, sf_dir):
+    """Trailing-window time-series anomaly gate: daily event counts
+    judged against the mean/stddev of the 7 preceding days (current
+    day excluded from its own baseline); exactly one of the 30 days
+    deviates past z=2.  ONE groupBy(day) agg shuffles #days rows; the
+    ordered window runs over that collapsed 30-row relation.
+    round(,4) on the mean and z-score absorbs stddev float noise."""
+    from datatest_spark import validate
+
+    ev = _t(spark, sf_dir, "events")
+    d = validate.timeseries_anomaly(
+        ev, "ts", period="day", window=7, z=2.0, min_periods=3,
+        check_id="tsa_ev",
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.col("value").cast("double").alias("count_num"),
+        F.round(F.col("expected").cast("double"), 4).alias("mean_num"),
+        F.round(F.col("deviation"), 4).alias("z_num"),
+    )
+
+
+SQL_TS_ANOMALY_EVENTS = """
+WITH d AS (
+  SELECT date_trunc('day', ts) p, CAST(count(*) AS DOUBLE) n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), w AS (
+  SELECT p, n,
+    avg(n) OVER (ORDER BY p ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) m,
+    stddev_samp(n) OVER (ORDER BY p ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) s,
+    count(*) OVER (ORDER BY p ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) k
+  FROM d
+)
+SELECT 'tsa_ev' AS check_id, 'deviation' AS diff_kind,
+       CAST(CAST(p AS TIMESTAMP) AS VARCHAR) AS key, n AS count_num,
+       round(m, 4) AS mean_num, round((n - m) / s, 4) AS z_num
+FROM w
+WHERE k >= 3 AND s IS NOT NULL AND abs(n - m) > 2.0 * s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -2898,6 +3013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_lineitem": q_correlation_lineitem,
         "uniqueness_orders_custkey": q_uniqueness_orders_custkey,
         "entropy_returnflag": q_entropy_returnflag,
+        "mutual_info_lineitem": q_mutual_info_lineitem,
+        "distinct_count_priority": q_distinct_count_priority,
+        "ts_anomaly_events": q_ts_anomaly_events,
     }
 
 
@@ -2979,4 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "correlation_lineitem": SQL_CORRELATION_LINEITEM,
         "uniqueness_orders_custkey": SQL_UNIQUENESS_ORDERS,
         "entropy_returnflag": SQL_ENTROPY_RETURNFLAG,
+        "mutual_info_lineitem": SQL_MUTUAL_INFO_LINEITEM,
+        "distinct_count_priority": SQL_DISTINCT_COUNT_PRIORITY,
+        "ts_anomaly_events": SQL_TS_ANOMALY_EVENTS,
     }

@@ -53,7 +53,13 @@ Spec shape::
          "min_corr": 0.5},
         {"check": "uniqueness", "columns": ["custkey"], "min_ratio": 0.9,
          "metric": "distinctness"},
-        {"check": "entropy", "column": "status", "min_entropy": 0.5}
+        {"check": "entropy", "column": "status", "min_entropy": 0.5},
+        {"check": "mutual_information", "col_x": "label", "col_y": "source",
+         "min_mi": 0.1},
+        {"check": "distinct_count", "column": "country", "min_count": 50,
+         "max_count": 300},
+        {"check": "timeseries_anomaly", "time_col": "ts", "period": "day",
+         "window": 7, "z": 3.0}
       ]
     }
 
@@ -89,11 +95,14 @@ from ..operators.stats import (
     check_chi_square_drift,
     check_completeness,
     check_correlation,
+    check_distinct_count,
     check_entropy,
     check_freshness,
+    check_mutual_information,
     check_partition_outliers,
     check_row_count_drift,
     check_schema_drift,
+    check_timeseries_anomaly,
     check_uniqueness,
     histograms,
 )
@@ -398,6 +407,51 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 t[table], _c,
                 min_entropy=None if _lo is None else float(_lo),
                 max_entropy=None if _hi is None else float(_hi),
+                check_id=_i,
+            )
+        )
+    elif kind == "mutual_information":
+        col_x = e.pop("col_x")
+        col_y = e.pop("col_y")
+        min_mi = e.pop("min_mi", None)
+        max_mi = e.pop("max_mi", None)
+        cid = check_id or f"mutual_information_{col_x}_{col_y}"
+        builder = lambda t, _x=col_x, _y=col_y, _lo=min_mi, _hi=max_mi, _i=cid: (  # noqa: E731
+            check_mutual_information(
+                t[table], _x, _y,
+                min_mi=None if _lo is None else float(_lo),
+                max_mi=None if _hi is None else float(_hi),
+                check_id=_i,
+            )
+        )
+    elif kind == "distinct_count":
+        column = e.pop("column")
+        min_count = e.pop("min_count", None)
+        max_count = e.pop("max_count", None)
+        approx = bool(e.pop("approx", False))
+        cid = check_id or f"distinct_count_{column}"
+        builder = lambda t, _c=column, _lo=min_count, _hi=max_count, _a=approx, _i=cid: (  # noqa: E731
+            check_distinct_count(
+                t[table], _c,
+                min_count=None if _lo is None else float(_lo),
+                max_count=None if _hi is None else float(_hi),
+                approx=_a,
+                check_id=_i,
+            )
+        )
+    elif kind == "timeseries_anomaly":
+        time_col = e.pop("time_col")
+        period = e.pop("period", "day")
+        metric = e.pop("metric", "count")
+        value_col = e.pop("value_col", None)
+        window = e.pop("window", 7)
+        z = e.pop("z", 3.0)
+        min_periods = e.pop("min_periods", 3)
+        cid = check_id or f"timeseries_anomaly_{time_col}"
+        builder = lambda t, _tc=time_col, _p=period, _m=metric, _v=value_col, _w=window, _z=z, _k=min_periods, _i=cid: (  # noqa: E731
+            check_timeseries_anomaly(
+                t[table], _tc, period=_p, metric=_m, value_col=_v,
+                window=int(_w), z=float(_z), min_periods=int(_k),
                 check_id=_i,
             )
         )

@@ -1157,3 +1157,230 @@ def check_entropy(
         key=f"entropy({column})",
         check_id=check_id,
     )
+
+
+def check_mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    min_mi: Optional[float] = None,
+    max_mi: Optional[float] = None,
+    check_id: str = "mutual_information",
+) -> DataFrame:
+    """Mutual-information bounds (natural log, nats) between two
+    categorical columns — the Deequ ``hasMutualInformation``
+    constraint: MI = H(X) + H(Y) − H(X,Y), 0 ⇔ independent, up to
+    min(H(X), H(Y)) ⇔ one determines the other.  A floor catches "the
+    label column stopped tracking the feature it is derived from"; a
+    ceiling catches leakage (two columns that should be independent
+    sharing information).  Rows where either column is NULL are
+    excluded (complete pairs, matching ``check_correlation``); an
+    empty input is undefined and passes.  Emits ONE Deviation row
+    naming the violated bound.  The statistic is clamped at 0 so exact
+    independence cannot round to −0.0 from float noise.
+
+    Shape: the raw rows shuffle ONCE into the joint groupBy(x, y)
+    count relation; both marginals and all three Σ n·ln n sums are
+    derived from that compact relation (map-side partial aggs), so the
+    combine cost is bounded by the joint-domain cardinality, never the
+    row count.
+    """
+    lo, hi = _bounds(min_mi, max_mi, "mutual information")
+    if lo is not None and lo < 0.0:
+        raise ValueError(
+            "mutual information is non-negative; min_mi < 0 is vacuous"
+        )
+    both = F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    joint = (
+        df.filter(both)
+        .groupBy(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+    def _nlogn(c: str) -> Column:
+        d = F.col(c).cast("double")
+        return F.sum(d * F.log(d))
+
+    jagg = joint.agg(
+        F.sum("_n").alias("_t"), _nlogn("_n").alias("_sxy")
+    )
+    xm = (
+        joint.groupBy("_x")
+        .agg(F.sum("_n").alias("_nx"))
+        .agg(_nlogn("_nx").alias("_sx"))
+    )
+    ym = (
+        joint.groupBy("_y")
+        .agg(F.sum("_n").alias("_ny"))
+        .agg(_nlogn("_ny").alias("_sy"))
+    )
+    one = jagg.crossJoin(xm).crossJoin(ym)
+    # MI = ln N − (Σ nx·ln nx + Σ ny·ln ny − Σ nxy·ln nxy) / N
+    mi_raw = F.log(F.col("_t").cast("double")) - F.try_divide(
+        F.col("_sx") + F.col("_sy") - F.col("_sxy"),
+        F.col("_t").cast("double"),
+    )
+    # clamp only when defined: greatest() skips NULLs, so a bare
+    # greatest(mi, 0) would turn the undefined empty-input case into 0
+    mi = F.when(mi_raw.isNotNull(), F.greatest(mi_raw, F.lit(0.0)))
+    return _scalar_bound_diff(
+        one,
+        mi,
+        lo=lo,
+        hi=hi,
+        key=f"mutual_information({col_x},{col_y})",
+        check_id=check_id,
+    )
+
+
+def check_distinct_count(
+    df: DataFrame,
+    column: str,
+    *,
+    min_count: Optional[float] = None,
+    max_count: Optional[float] = None,
+    approx: bool = False,
+    check_id: str = "distinct_count",
+) -> DataFrame:
+    """Absolute distinct-count bounds over a column (the Deequ
+    ``hasNumberOfDistinctValues`` constraint): a floor catches a
+    collapsed feed ("country suddenly has 2 values"), a ceiling
+    catches domain explosion ("status grew free-text garbage").
+    NULL is not a value (``count_distinct`` semantics).  Unlike the
+    ratio checks, an EMPTY input does not pass a floor — a table with
+    0 distinct values is exactly what a floor exists to catch.  Emits
+    ONE Deviation row naming the violated bound.
+
+    ``approx=True`` swaps in ``approx_count_distinct`` (HLL++, ~2%
+    relative error) — ONE scan-local pass with constant memory, the
+    10^12-row path; the exact default shuffles the deduplicated value
+    set (partial distinct map-side), which is fine up to high-
+    cardinality-but-bounded domains.  Leave headroom in the bounds
+    when using ``approx``.
+    """
+    lo, hi = _bounds(min_count, max_count, "distinct count")
+    if lo is not None and lo < 0:
+        raise ValueError("distinct count is non-negative; min_count < 0 is vacuous")
+    agg = (
+        F.approx_count_distinct(F.col(column))
+        if approx
+        else F.count_distinct(F.col(column))
+    )
+    one = df.agg(agg.cast("double").alias("_d"))
+    return _scalar_bound_diff(
+        one,
+        F.col("_d"),
+        lo=lo,
+        hi=hi,
+        key=f"distinct_count({column})",
+        check_id=check_id,
+    )
+
+
+_TS_PERIODS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def check_timeseries_anomaly(
+    df: DataFrame,
+    time_col: str,
+    *,
+    period: str = "day",
+    metric: str = "count",
+    value_col: Optional[str] = None,
+    window: int = 7,
+    z: float = 3.0,
+    min_periods: int = 3,
+    check_id: str = "timeseries_anomaly",
+) -> DataFrame:
+    """Trailing-window anomaly screen over a per-period metric — the
+    scheduled-ingest "did today look like the last week?" gate
+    (the Deequ anomaly-detection shape, computed from the table's own
+    time column instead of a metrics repository): bucket rows by
+    ``date_trunc(period, time_col)``, compute ``metric`` per bucket,
+    and flag buckets whose metric sits more than ``z`` sample standard
+    deviations from the mean of the ``window`` PRECEDING buckets
+    (the current bucket is excluded from its own baseline, so a spike
+    cannot mask itself).  Buckets with fewer than ``min_periods``
+    trailing observations are not judged — there is no baseline to
+    deviate from.  A ZERO trailing stddev (perfectly flat baseline)
+    flags ANY change — z·0 = 0 is the consistent limit, and "every
+    prior period was identical, this one is not" is the clearest
+    anomaly there is; the emitted z-score is NULL in that case (the
+    value/expected columns carry the magnitudes).
+
+    ``metric``: ``'count'`` | ``'sum'`` | ``'avg'`` | ``'null_rate'``
+    (all but ``'count'`` require ``value_col``).
+
+    Emits Deviation(value=metric, expected=trailing mean,
+    deviation=signed z-score) keyed by the period start (canonical
+    string form).  NULL timestamps are excluded (no bucket).
+
+    Shape: ONE groupBy(period) agg with map-side partial aggregation
+    (shuffle rows = #periods), then an ordered window over that
+    COLLAPSED relation.  That window is a deliberate single-partition
+    sort over #periods rows — thousands at most for any real retention
+    (10 years of hours ≈ 88k rows) — aggregate-then-sort is the right
+    order at any scale; the raw rows are scanned once and never
+    re-shuffled.
+    """
+    from pyspark.sql.window import Window
+
+    if period not in _TS_PERIODS:
+        raise ValueError(f"period must be one of {_TS_PERIODS}: {period!r}")
+    if int(window) < 2:
+        raise ValueError(f"window must be >= 2 trailing periods: {window}")
+    if not (2 <= int(min_periods) <= int(window)):
+        raise ValueError(
+            f"min_periods must be in [2, window={window}]: {min_periods}"
+        )
+    if float(z) <= 0.0:
+        raise ValueError(f"z must be positive: {z}")
+    if metric == "count":
+        m = F.count(F.lit(1)).cast("double")
+    elif metric in ("sum", "avg", "null_rate"):
+        if value_col is None:
+            raise ValueError(f"metric {metric!r} requires value_col")
+        v = F.col(value_col)
+        if metric == "sum":
+            m = F.sum(v).cast("double")
+        elif metric == "avg":
+            m = F.avg(v).cast("double")
+        else:
+            m = F.try_divide(
+                F.sum(v.isNull().cast("long")), F.count(F.lit(1))
+            )
+    else:
+        raise ValueError(
+            f"unknown metric {metric!r} (count|sum|avg|null_rate)"
+        )
+    per = (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(F.date_trunc(period, F.col(time_col)).alias("_p"))
+        .agg(m.alias("_m"))
+    )
+    w = Window.orderBy("_p").rowsBetween(-int(window), -1)
+    judged = per.select(
+        "_p",
+        "_m",
+        F.avg("_m").over(w).alias("_mu"),
+        F.stddev_samp("_m").over(w).alias("_sigma"),
+        F.count("_m").over(w).alias("_k"),
+    )
+    bad = judged.filter(
+        (F.col("_k") >= int(min_periods))
+        & F.col("_sigma").isNotNull()
+        & (
+            F.abs(F.col("_m") - F.col("_mu"))
+            > F.lit(float(z)) * F.col("_sigma")
+        )
+    )
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("_p").cast("string"),
+        value=F.col("_m"),
+        expected=F.col("_mu"),
+        deviation=F.try_divide(F.col("_m") - F.col("_mu"), F.col("_sigma")),
+    )

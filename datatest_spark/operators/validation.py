@@ -168,6 +168,24 @@ class _Validate:
         return check_entropy(df, column, **kw)
 
     @staticmethod
+    def mutual_information(df, col_x, col_y, **kw):
+        from .stats import check_mutual_information
+
+        return check_mutual_information(df, col_x, col_y, **kw)
+
+    @staticmethod
+    def distinct_count(df, column, **kw):
+        from .stats import check_distinct_count
+
+        return check_distinct_count(df, column, **kw)
+
+    @staticmethod
+    def timeseries_anomaly(df, time_col, **kw):
+        from .stats import check_timeseries_anomaly
+
+        return check_timeseries_anomaly(df, time_col, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

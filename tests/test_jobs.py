@@ -445,3 +445,52 @@ def test_spec_correlation_uniqueness_entropy_match_python_api(spark):
     )
     assert sorted(got) == sorted(want)
     assert len(got) == 3  # anti-correlated, 2 distinct / 4 rows, H=ln(2)>0.5
+
+
+def test_spec_mi_distinct_tsanomaly_match_python_api(spark):
+    import datetime as dt
+
+    from datatest_spark.operators.stats import (
+        check_distinct_count,
+        check_mutual_information,
+        check_timeseries_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [5, 6, 5, 6, 5, 50]
+    for d, n in enumerate(counts):
+        rows += [
+            (base + dt.timedelta(days=d), "a" if i % 2 else "b", "x" if i % 2 else "y")
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, "ts timestamp, u string, w string").withColumn(
+        "partition_id", F.lit(0)
+    )
+    tables = {"events": df}
+    suite = compile_suite(
+        {
+            "primary": "events",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "mutual_information", "table": "events",
+                 "col_x": "u", "col_y": "w", "max_mi": 0.1, "id": "mi"},
+                {"check": "distinct_count", "table": "events", "column": "u",
+                 "min_count": 5, "id": "dc"},
+                {"check": "timeseries_anomaly", "table": "events",
+                 "time_col": "ts", "window": 5, "z": 3.0,
+                 "min_periods": 3, "id": "tsa"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences(tables))
+    bare = df.drop("partition_id")
+    want = (
+        diff_multiset(check_mutual_information(bare, "u", "w", max_mi=0.1, check_id="mi"))
+        + diff_multiset(check_distinct_count(bare, "u", min_count=5, check_id="dc"))
+        + diff_multiset(check_timeseries_anomaly(bare, "ts", window=5, z=3.0, min_periods=3, check_id="tsa"))
+    )
+    assert sorted(got) == sorted(want)
+    # u determines w exactly (MI = ln 2 > 0.1), u has 2 < 5 distinct,
+    # and the day-6 spike is > 3 sigma from the flat-ish baseline
+    assert len(got) == 3

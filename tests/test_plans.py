@@ -206,3 +206,36 @@ def test_suite_share_scan_reads_source_once(spark, tmp_path):
     v1 = sorted(map(tuple, r1.verdicts.select("partition_id", "status", "n_rows", "n_violations").collect()))
     v2 = sorted(map(tuple, r2.verdicts.select("partition_id", "status", "n_rows", "n_violations").collect()))
     assert v1 == v2 and r1.n_violations == r2.n_violations
+
+
+def test_mutual_information_reuses_joint_exchange(spark):
+    """The MI check's three aggregate branches (joint + two marginals)
+    must share ONE raw-row scan+shuffle at runtime: AQE's exchange
+    reuse dedupes the identical joint-groupBy subtree, so the marginal
+    branches read the reused shuffle output instead of rescanning."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    d = validate.mutual_information(
+        li, "l_returnflag", "l_linestatus", min_mi=0.1
+    )
+    d.collect()  # AQE finalizes reuse only at execution
+    plan = _plan(d)
+    assert "ReusedExchange" in plan
+    # and the scan is pruned to exactly the two judged columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema and "l_linestatus" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_timeseries_anomaly_windows_collapsed_relation(spark):
+    """The anomaly window must run over the COLLAPSED per-period
+    relation (rows = #periods), never the raw rows: the plan's
+    single-partition window sits ABOVE the hash aggregate, and the
+    scan reads only the time column."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    d = validate.timeseries_anomaly(ev, "ts", period="day", window=7, z=2.0)
+    plan = _plan(d)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read_schema and "props" not in read_schema
+    # aggregate-then-window: the Window node's child chain contains the
+    # final HashAggregate, so the sort ranges over periods, not events
+    assert plan.index("Window") < plan.index("HashAggregate")

@@ -320,3 +320,148 @@ def test_entropy_nulls_empty_and_validation(spark):
         check_entropy(df, "v")
     with _pytest.raises(ValueError, match="non-negative"):
         check_entropy(df, "v", min_entropy=-1.0)
+
+
+def test_mutual_information_dependence_and_independence(spark):
+    import math
+
+    from datatest_spark.operators.stats import check_mutual_information
+
+    # perfect dependence: y == x over a uniform 4-value domain → MI = ln 4
+    dep = spark.createDataFrame(
+        [(v, v) for v in ["a", "b", "c", "d"] * 3], ["x", "y"]
+    )
+    rows = check_mutual_information(dep, "x", "y", min_mi=2.0).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["value"]) - math.log(4)) < 1e-9
+    assert rows[0]["key"] == "mutual_information(x,y)"
+    assert check_mutual_information(dep, "x", "y", min_mi=1.0).count() == 0
+    rows = check_mutual_information(dep, "x", "y", max_mi=1.0).collect()
+    assert len(rows) == 1 and float(rows[0]["expected"]) == 1.0
+    # exact independence: full product of uniform marginals → MI = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in ["a", "b"] for y in ["c", "d"] for _ in range(3)],
+        ["x", "y"],
+    )
+    rows = check_mutual_information(ind, "x", "y", min_mi=0.1).collect()
+    assert len(rows) == 1
+    assert float(rows[0]["value"]) == 0.0  # clamped, never -0.0
+    assert check_mutual_information(ind, "x", "y", max_mi=0.5).count() == 0
+
+
+def test_mutual_information_nulls_empty_and_validation(spark):
+    import math
+
+    import pytest as _pytest
+    from datatest_spark.operators.stats import check_mutual_information
+
+    # incomplete pairs are excluded: only the (a,c)/(b,d) rows count
+    df = spark.createDataFrame(
+        [("a", "c"), ("b", "d"), ("a", None), (None, "d")],
+        "x string, y string",
+    )
+    rows = check_mutual_information(df, "x", "y", max_mi=0.1).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["value"]) - math.log(2)) < 1e-9
+    empty = spark.createDataFrame([], "x string, y string")
+    assert check_mutual_information(empty, "x", "y", min_mi=0.1).count() == 0
+    with _pytest.raises(ValueError, match="at least one bound"):
+        check_mutual_information(df, "x", "y")
+    with _pytest.raises(ValueError, match="non-negative"):
+        check_mutual_information(df, "x", "y", min_mi=-0.5)
+
+
+def test_distinct_count_bounds(spark):
+    from datatest_spark.operators.stats import check_distinct_count
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), (None,)], "v string"
+    )
+    rows = check_distinct_count(df, "v", min_count=5).collect()
+    assert len(rows) == 1
+    assert float(rows[0]["value"]) == 3.0  # NULL is not a value
+    rows = check_distinct_count(df, "v", max_count=2).collect()
+    assert len(rows) == 1 and float(rows[0]["expected"]) == 2.0
+    assert check_distinct_count(df, "v", min_count=3, max_count=3).count() == 0
+    # UNLIKE the ratio checks an empty input fails a floor: 0 distinct
+    empty = spark.createDataFrame([], "v string")
+    rows = check_distinct_count(empty, "v", min_count=1).collect()
+    assert len(rows) == 1 and float(rows[0]["value"]) == 0.0
+    # approx path lands on the exact value at this cardinality
+    rows = check_distinct_count(df, "v", min_count=5, approx=True).collect()
+    assert len(rows) == 1 and abs(float(rows[0]["value"]) - 3.0) <= 1.0
+
+
+def test_timeseries_anomaly_spike_and_guards(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+    from datatest_spark.operators.stats import check_timeseries_anomaly
+
+    # days 1-8: slightly varying counts; day 9: 10x spike
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows_in = []
+    counts = [10, 11, 10, 12, 10, 11, 12, 10, 110]
+    for d, n in enumerate(counts):
+        rows_in += [(base + dt.timedelta(days=d),)] * n
+    df = spark.createDataFrame(rows_in, "ts timestamp")
+    out = check_timeseries_anomaly(
+        df, "ts", period="day", window=7, z=3.0, min_periods=3
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["key"].startswith("2024-01-09")
+    assert float(out[0]["value"]) == 110.0
+    assert float(out[0]["deviation"]) > 3.0
+    # early buckets (fewer than min_periods trailing) are never judged:
+    # day 2's count of 11 vs a single-day baseline of 10 stays silent
+    assert (
+        check_timeseries_anomaly(
+            df, "ts", window=7, z=0.1, min_periods=3
+        ).count()
+        >= 1
+    )
+    # flat baseline then any change flags (sigma=0 limit), z-score NULL
+    flat = []
+    for d, n in enumerate([10, 10, 10, 10, 11]):
+        flat += [(base + dt.timedelta(days=d),)] * n
+    fdf = spark.createDataFrame(flat, "ts timestamp")
+    out = check_timeseries_anomaly(
+        fdf, "ts", window=7, z=3.0, min_periods=3
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["key"].startswith("2024-01-05")
+    assert out[0]["deviation"] is None
+    with _pytest.raises(ValueError, match="period"):
+        check_timeseries_anomaly(fdf, "ts", period="fortnight")
+    with _pytest.raises(ValueError, match="min_periods"):
+        check_timeseries_anomaly(fdf, "ts", window=7, min_periods=1)
+    with _pytest.raises(ValueError, match="requires value_col"):
+        check_timeseries_anomaly(fdf, "ts", metric="sum")
+    with _pytest.raises(ValueError, match="metric"):
+        check_timeseries_anomaly(fdf, "ts", metric="median")
+
+
+def test_timeseries_anomaly_sum_metric(spark):
+    import datetime as dt
+
+    from datatest_spark.operators.stats import check_timeseries_anomaly
+
+    base = dt.datetime(2024, 3, 1)
+    rows_in = []
+    # constant count per day but day 6's values explode → only the
+    # sum/avg metrics can see it
+    for d in range(6):
+        v = 1000.0 if d == 5 else 1.0
+        rows_in += [(base + dt.timedelta(days=d), v + i * 0.1) for i in range(5)]
+    df = spark.createDataFrame(rows_in, "ts timestamp, amount double")
+    assert (
+        check_timeseries_anomaly(
+            df, "ts", window=5, z=3.0, min_periods=3
+        ).count()
+        == 0
+    )
+    out = check_timeseries_anomaly(
+        df, "ts", metric="sum", value_col="amount",
+        window=5, z=3.0, min_periods=3,
+    ).collect()
+    assert len(out) == 1 and out[0]["key"].startswith("2024-03-06")
