@@ -1,5 +1,12 @@
 """Cluster job entrypoints: declarative specs + spark-submit runner."""
 
 from .spec import compile_check, compile_suite, load_spec, load_tables
+from .suggest import suggest_spec
 
-__all__ = ["compile_check", "compile_suite", "load_spec", "load_tables"]
+__all__ = [
+    "compile_check",
+    "compile_suite",
+    "load_spec",
+    "load_tables",
+    "suggest_spec",
+]

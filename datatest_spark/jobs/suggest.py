@@ -1,0 +1,195 @@
+"""Constraint suggestion: profile a table once, emit a declarative spec.
+
+The Deequ ``ConstraintSuggestion`` shape re-expressed on this engine's
+spec vocabulary (``jobs/spec.py``): ``suggest_spec(df)`` profiles the
+table and returns a spec dict that ``compile_suite`` accepts verbatim —
+the "day 0" path for onboarding a table nobody has written checks for
+yet.  Every suggested check passes on the profiled snapshot by
+construction (the bounds ARE the observed values), so the emitted spec
+is a change-detector: it fires when tomorrow's load stops looking like
+today's.
+
+Scale shape: ONE fused ``column_stats`` pass (sketch mode — approx
+distinct, mergeable quantiles) over all columns, ONE ``histograms``
+shuffle over only the low-cardinality string columns the set rule
+wants, and ONE exact ``count_distinct`` aggregate over only the
+candidate key columns (approx counts are ±2%, too sloppy to promise
+uniqueness — candidates are confirmed exactly before a ``unique`` check
+is suggested).  All driver-side logic runs over the collected stats
+relation — one row per column, never data rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.stats import column_stats, histograms
+
+#: a string column with at most this many distinct values (observed,
+#: approx) is treated as categorical and gets a ``subset`` suggestion
+DEFAULT_MAX_SET_CARDINALITY = 20
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.NumericType)
+
+
+def suggest_spec(
+    df: DataFrame,
+    *,
+    table: str = "table",
+    partition_col: Optional[str] = None,
+    max_set_cardinality: int = DEFAULT_MAX_SET_CARDINALITY,
+    interval_headroom: float = 0.0,
+    distinct_headroom: float = 0.5,
+    max_null_headroom: float = 0.05,
+) -> dict:
+    """Profile ``df`` and return a ready-to-run validation spec.
+
+    Rules (each suggestion passes on the profiled snapshot):
+
+    * every column: a ``completeness`` ceiling — 0.0 for columns with
+      no observed NULLs, else the observed ratio plus
+      ``max_null_headroom`` (capped at 1.0; columns over 50% NULL get
+      no ceiling — they are structurally sparse, not drifting).
+    * numeric columns: an ``interval`` from the observed min/max,
+      widened by ``interval_headroom`` × the observed range per side.
+    * string columns with ≤ ``max_set_cardinality`` distinct values:
+      a ``subset`` of the observed value set (NULL excluded — the
+      completeness ceiling owns NULLs).
+    * higher-cardinality string columns: ``distinct_count`` bounds at
+      ±``distinct_headroom`` × the observed count (``approx`` mode —
+      the suggestion is a domain-stability gate, not an exact census).
+    * columns whose exact distinct count equals the row count with no
+      NULLs: a ``unique`` key check.  Candidates come from the approx
+      profile (within 2× its error bar) and are CONFIRMED with one
+      exact ``count_distinct`` pass before being suggested.
+
+    Timestamp/date/complex columns only get the completeness rule —
+    an interval frozen at profile time would fail the first fresh
+    load by design, which is a scheduling decision the caller must
+    make (see ``freshness``'s pinned-instant contract).
+    """
+    if not (0 <= float(interval_headroom)):
+        raise ValueError(f"interval_headroom must be >= 0: {interval_headroom}")
+    if not (0 <= float(distinct_headroom)):
+        raise ValueError(f"distinct_headroom must be >= 0: {distinct_headroom}")
+    stats = {
+        r["column_name"]: r
+        for r in column_stats(df, table_name=table).collect()
+    }
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    row_count = next(iter(stats.values()))["row_count"] if stats else 0
+
+    checks: list[dict] = []
+    set_candidates: list[str] = []
+    unique_candidates: list[str] = []
+    completeness_map: dict[str, float] = {}
+
+    for name, r in stats.items():
+        dt = dtypes[name]
+        nulls, nd = r["null_count"], r["n_distinct"]
+        non_null = row_count - nulls
+        null_ratio = (nulls / row_count) if row_count else 0.0
+        # completeness ceiling — collected into ONE fused check below
+        if row_count and null_ratio <= 0.5:
+            ceiling = 0.0 if nulls == 0 else min(
+                1.0, null_ratio + float(max_null_headroom)
+            )
+            completeness_map[name] = round(ceiling, 6)
+        if _is_numeric(dt) and non_null:
+            lo, hi = float(r["min_val"]), float(r["max_val"])
+            pad = float(interval_headroom) * (hi - lo)
+            checks.append(
+                {
+                    "check": "interval",
+                    "column": name,
+                    "min": lo - pad,
+                    "max": hi + pad,
+                    "id": f"suggest_interval_{name}",
+                    "comment": f"observed [{lo}, {hi}]",
+                }
+            )
+        if isinstance(dt, T.StringType) and non_null:
+            if nd <= max_set_cardinality:
+                set_candidates.append(name)
+            else:
+                lo_c = max(1, math.floor(nd * (1.0 - float(distinct_headroom))))
+                hi_c = math.ceil(nd * (1.0 + float(distinct_headroom)))
+                checks.append(
+                    {
+                        "check": "distinct_count",
+                        "column": name,
+                        "min_count": lo_c,
+                        "max_count": hi_c,
+                        "approx": True,
+                        "id": f"suggest_distinct_count_{name}",
+                        "comment": f"observed ~{nd} distinct",
+                    }
+                )
+        # unique-key candidate: approx distinct within 2x its ~5% default
+        # error bar of the row count, and no NULLs (a NULLable key is
+        # not a key); confirmed exactly below before being suggested
+        if row_count and nulls == 0 and nd >= row_count * 0.90:
+            unique_candidates.append(name)
+
+    if completeness_map:
+        checks.append(
+            {
+                "check": "completeness",
+                "columns": completeness_map,
+                "id": "suggest_completeness",
+                "comment": "observed null ratios + headroom, one fused pass",
+            }
+        )
+
+    # confirm key candidates exactly in ONE aggregate over just them
+    if unique_candidates:
+        exact = df.agg(
+            *[
+                F.count_distinct(F.col(c)).alias(c)
+                for c in unique_candidates
+            ]
+        ).collect()[0]
+        for c in unique_candidates:
+            if exact[c] == row_count:
+                checks.append(
+                    {
+                        "check": "unique",
+                        "columns": [c],
+                        "id": f"suggest_unique_{c}",
+                        "comment": f"exactly {row_count} distinct in {row_count} rows",
+                    }
+                )
+
+    # observed value sets for the categorical columns, ONE shuffle
+    if set_candidates:
+        hist = histograms(df, set_candidates, table_name=table).collect()
+        by_col: dict[str, list[str]] = {}
+        for row in hist:
+            if row["value"] is not None:
+                by_col.setdefault(row["column_name"], []).append(row["value"])
+        for c in set_candidates:
+            values = sorted(by_col.get(c, []))
+            # approx distinct may undercount; re-check against the
+            # true observed census before promising a closed domain
+            if values and len(values) <= max_set_cardinality:
+                checks.append(
+                    {
+                        "check": "subset",
+                        "column": c,
+                        "required": values,
+                        "id": f"suggest_subset_{c}",
+                        "comment": f"{len(values)} observed values",
+                    }
+                )
+
+    spec: dict = {"primary": table, "checks": checks}
+    if partition_col:
+        spec["partition_col"] = partition_col
+    return spec

@@ -1,0 +1,99 @@
+"""Constraint suggestion: profile → spec → the spec passes on the
+profiled snapshot (the Deequ ConstraintSuggestion contract)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.jobs import compile_suite, suggest_spec
+
+
+@pytest.fixture(scope="module")
+def profiled(spark):
+    # id: perfect key; category: tiny closed domain; amount: numeric
+    # with range; note: sparse (60% NULL — no completeness ceiling);
+    # tag: high-cardinality string
+    rows = [
+        (
+            i,
+            ["red", "green", "blue"][i % 3],
+            float(i) * 1.5 - 10.0,
+            f"note{i}" if i % 5 else None,
+            f"tag-{i % 40}",
+        )
+        for i in range(100)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, category string, amount double, note string, tag string"
+    )
+
+
+def _by_id(spec):
+    return {c["id"]: c for c in spec["checks"]}
+
+
+def test_suggest_rules_fire(profiled):
+    spec = suggest_spec(profiled, table="t", max_set_cardinality=5)
+    byid = _by_id(spec)
+    # one fused completeness check; note is NULL every 5th row →
+    # ratio 0.2 → ceiling 0.2 + 0.05 headroom = 0.25
+    comp = byid["suggest_completeness"]["columns"]
+    assert comp["id"] == 0.0 and comp["category"] == 0.0
+    assert abs(comp["note"] - 0.25) < 1e-9
+    # numeric interval from observed min/max
+    iv = byid["suggest_interval_amount"]
+    assert iv["min"] == -10.0 and iv["max"] == 138.5
+    # id is numeric too — interval suggested there as well
+    assert byid["suggest_interval_id"]["min"] == 0.0
+    # closed-domain subset for the 3-value category
+    assert sorted(byid["suggest_subset_category"]["required"]) == [
+        "blue", "green", "red",
+    ]
+    # high-cardinality string → approx distinct_count gate, not a set
+    dc = byid["suggest_distinct_count_tag"]
+    assert dc["approx"] is True and dc["min_count"] <= 40 <= dc["max_count"]
+    assert "suggest_subset_tag" not in byid
+    # exact-confirmed unique key
+    assert byid["suggest_unique_id"]["columns"] == ["id"]
+    # the spec is pure JSON
+    json.dumps(spec)
+
+
+def test_suggested_spec_passes_on_its_own_snapshot(profiled):
+    df = profiled.withColumn("partition_id", F.lit("p0"))
+    spec = suggest_spec(
+        df, table="t", partition_col="partition_id", max_set_cardinality=5
+    )
+    suite = compile_suite(spec)
+    assert suite.build_differences({"t": df}).count() == 0
+
+
+def test_suggested_spec_fires_on_drifted_load(spark, profiled):
+    spec = suggest_spec(profiled, table="t", max_set_cardinality=5)
+    suite = compile_suite(spec)
+    drifted = spark.createDataFrame(
+        [
+            (1, "red", 5.0, "n", "tag-1"),
+            (1, "PURPLE", 999.0, None, "tag-2"),  # dup key, new value, range
+        ],
+        "id long, category string, amount double, note string, tag string",
+    )
+    diffs = suite.build_differences({"t": drifted})
+    kinds = {(r["check_id"], r["diff_kind"]) for r in diffs.collect()}
+    assert ("suggest_unique_id", "extra") in kinds or (
+        "suggest_unique_id",
+        "invalid",
+    ) in kinds
+    assert any(c == "suggest_subset_category" for c, _ in kinds)
+    assert any(c == "suggest_interval_amount" for c, _ in kinds)
+
+
+def test_suggest_validation_and_empty(spark):
+    with pytest.raises(ValueError, match="interval_headroom"):
+        suggest_spec(spark.range(1), interval_headroom=-1.0)
+    empty = spark.createDataFrame([], "a string")
+    spec = suggest_spec(empty, table="e")
+    assert spec["checks"] == []  # nothing observed, nothing promised
