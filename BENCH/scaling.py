@@ -7,7 +7,7 @@ real cluster exists in this sandbox, so per driver instruction the same
 job runs at two parallelism levels — ``local[8]`` and ``local[32]`` —
 on the SAME input (the synthetic ``code_files`` table generated with a
 FIXED partition count so the input bytes are parallelism-independent),
-each in a fresh JVM.  Output: ``BENCH/BASELINE.md``.
+each in a fresh JVM.  Output: ``BENCH/window_<stamp>.md`` (merge\ninto the hand-curated multi-window ``BENCH/BASELINE.md`` by hand).
 
 Worker mode (fresh JVM per level)::
 
@@ -300,11 +300,18 @@ numbers (single-process, in-memory; see SURVEY.md §6) — the
 authoritative target is `BASELINE.json` (scaling efficiency ≥0.8,
 byte-identical violations), evidenced above.
 """
-    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BASELINE.md carries the hand-merged multi-window history — never
+    # overwrite it from here (that lost the history three times).  Each
+    # run writes its own timestamped window report; merge by hand.
+    import time as _time
+
+    stamp = _time.strftime("%Y%m%d_%H%M%S")
+    out_md = os.path.join(REPO, "BENCH", f"window_{stamp}.md")
     with open(out_md, "w") as fh:
         fh.write(md)
     print(md)
-    print(f"[scaling] wrote {out_md}", file=sys.stderr)
+    print(f"[scaling] wrote {out_md} — merge into BENCH/BASELINE.md by hand",
+          file=sys.stderr)
 
 
 def main() -> None:

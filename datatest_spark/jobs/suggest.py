@@ -13,9 +13,9 @@ Scale shape: ONE fused ``column_stats`` pass (sketch mode — approx
 distinct, mergeable quantiles) over all columns, ONE ``histograms``
 shuffle over only the low-cardinality string columns the set rule
 wants, and ONE exact ``count_distinct`` aggregate over only the
-candidate key columns (approx counts are ±2%, too sloppy to promise
-uniqueness — candidates are confirmed exactly before a ``unique`` check
-is suggested).  All driver-side logic runs over the collected stats
+candidate key columns (approx counts default to ~5% relative error,
+too sloppy to promise uniqueness — candidates are confirmed exactly
+before a ``unique`` check is suggested).  All driver-side logic runs over the collected stats
 relation — one row per column, never data rows.
 """
 
@@ -193,3 +193,64 @@ def suggest_spec(
     if partition_col:
         spec["partition_col"] = partition_col
     return spec
+
+
+def main(argv=None) -> int:
+    """``python -m datatest_spark.jobs.suggest --path /data/t --out spec.json``
+    — profile a parquet table (or catalog table via ``--table-ref``) and
+    write the suggested spec; the output feeds ``jobs.run_validation
+    --spec`` unchanged."""
+    import argparse
+    import json
+    import sys
+
+    from .run_validation import _session
+
+    ap = argparse.ArgumentParser(
+        description="profile a table, emit a validation spec"
+    )
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="parquet directory/file to profile")
+    src.add_argument("--table-ref", help="catalog table to profile")
+    ap.add_argument("--table", default="table",
+                    help="logical table name used in the emitted spec")
+    ap.add_argument("--partition-col", default=None)
+    ap.add_argument("--max-set-cardinality", type=int,
+                    default=DEFAULT_MAX_SET_CARDINALITY)
+    ap.add_argument("--interval-headroom", type=float, default=0.0)
+    ap.add_argument("--distinct-headroom", type=float, default=0.5)
+    ap.add_argument("--out", default=None,
+                    help="write the spec JSON here (default: stdout)")
+    args = ap.parse_args(argv)
+
+    spark = _session()
+    df = (
+        spark.read.parquet(args.path)
+        if args.path
+        else spark.read.table(args.table_ref)
+    )
+    spec = suggest_spec(
+        df,
+        table=args.table,
+        partition_col=args.partition_col,
+        max_set_cardinality=args.max_set_cardinality,
+        interval_headroom=args.interval_headroom,
+        distinct_headroom=args.distinct_headroom,
+    )
+    # point run_validation at the same source without hand-editing
+    spec["tables"] = {
+        args.table: (
+            {"path": args.path} if args.path else {"table": args.table_ref}
+        )
+    }
+    text = json.dumps(spec, indent=2)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text + "\n")
+    else:
+        sys.stdout.write(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -188,13 +188,23 @@ class ValidationSuite:
         # pre-fix sketches into the stats store).
         from .operators.stats import NULL_PARTITION
 
-        part_pid = F.coalesce(
-            F.col(self.partition_col).cast("string"), F.lit(NULL_PARTITION)
-        )
+        # a primary without the partition column gets ONE '__global__'
+        # verdict row instead of an AnalysisException — the common case
+        # for ad-hoc tables (e.g. a spec emitted by jobs.suggest_spec);
+        # ledger resume / stats stores still require real partitions.
+        has_partitions = self.partition_col in main.columns
+        if has_partitions:
+            part_pid = F.coalesce(
+                F.col(self.partition_col).cast("string"), F.lit(NULL_PARTITION)
+            )
+            diff_sentinel = NULL_PARTITION
+        else:
+            part_pid = F.lit("__global__")
+            diff_sentinel = "__global__"
         part_rows = main.groupBy(part_pid.alias("partition_id")).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
-        diff_pid = F.coalesce(F.col("partition_id"), F.lit(NULL_PARTITION))
+        diff_pid = F.coalesce(F.col("partition_id"), F.lit(diff_sentinel))
         diff_stats = (
             diffs.groupBy(diff_pid.alias("partition_id"))
             .agg(

@@ -97,3 +97,24 @@ def test_suggest_validation_and_empty(spark):
     empty = spark.createDataFrame([], "a string")
     spec = suggest_spec(empty, table="e")
     assert spec["checks"] == []  # nothing observed, nothing promised
+
+
+def test_suggest_cli_roundtrip(spark, tmp_path):
+    """CLI: profile a parquet table → spec file → run_validation
+    consumes it unchanged and passes on the same snapshot."""
+    import json
+
+    from datatest_spark.jobs.run_validation import main as run_main
+    from datatest_spark.jobs.suggest import main as suggest_main
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(50)],
+        "id long, cat string, v double",
+    ).write.parquet(src)
+    out = str(tmp_path / "spec.json")
+    assert suggest_main(["--path", src, "--table", "t", "--out", out]) == 0
+    spec = json.loads(open(out).read())
+    assert spec["tables"] == {"t": {"path": src}}
+    assert any(c["check"] == "unique" for c in spec["checks"])
+    assert run_main(["--spec", out, "--strict"]) == 0
