@@ -1,0 +1,137 @@
+"""Property-based parity for the closed-form statistic constraints:
+entropy, mutual information, uniqueness ratios, and distinct counts vs
+literal Python evaluators of the documented math (Deequ-family
+definitions).  Each example draws a small categorical batch (NULLs
+included), forces the check to FIRE with an unreachable bound, and
+compares the emitted statistic against the Python value — so the
+distributed aggregation plan (joint groupBy, marginal derivation,
+NULL handling, clamps) is the thing under test, not the bound logic.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datatest_spark.operators.stats import (
+    check_distinct_count,
+    check_entropy,
+    check_mutual_information,
+    check_uniqueness,
+)
+
+_cat = st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"]))
+_pairs = st.lists(st.tuples(_cat, _cat), min_size=0, max_size=30)
+
+_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_entropy(values) -> float | None:
+    counts = Counter(v for v in values if v is not None)
+    n = sum(counts.values())
+    if n == 0:
+        return None
+    return -sum((c / n) * math.log(c / n) for c in counts.values())
+
+
+def _py_mi(pairs) -> float | None:
+    complete = [(x, y) for x, y in pairs if x is not None and y is not None]
+    if not complete:
+        return None
+    n = len(complete)
+    jxy = Counter(complete)
+    jx = Counter(x for x, _ in complete)
+    jy = Counter(y for _, y in complete)
+    mi = sum(
+        (c / n) * math.log((c * n) / (jx[x] * jy[y]))
+        for (x, y), c in jxy.items()
+    )
+    return max(mi, 0.0)
+
+
+def _py_uniqueness(values, metric) -> float | None:
+    # NULL keys form their own group, like groupBy
+    counts = Counter(values)
+    rows = sum(counts.values())
+    if rows == 0:
+        return None
+    singletons = sum(1 for c in counts.values() if c == 1)
+    if metric == "uniqueness":
+        return singletons / rows
+    if metric == "distinctness":
+        return len(counts) / rows
+    return singletons / len(counts)  # unique_value_ratio
+
+
+def _fired_value(diff_df):
+    rows = diff_df.collect()
+    if not rows:
+        return None
+    assert len(rows) == 1
+    return float(rows[0]["value"])
+
+
+@pytest.mark.usefixtures("spark")
+class TestStatParity:
+    @given(pairs=_pairs)
+    @_SETTINGS
+    def test_entropy_parity(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(x,) for x, _ in pairs], "v string"
+        ) if pairs else spark.createDataFrame([], "v string")
+        got = _fired_value(check_entropy(df, "v", min_entropy=50.0))
+        want = _py_entropy([x for x, _ in pairs])
+        if want is None:
+            assert got is None  # undefined → passes even a huge floor
+        else:
+            assert got is not None and abs(got - want) < 1e-9
+
+    @given(pairs=_pairs)
+    @_SETTINGS
+    def test_mutual_information_parity(self, spark, pairs):
+        df = spark.createDataFrame(
+            pairs, "x string, y string"
+        ) if pairs else spark.createDataFrame([], "x string, y string")
+        got = _fired_value(check_mutual_information(df, "x", "y", min_mi=50.0))
+        want = _py_mi(pairs)
+        if want is None:
+            assert got is None
+        else:
+            assert got is not None and abs(got - want) < 1e-9
+
+    @given(pairs=_pairs, metric=st.sampled_from(
+        ["uniqueness", "distinctness", "unique_value_ratio"]
+    ))
+    @_SETTINGS
+    def test_uniqueness_parity(self, spark, pairs, metric):
+        df = spark.createDataFrame(
+            [(x,) for x, _ in pairs], "v string"
+        ) if pairs else spark.createDataFrame([], "v string")
+        want = _py_uniqueness([x for x, _ in pairs], metric)
+        diff = check_uniqueness(df, "v", min_ratio=1.0, metric=metric)
+        got = _fired_value(diff)
+        if want is None or want >= 1.0:
+            # undefined (empty) or exactly at the floor → no violation
+            assert got is None
+        else:
+            assert got is not None and abs(got - want) < 1e-12
+
+    @given(pairs=_pairs)
+    @_SETTINGS
+    def test_distinct_count_parity(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(x,) for x, _ in pairs], "v string"
+        ) if pairs else spark.createDataFrame([], "v string")
+        want = len({x for x, _ in pairs if x is not None})
+        got = _fired_value(
+            check_distinct_count(df, "v", min_count=10_000)
+        )
+        assert got is not None and got == float(want)
