@@ -31,6 +31,7 @@ import sys
 from typing import Optional, Sequence
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.ledger import Ledger
 from .spec import compile_suite, load_spec, load_tables
@@ -75,7 +76,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--fail-on-regression", action="store_true",
                     help="exit 2 when the trend diff vs "
                          "--previous-report has regressed or new checks")
+    ap.add_argument("--history", default=None,
+                    help="metrics-repository parquet dir: judge this "
+                         "run's per-check counts against the trailing "
+                         "runs (anomalies in the output line), then "
+                         "append this run with the next run_seq")
+    ap.add_argument("--history-window", type=int, default=7)
+    ap.add_argument("--history-z", type=float, default=3.0)
+    ap.add_argument("--fail-on-anomaly", action="store_true",
+                    help="exit 3 when --history flags an anomalous "
+                         "per-check violation count")
     args = ap.parse_args(argv)
+    if args.fail_on_anomaly and not args.history:
+        ap.error("--fail-on-anomaly needs --history")
     if args.fail_on_regression and not args.previous_report:
         ap.error("--fail-on-regression needs --previous-report")
 
@@ -111,7 +124,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "verdicts": verdicts,
     }
     trend = None
-    if args.report or args.previous_report:
+    anomalies = None
+    if args.report or args.previous_report or args.history:
         # one extra summary agg over the (tiny) diff relation; only
         # the summary is collected to the driver
         report = result.report(write_to=args.report)
@@ -122,11 +136,50 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 previous = json.load(fh)
             trend = compare_reports(previous, report)
             out["trend"] = trend
+        if args.history:
+            from ..report import append_report_history, check_report_anomaly
+
+            # append this run with the next sequence number, then let
+            # the gate judge it (the gate always judges the LATEST run
+            # against its trailing window, which excludes itself)
+            try:
+                prior = spark.read.parquet(args.history)
+                next_seq = (
+                    prior.agg(F.max("run_seq").alias("m")).collect()[0]["m"]
+                    + 1
+                )
+                has_prior = True
+            except Exception:
+                next_seq, has_prior = 0, False
+            append_report_history(
+                spark, report, args.history, run_seq=next_seq
+            )
+            if has_prior:
+                anomalies = [
+                    {
+                        "key": r["key"],
+                        "n": float(r["value"]),
+                        "trailing_mean": float(r["expected"]),
+                        "z": (
+                            None if r["deviation"] is None
+                            else round(r["deviation"], 4)
+                        ),
+                    }
+                    for r in check_report_anomaly(
+                        spark,
+                        args.history,
+                        window=args.history_window,
+                        z=args.history_z,
+                    ).collect()
+                ]
+                out["anomalies"] = anomalies
     print(json.dumps(out))
     if args.strict and not result.passed:
         return 1
     if args.fail_on_regression and trend is not None and trend["worse"]:
         return 2
+    if args.fail_on_anomaly and anomalies:
+        return 3
     return 0
 
 

@@ -189,3 +189,129 @@ def compare_reports(previous: dict, current: dict) -> dict:
             "delta": c_part["violation_rate"] - p_part["violation_rate"],
         }
     return out
+
+
+# ---------------------------------------------------------------------------
+# metrics repository: run history + trailing-window anomaly gate
+# ---------------------------------------------------------------------------
+
+HISTORY_SCHEMA = (
+    "run_seq long, run_id string, check_id string, diff_kind string, n long"
+)
+
+
+def append_report_history(
+    spark, report: dict, path: str, *, run_seq: int
+) -> None:
+    """Append one run's per-check violation counts to a parquet history
+    — the Deequ metrics-repository shape on this engine's run reports.
+
+    ``run_seq`` is a caller-owned monotonically increasing integer (a
+    scheduler tick, an airflow run number): the engine takes NO wall
+    clock, so history bytes stay deterministic.  A perfectly clean run
+    appends one ``check_id=NULL`` marker row — the history must record
+    that the run HAPPENED, or the anomaly gate would treat "we stopped
+    recording" and "everything passed" identically.
+    """
+    rows = [
+        (int(run_seq), report.get("run_id"), c["check_id"],
+         c["diff_kind"], int(c["n"]))
+        for c in report.get("checks", [])
+    ] or [(int(run_seq), report.get("run_id"), None, None, 0)]
+    spark.createDataFrame(rows, HISTORY_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def check_report_anomaly(
+    spark,
+    path: str,
+    *,
+    window: int = 7,
+    z: float = 3.0,
+    min_runs: int = 3,
+    check_id: str = "report_anomaly",
+) -> DataFrame:
+    """Judge the LATEST run's per-check violation counts against the
+    trailing ``window`` earlier runs — "did any check's violation count
+    jump past ``z`` sample stddevs of its own recent history?"  The
+    run-over-run companion of ``check_timeseries_anomaly`` (which judges
+    the data's own time column) and the multi-run upgrade of
+    ``compare_reports`` (which judges exactly two runs).
+
+    A (check_id, diff_kind) absent from a recorded run counts as 0
+    violations for that run — the series is DENSIFIED over every run in
+    the history window, so a check that was clean for a week and fires
+    today is judged against its true all-zero baseline (flat baseline +
+    any change flags, matching ``check_timeseries_anomaly``).  Checks
+    with fewer than ``min_runs`` earlier observations are not judged.
+
+    Emits ``Deviation(value=latest n, expected=trailing mean,
+    deviation=z-score or NULL on a flat baseline)`` keyed
+    ``"<check_id>/<diff_kind>"``.
+
+    Shape: the history relation is runs × checks — driver-bounded tiny;
+    the densifying cross join and per-series windows (PARTITIONED by
+    check — no single-partition exchange) never touch data rows.
+    """
+    from pyspark.sql.window import Window
+
+    from .plans.differences import KIND_DEVIATION, make_differences
+
+    if int(window) < 2:
+        raise ValueError(f"window must be >= 2 trailing runs: {window}")
+    if not (2 <= int(min_runs) <= int(window)):
+        raise ValueError(f"min_runs must be in [2, window={window}]: {min_runs}")
+    if float(z) <= 0.0:
+        raise ValueError(f"z must be positive: {z}")
+    hist = spark.read.parquet(path)
+    runs = hist.select("run_seq").distinct()
+    series_keys = hist.filter(F.col("check_id").isNotNull()).select(
+        "check_id", "diff_kind"
+    ).distinct()
+    dense = (
+        runs.crossJoin(series_keys)
+        .join(
+            hist.filter(F.col("check_id").isNotNull()),
+            ["run_seq", "check_id", "diff_kind"],
+            "left",
+        )
+        .select(
+            "run_seq",
+            "check_id",
+            "diff_kind",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("_m"),
+        )
+    )
+    w = (
+        Window.partitionBy("check_id", "diff_kind")
+        .orderBy("run_seq")
+        .rowsBetween(-int(window), -1)
+    )
+    latest = dense.agg(F.max("run_seq").alias("_latest"))
+    judged = (
+        dense.select(
+            "run_seq",
+            "check_id",
+            "diff_kind",
+            "_m",
+            F.avg("_m").over(w).alias("_mu"),
+            F.stddev_samp("_m").over(w).alias("_sigma"),
+            F.count("_m").over(w).alias("_k"),
+        )
+        .join(F.broadcast(latest), F.col("run_seq") == F.col("_latest"))
+    )
+    bad = judged.filter(
+        (F.col("_k") >= int(min_runs))
+        & F.col("_sigma").isNotNull()
+        & (F.abs(F.col("_m") - F.col("_mu")) > F.lit(float(z)) * F.col("_sigma"))
+    )
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.concat_ws("/", F.col("check_id"), F.col("diff_kind")),
+        value=F.col("_m"),
+        expected=F.col("_mu"),
+        deviation=F.try_divide(F.col("_m") - F.col("_mu"), F.col("_sigma")),
+    )

@@ -494,3 +494,45 @@ def test_spec_mi_distinct_tsanomaly_match_python_api(spark):
     # u determines w exactly (MI = ln 2 > 0.1), u has 2 < 5 distinct,
     # and the day-6 spike is > 3 sigma from the flat-ish baseline
     assert len(got) == 3
+
+
+def test_run_validation_history_anomaly_gate(spark, tmp_path):
+    """Entrypoint-level metrics repository: N steady runs build the
+    history, a drifted load trips --fail-on-anomaly with exit 3."""
+    import json as _json
+
+    from datatest_spark.jobs.run_validation import main as run_main
+
+    steady = str(tmp_path / "steady.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 40)) for i in range(200)], "id long, v double"
+    ).write.parquet(steady)
+    drifted = str(tmp_path / "drifted.parquet")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, v double"
+    ).write.parquet(drifted)
+    spec = {
+        "primary": "t",
+        "tables": {"t": {"path": steady}},
+        "checks": [
+            {"check": "interval", "column": "v", "min": 0.0, "max": 39.0,
+             "id": "iv"}
+        ],
+    }
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        fh.write(_json.dumps(spec))
+    hist = str(tmp_path / "history")
+    # steady runs: identical per-check counts → flat baseline, no gate
+    for _ in range(4):
+        assert run_main(
+            ["--spec", spec_path, "--history", hist, "--fail-on-anomaly"]
+        ) == 0
+    # drifted load: violation count jumps → exit 3
+    spec["tables"]["t"]["path"] = drifted
+    with open(spec_path, "w") as fh:
+        fh.write(_json.dumps(spec))
+    assert run_main(
+        ["--spec", spec_path, "--history", hist, "--fail-on-anomaly",
+         "--history-z", "3.0"]
+    ) == 3

@@ -129,3 +129,70 @@ def test_compare_reports_trend(spark):
 
     same = compare_reports(cur, cur)
     assert same["worse"] is False and not same["regressed"]
+
+
+def _hist_report(run_id, counts):
+    return {
+        "run_id": run_id,
+        "checks": [
+            {"check_id": c, "diff_kind": k, "n": n} for (c, k, n) in counts
+        ],
+    }
+
+
+def test_report_history_anomaly_gate(spark, tmp_path):
+    import pytest as _pytest
+
+    from datatest_spark.report import (
+        append_report_history,
+        check_report_anomaly,
+    )
+
+    path = str(tmp_path / "history")
+    # 6 steady runs: iv hovers 10-12; pk is CLEAN (absent) all along
+    for seq, n in enumerate([10, 11, 10, 12, 11, 10]):
+        append_report_history(
+            spark, _hist_report(f"r{seq}", [("iv", "deviation", n)]),
+            path, run_seq=seq,
+        )
+    # run 6: iv explodes, pk fires for the first time
+    append_report_history(
+        spark,
+        _hist_report("r6", [("iv", "deviation", 500), ("pk", "extra", 3)]),
+        path, run_seq=6,
+    )
+    rows = {r["key"]: r for r in check_report_anomaly(
+        spark, path, window=7, z=3.0, min_runs=3
+    ).collect()}
+    # iv: 500 vs mean ~10.67, sigma ~0.8 → massive z
+    assert float(rows["iv/deviation"]["value"]) == 500.0
+    assert float(rows["iv/deviation"]["deviation"]) > 3.0
+    # pk: densified all-zero baseline (flat) → any change flags, z NULL
+    assert float(rows["pk/extra"]["value"]) == 3.0
+    assert rows["pk/extra"]["deviation"] is None
+    assert set(rows) == {"iv/deviation", "pk/extra"}
+    with _pytest.raises(ValueError, match="min_runs"):
+        check_report_anomaly(spark, path, window=7, min_runs=1)
+
+
+def test_report_history_steady_run_silent_and_clean_marker(spark, tmp_path):
+    from datatest_spark.report import (
+        append_report_history,
+        check_report_anomaly,
+    )
+
+    path = str(tmp_path / "history")
+    for seq, n in enumerate([10, 11, 10, 12, 11, 10, 11]):
+        append_report_history(
+            spark, _hist_report(f"r{seq}", [("iv", "deviation", n)]),
+            path, run_seq=seq,
+        )
+    # latest run inside its own noise band → nothing flagged
+    assert check_report_anomaly(spark, path, window=7, z=3.0).count() == 0
+    # a perfectly clean latest run records a marker and reads as the
+    # iv count DROPPING to zero — which is NOT an anomaly at z=3 here
+    # (10.83 mean, ~0.75 sigma → |0-10.83| >> 3σ: it IS flagged; a
+    # sudden total silence is exactly the "did the feed die" signal)
+    append_report_history(spark, _hist_report("r7", []), path, run_seq=7)
+    rows = check_report_anomaly(spark, path, window=7, z=3.0).collect()
+    assert len(rows) == 1 and float(rows[0]["value"]) == 0.0
