@@ -2935,6 +2935,74 @@ WHERE k >= 3 AND s IS NOT NULL AND abs(n - m) > 2.0 * s
 """
 
 
+def q_compliance_orders(spark, sf_dir):
+    """Predicate-satisfaction ratio floor (Deequ hasCompliance): only
+    ~50% of orders have o_totalprice <= 250000, so a 0.9 floor fires
+    one Deviation row.  One scan-local conditional-count aggregate —
+    the MEASURE companion of the row-level predicate check.  The ratio
+    is an exact integer division — no rounding needed."""
+    from datatest_spark import validate
+
+    o = _t(spark, sf_dir, "orders")
+    d = validate.compliance(
+        o, "o_totalprice <= 250000", min_ratio=0.9,
+        name="totalprice_sla", check_id="comp_orders",
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.col("value").cast("double").alias("ratio_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.col("deviation").alias("dev_num"),
+    )
+
+
+SQL_COMPLIANCE_ORDERS = """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS r
+  FROM orders
+)
+SELECT 'comp_orders' AS check_id, 'deviation' AS diff_kind,
+       'compliance(totalprice_sla)' AS key,
+       r AS ratio_num, CAST(0.9 AS DOUBLE) AS bound_num,
+       r - 0.9 AS dev_num
+FROM a WHERE r < 0.9
+"""
+
+
+def q_agg_bounds_quantity(spark, sf_dir):
+    """Single-aggregate bound (Deequ hasMean): mean(l_quantity) ~ 25.4
+    sits below a 30 floor, so one Deviation row fires.  One scan-local
+    avg over the single column; round(,4) absorbs summation-order
+    float noise between engines."""
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.agg_bounds(
+        li, "l_quantity", agg="mean", min_value=30.0, check_id="ab_qty"
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("mean_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.round(F.col("deviation"), 4).alias("dev_num"),
+    )
+
+
+SQL_AGG_BOUNDS_QUANTITY = """
+WITH a AS (SELECT avg(l_quantity) AS m FROM lineitem)
+SELECT 'ab_qty' AS check_id, 'deviation' AS diff_kind,
+       'mean(l_quantity)' AS key,
+       round(m, 4) AS mean_num, CAST(30.0 AS DOUBLE) AS bound_num,
+       round(m - 30.0, 4) AS dev_num
+FROM a WHERE m < 30.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3016,6 +3084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_lineitem": q_mutual_info_lineitem,
         "distinct_count_priority": q_distinct_count_priority,
         "ts_anomaly_events": q_ts_anomaly_events,
+        "compliance_orders": q_compliance_orders,
+        "agg_bounds_quantity": q_agg_bounds_quantity,
     }
 
 
@@ -3100,4 +3170,6 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_lineitem": SQL_MUTUAL_INFO_LINEITEM,
         "distinct_count_priority": SQL_DISTINCT_COUNT_PRIORITY,
         "ts_anomaly_events": SQL_TS_ANOMALY_EVENTS,
+        "compliance_orders": SQL_COMPLIANCE_ORDERS,
+        "agg_bounds_quantity": SQL_AGG_BOUNDS_QUANTITY,
     }

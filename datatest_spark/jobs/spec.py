@@ -92,8 +92,10 @@ from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
 from ..operators.secrets import check_no_secrets
 from ..operators.stats import (
+    check_agg_bounds,
     check_chi_square_drift,
     check_completeness,
+    check_compliance,
     check_correlation,
     check_distinct_count,
     check_entropy,
@@ -452,6 +454,35 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
             check_timeseries_anomaly(
                 t[table], _tc, period=_p, metric=_m, value_col=_v,
                 window=int(_w), z=float(_z), min_periods=int(_k),
+                check_id=_i,
+            )
+        )
+    elif kind == "compliance":
+        condition = e.pop("condition")  # SQL boolean expression string
+        min_ratio = e.pop("min_ratio", None)
+        max_ratio = e.pop("max_ratio", None)
+        cname = e.pop("name", None)
+        cid = check_id or "compliance"
+        builder = lambda t, _c=condition, _lo=min_ratio, _hi=max_ratio, _n=cname, _i=cid: (  # noqa: E731
+            check_compliance(
+                t[table], _c,
+                min_ratio=None if _lo is None else float(_lo),
+                max_ratio=None if _hi is None else float(_hi),
+                name=_n,
+                check_id=_i,
+            )
+        )
+    elif kind == "agg_bounds":
+        column = e.pop("column")
+        agg = e.pop("agg", "mean")
+        min_value = e.pop("min_value", None)
+        max_value = e.pop("max_value", None)
+        cid = check_id or f"agg_bounds_{agg}_{column}"
+        builder = lambda t, _c=column, _a=agg, _lo=min_value, _hi=max_value, _i=cid: (  # noqa: E731
+            check_agg_bounds(
+                t[table], _c, agg=_a,
+                min_value=None if _lo is None else float(_lo),
+                max_value=None if _hi is None else float(_hi),
                 check_id=_i,
             )
         )

@@ -1384,3 +1384,97 @@ def check_timeseries_anomaly(
         expected=F.col("_mu"),
         deviation=F.try_divide(F.col("_m") - F.col("_mu"), F.col("_sigma")),
     )
+
+
+def check_compliance(
+    df: DataFrame,
+    condition,
+    *,
+    min_ratio: Optional[float] = None,
+    max_ratio: Optional[float] = None,
+    name: Optional[str] = None,
+    check_id: str = "compliance",
+) -> DataFrame:
+    """Predicate-satisfaction ratio bounds — the Deequ
+    ``hasCompliance`` constraint: the fraction of rows satisfying
+    ``condition`` (a ``Column`` or a SQL boolean expression string)
+    must sit inside [``min_ratio``, ``max_ratio``].  This is the
+    MEASURE companion of the row-level ``predicate`` check (which
+    names every offending row): use it to gate "≥ 99.9% of orders
+    ship within SLA" without materializing per-row violations.
+
+    A row where the condition evaluates to NULL counts as
+    NON-compliant (unknown is not compliance — Deequ's convention);
+    an EMPTY input is undefined and passes.  Emits ONE Deviation row
+    keyed ``compliance(<name or condition>)``.
+
+    Cost: one scan-local aggregate (conditional count + row count,
+    map-side partial, scalar combine) — no shuffle of data rows.
+    """
+    lo, hi = _bounds(min_ratio, max_ratio, "compliance")
+    for b in (lo, hi):
+        if b is not None and not (0.0 <= b <= 1.0):
+            raise ValueError(f"compliance bounds must lie in [0, 1]: {b}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    label = name or (condition if isinstance(condition, str) else "condition")
+    one = df.agg(
+        F.try_divide(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("_r")
+    )
+    return _scalar_bound_diff(
+        one,
+        F.col("_r"),
+        lo=lo,
+        hi=hi,
+        key=f"compliance({label})",
+        check_id=check_id,
+    )
+
+
+_AGG_FAMILY = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev_samp,
+}
+
+
+def check_agg_bounds(
+    df: DataFrame,
+    column: str,
+    *,
+    agg: str = "mean",
+    min_value: Optional[float] = None,
+    max_value: Optional[float] = None,
+    check_id: str = "agg_bounds",
+) -> DataFrame:
+    """Single-aggregate bounds over a numeric column — the Deequ
+    ``hasMean`` / ``hasSum`` / ``hasMin`` / ``hasMax`` /
+    ``hasStandardDeviation`` constraints in one entry point:
+    ``agg`` ∈ {'mean', 'sum', 'min', 'max', 'stddev'} (stddev is the
+    sample form).  NULLs are ignored (standard aggregate semantics);
+    an empty or all-NULL input leaves every one of these aggregates
+    NULL in Spark — undefined, passes (bound emptiness itself with
+    ``check_row_count_drift`` / ``check_completeness``).  Emits ONE
+    Deviation row keyed ``<agg>(<column>)`` naming the violated bound.
+
+    Cost: one scan-local aggregate over the single column (map-side
+    partial, scalar combine) — no shuffle of data rows.
+    """
+    if agg not in _AGG_FAMILY:
+        raise ValueError(
+            f"agg must be one of {tuple(_AGG_FAMILY)}: {agg!r}"
+        )
+    lo, hi = _bounds(min_value, max_value, f"{agg} bound")
+    one = df.agg(_AGG_FAMILY[agg](F.col(column)).cast("double").alias("_v"))
+    return _scalar_bound_diff(
+        one,
+        F.col("_v"),
+        lo=lo,
+        hi=hi,
+        key=f"{agg}({column})",
+        check_id=check_id,
+    )

@@ -186,6 +186,18 @@ class _Validate:
         return check_timeseries_anomaly(df, time_col, **kw)
 
     @staticmethod
+    def compliance(df, condition, **kw):
+        from .stats import check_compliance
+
+        return check_compliance(df, condition, **kw)
+
+    @staticmethod
+    def agg_bounds(df, column, **kw):
+        from .stats import check_agg_bounds
+
+        return check_agg_bounds(df, column, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

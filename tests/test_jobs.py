@@ -536,3 +536,34 @@ def test_run_validation_history_anomaly_gate(spark, tmp_path):
         ["--spec", spec_path, "--history", hist, "--fail-on-anomaly",
          "--history-z", "3.0"]
     ) == 3
+
+
+def test_spec_compliance_aggbounds_match_python_api(spark):
+    from datatest_spark.operators.stats import (
+        check_agg_bounds,
+        check_compliance,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "v double"
+    ).withColumn("partition_id", F.lit(0))
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "compliance", "condition": "v < 5",
+                 "min_ratio": 0.9, "id": "comp"},
+                {"check": "agg_bounds", "column": "v", "agg": "mean",
+                 "max_value": 3.0, "id": "ab"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences({"t": df}))
+    bare = df.drop("partition_id")
+    want = (
+        diff_multiset(check_compliance(bare, "v < 5", min_ratio=0.9, check_id="comp"))
+        + diff_multiset(check_agg_bounds(bare, "v", agg="mean", max_value=3.0, check_id="ab"))
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == 2  # 0.5 < 0.9 and mean 4.5 > 3.0

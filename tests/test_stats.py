@@ -465,3 +465,61 @@ def test_timeseries_anomaly_sum_metric(spark):
         window=5, z=3.0, min_periods=3,
     ).collect()
     assert len(out) == 1 and out[0]["key"].startswith("2024-03-06")
+
+
+def test_compliance_ratio_bounds(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators.stats import check_compliance
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (10.0,), (None,)], "v double"
+    )
+    # 3 of 5 rows satisfy v <= 3; NULL condition counts NON-compliant
+    rows = check_compliance(df, "v <= 3", min_ratio=0.9).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["value"]) - 0.6) < 1e-12
+    assert rows[0]["key"] == "compliance(v <= 3)"
+    # Column form + name label + ceiling
+    rows = check_compliance(
+        df, F.col("v") <= 3, max_ratio=0.5, name="small_v"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["key"] == "compliance(small_v)"
+    assert check_compliance(df, "v <= 3", min_ratio=0.6).count() == 0
+    empty = spark.createDataFrame([], "v double")
+    assert check_compliance(empty, "v <= 3", min_ratio=1.0).count() == 0
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        check_compliance(df, "v <= 3", min_ratio=1.5)
+    with _pytest.raises(ValueError, match="at least one bound"):
+        check_compliance(df, "v <= 3")
+
+
+def test_agg_bounds_family(spark):
+    import pytest as _pytest
+
+    from datatest_spark.operators.stats import check_agg_bounds
+
+    df = spark.createDataFrame(
+        [(2.0,), (4.0,), (6.0,), (None,)], "v double"
+    )
+    # mean 4, sum 12, min 2, max 6, stddev 2 (NULL ignored)
+    for agg, val in [
+        ("mean", 4.0), ("sum", 12.0), ("min", 2.0),
+        ("max", 6.0), ("stddev", 2.0),
+    ]:
+        rows = check_agg_bounds(
+            df, "v", agg=agg, min_value=val + 1
+        ).collect()
+        assert len(rows) == 1, agg
+        assert abs(float(rows[0]["value"]) - val) < 1e-12, agg
+        assert rows[0]["key"] == f"{agg}(v)"
+        assert check_agg_bounds(
+            df, "v", agg=agg, min_value=val, max_value=val
+        ).count() == 0, agg
+    # all-NULL / empty → aggregate undefined → passes
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    assert check_agg_bounds(all_null, "v", min_value=1.0).count() == 0
+    with _pytest.raises(ValueError, match="agg must be"):
+        check_agg_bounds(df, "v", agg="median", min_value=1.0)
