@@ -59,7 +59,11 @@ Spec shape::
         {"check": "distinct_count", "column": "country", "min_count": 50,
          "max_count": 300},
         {"check": "timeseries_anomaly", "time_col": "ts", "period": "day",
-         "window": 7, "z": 3.0}
+         "window": 7, "z": 3.0},
+        {"check": "compliance", "condition": "latency_ms <= 200",
+         "min_ratio": 0.999, "name": "latency_sla"},
+        {"check": "agg_bounds", "column": "amount", "agg": "mean",
+         "min_value": 10.0, "max_value": 500.0}
       ]
     }
 
