@@ -3003,6 +3003,90 @@ FROM a WHERE m < 30.0
 """
 
 
+def q_quantile_bounds_extprice(spark, sf_dir):
+    """Single-quantile bound (Deequ hasApproxQuantile, exact oracle
+    mode): p95(l_extendedprice) ~ 99,730 sits under a 100,000 floor,
+    so one Deviation row fires.  Exact interpolated percentile on both
+    engines (Spark percentile = DuckDB quantile_cont, same (N-1)*q
+    rule); round(,4) absorbs interpolation ulp noise."""
+    from datatest_spark import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = validate.quantile_bounds(
+        li, "l_extendedprice", 0.95, min_value=100_000.0, exact=True,
+        check_id="qb_extprice",
+    )
+    return d.select(
+        "check_id",
+        "diff_kind",
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("q_num"),
+        F.col("expected").cast("double").alias("bound_num"),
+        F.round(F.col("deviation"), 4).alias("dev_num"),
+    )
+
+
+SQL_QUANTILE_BOUNDS_EXTPRICE = """
+WITH a AS (SELECT quantile_cont(l_extendedprice, 0.95) AS v FROM lineitem)
+SELECT 'qb_extprice' AS check_id, 'deviation' AS diff_kind,
+       'p0.95(l_extendedprice)' AS key,
+       round(v, 4) AS q_num, CAST(100000.0 AS DOUBLE) AS bound_num,
+       round(v - 100000.0, 4) AS dev_num
+FROM a WHERE v < 100000.0
+"""
+
+
+def q_json_events(spark, sf_dir):
+    """JSON metadata validation on the events props sidecar: every 100th
+    event's props is prefix-corrupted (deterministic literal transform,
+    identical in both engines — prefix corruption is the region where
+    Jackson and strict parsers agree), and the required-keys rule asks
+    for "v" which no event carries → Invalid for corrupt rows, one
+    Missing per well-formed row.  Scan-local from_json map projection,
+    no UDF, no shuffle."""
+    from datatest_spark import validate
+
+    ev = _t(spark, sf_dir, "events")
+    mutated = ev.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 100 == 0,
+            F.concat(F.lit("x"), F.col("props")),
+        ).otherwise(F.col("props")),
+    )
+    d = validate.json(mutated, "props", required_keys=["k", "v"],
+                      check_id="json_ev")
+    return d.select("check_id", "diff_kind", "key", "value", "expected")
+
+
+SQL_JSON_EVENTS = """
+WITH p AS (
+  SELECT CASE WHEN event_id % 100 = 0 THEN 'x' || props ELSE props END AS props
+  FROM events
+), t AS (
+  -- CASE is lazy in DuckDB; json_type/json_extract THROW on malformed
+  -- input, so every call is shielded behind json_valid
+  SELECT props,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props) END AS jt
+  FROM p
+), inv AS (
+  SELECT 'json_ev' AS check_id, 'invalid' AS diff_kind,
+         'json(props)' AS key, props AS value, CAST(NULL AS VARCHAR) AS expected
+  FROM t
+  WHERE props IS NOT NULL AND (jt IS NULL OR jt <> 'OBJECT')
+), miss AS (
+  SELECT 'json_ev' AS check_id, 'missing' AS diff_kind,
+         'json(props)' AS key, props AS value, rk.k AS expected
+  FROM t CROSS JOIN (VALUES ('k'), ('v')) AS rk(k)
+  WHERE jt = 'OBJECT'
+    AND CASE WHEN jt = 'OBJECT'
+             THEN json_extract(props, '$.' || rk.k) END IS NULL
+)
+SELECT * FROM inv UNION ALL SELECT * FROM miss
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3086,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly_events": q_ts_anomaly_events,
         "compliance_orders": q_compliance_orders,
         "agg_bounds_quantity": q_agg_bounds_quantity,
+        "quantile_bounds_extprice": q_quantile_bounds_extprice,
+        "json_events": q_json_events,
     }
 
 
@@ -3172,4 +3258,6 @@ def oracle_sql() -> dict[str, str]:
         "ts_anomaly_events": SQL_TS_ANOMALY_EVENTS,
         "compliance_orders": SQL_COMPLIANCE_ORDERS,
         "agg_bounds_quantity": SQL_AGG_BOUNDS_QUANTITY,
+        "quantile_bounds_extprice": SQL_QUANTILE_BOUNDS_EXTPRICE,
+        "json_events": SQL_JSON_EVENTS,
     }

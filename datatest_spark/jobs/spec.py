@@ -63,7 +63,11 @@ Spec shape::
         {"check": "compliance", "condition": "latency_ms <= 200",
          "min_ratio": 0.999, "name": "latency_sla"},
         {"check": "agg_bounds", "column": "amount", "agg": "mean",
-         "min_value": 10.0, "max_value": 500.0}
+         "min_value": 10.0, "max_value": 500.0},
+        {"check": "quantile_bounds", "column": "latency_ms", "q": 0.99,
+         "max_value": 250.0},
+        {"check": "json", "column": "props",
+         "required_keys": ["schema_version", "source"]}
       ]
     }
 
@@ -94,6 +98,7 @@ from ..operators.consistency import (
 )
 from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
+from ..operators.requirements import check_json
 from ..operators.secrets import check_no_secrets
 from ..operators.stats import (
     check_agg_bounds,
@@ -106,6 +111,7 @@ from ..operators.stats import (
     check_freshness,
     check_mutual_information,
     check_partition_outliers,
+    check_quantile_bounds,
     check_row_count_drift,
     check_schema_drift,
     check_timeseries_anomaly,
@@ -488,6 +494,32 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 min_value=None if _lo is None else float(_lo),
                 max_value=None if _hi is None else float(_hi),
                 check_id=_i,
+            )
+        )
+    elif kind == "quantile_bounds":
+        column = e.pop("column")
+        q = float(e.pop("q"))
+        min_value = e.pop("min_value", None)
+        max_value = e.pop("max_value", None)
+        exact = bool(e.pop("exact", False))
+        accuracy = int(e.pop("accuracy", 10_000))
+        cid = check_id or f"quantile_bounds_{column}"
+        builder = lambda t, _c=column, _q=q, _lo=min_value, _hi=max_value, _e=exact, _a=accuracy, _i=cid: (  # noqa: E731
+            check_quantile_bounds(
+                t[table], _c, _q,
+                min_value=None if _lo is None else float(_lo),
+                max_value=None if _hi is None else float(_hi),
+                exact=_e, accuracy=_a, check_id=_i,
+            )
+        )
+    elif kind == "json":
+        column = e.pop("column")
+        required_keys = e.pop("required_keys", None)
+        cid = check_id or f"json_{column}"
+        builder = lambda t, _c=column, _k=required_keys, _i=cid: (  # noqa: E731
+            check_json(
+                t[table], _c, required_keys=_k, check_id=_i,
+                partition_id=_pid(t),
             )
         )
     elif kind == "partition_outliers":

@@ -1465,3 +1465,85 @@ def _type_ok(actual: str, want) -> bool:
     if isinstance(want, type) and want in _PY_TYPE_FAMILIES:
         return actual in _PY_TYPE_FAMILIES[want]
     return actual == _expected_str(want)
+
+
+# ---------------------------------------------------------------------------
+# JSON metadata columns
+# ---------------------------------------------------------------------------
+
+
+def check_json(
+    df: DataFrame,
+    column: str,
+    *,
+    required_keys: Optional[Sequence[str]] = None,
+    check_id: str = "json",
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """JSON metadata validation over a string column — the props/meta
+    sidecar every event stream and training-data manifest carries:
+
+    * a non-NULL value that does not parse as a JSON OBJECT →
+      ``Invalid(value=the raw string)``;
+    * a parseable object missing one of ``required_keys`` →
+      ``Missing(value=the raw string, expected=the absent key)`` —
+      one row PER absent key, so two missing keys are two findings.
+
+    NULL values pass (absence of metadata is ``check_completeness``'s
+    jurisdiction, not malformation).  Scalars and arrays are NOT
+    objects and are Invalid — a ``props`` column that suddenly carries
+    bare numbers is corrupt even though it is technically JSON.
+
+    Parse semantics are Jackson's (Spark's JSON reader): the FIRST
+    complete JSON value is taken and trailing garbage after it is
+    ACCEPTED (``'{"k":1}x'`` parses as ``{"k":1}``) — lenient where a
+    strict parser (Python ``json``, DuckDB ``json_valid``) would
+    reject.  Corruption INSIDE the value (truncation, bad quoting,
+    prefix garbage) is still Invalid; gate trailing bytes with a
+    ``regex`` check (``'\\\\s*$'`` after ``}``) if they matter.
+
+    Cost: scan-local — ``from_json`` into ``map<string,string>`` is one
+    JVM-side projection (Jackson, no Python), key presence is a map
+    probe; no shuffle, no UDF.  The parse is written once and shared by
+    both branches via the common subexpression (column pruning keeps
+    the scan at ``column`` + provenance only).
+    """
+    col = F.col(column)
+    parsed = F.from_json(col, "map<string,string>")
+    bad_parse = df.filter(col.isNotNull() & parsed.isNull())
+    invalid = make_differences(
+        bad_parse,
+        check_id=check_id,
+        kind=KIND_INVALID,
+        key=F.lit(f"json({column})"),
+        value=col,
+        provenance=provenance,
+        partition_id=partition_id,
+    )
+    if not required_keys:
+        return invalid
+    keys_arr = F.array(*[F.lit(str(k)) for k in required_keys])
+    missing_rows = (
+        df.filter(col.isNotNull() & parsed.isNotNull())
+        .withColumn(
+            "_missing_key",
+            F.explode(
+                F.filter(
+                    keys_arr,
+                    lambda k: ~F.map_contains_key(parsed, k),
+                )
+            ),
+        )
+    )
+    missing = make_differences(
+        missing_rows,
+        check_id=check_id,
+        kind=KIND_MISSING,
+        key=F.lit(f"json({column})"),
+        value=col,
+        expected=F.col("_missing_key"),
+        provenance=provenance,
+        partition_id=partition_id,
+    )
+    return union_differences(invalid, missing)

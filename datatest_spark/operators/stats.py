@@ -1478,3 +1478,45 @@ def check_agg_bounds(
         key=f"{agg}({column})",
         check_id=check_id,
     )
+
+
+def check_quantile_bounds(
+    df: DataFrame,
+    column: str,
+    q: float,
+    *,
+    min_value: Optional[float] = None,
+    max_value: Optional[float] = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    check_id: str = "quantile_bounds",
+) -> DataFrame:
+    """Single-quantile bounds over a numeric column — the Deequ
+    ``hasApproxQuantile`` constraint: "p99 latency must stay under
+    250 ms" without freezing a whole baseline snapshot (that is
+    ``check_quantile_drift``'s job).  NULLs are ignored; an empty or
+    all-NULL input leaves the quantile undefined and passes.  Emits
+    ONE Deviation row keyed ``p<q>(<column>)``.
+
+    Default is the ``percentile_approx`` sketch — one scan-local pass,
+    constant memory, the 10^12-row path (leave bound headroom within
+    the sketch's rank error).  ``exact=True`` switches to the exact
+    interpolated percentile for small-scale oracle parity.
+    """
+    if not (0.0 <= float(q) <= 1.0):
+        raise ValueError(f"q must lie in [0, 1]: {q}")
+    lo, hi = _bounds(min_value, max_value, "quantile")
+    agg = (
+        F.percentile(F.col(column), F.lit(float(q)))
+        if exact
+        else F.percentile_approx(F.col(column), F.lit(float(q)), F.lit(int(accuracy)))
+    )
+    one = df.agg(agg.cast("double").alias("_v"))
+    return _scalar_bound_diff(
+        one,
+        F.col("_v"),
+        lo=lo,
+        hi=hi,
+        key=f"p{q:g}({column})",
+        check_id=check_id,
+    )

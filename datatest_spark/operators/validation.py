@@ -198,6 +198,18 @@ class _Validate:
         return check_agg_bounds(df, column, **kw)
 
     @staticmethod
+    def quantile_bounds(df, column, q, **kw):
+        from .stats import check_quantile_bounds
+
+        return check_quantile_bounds(df, column, q, **kw)
+
+    @staticmethod
+    def json(df, column, **kw):
+        from .requirements import check_json
+
+        return check_json(df, column, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

@@ -567,3 +567,34 @@ def test_spec_compliance_aggbounds_match_python_api(spark):
     )
     assert sorted(got) == sorted(want)
     assert len(got) == 2  # 0.5 < 0.9 and mean 4.5 > 3.0
+
+
+def test_spec_quantile_json_match_python_api(spark):
+    from datatest_spark.operators.requirements import check_json
+    from datatest_spark.operators.stats import check_quantile_bounds
+
+    df = spark.createDataFrame(
+        [(float(i), '{"a": 1}' if i % 2 else "oops") for i in range(20)],
+        "v double, meta string",
+    ).withColumn("partition_id", F.lit(0))
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "quantile_bounds", "column": "v", "q": 0.5,
+                 "min_value": 100.0, "exact": True, "id": "qb"},
+                {"check": "json", "column": "meta",
+                 "required_keys": ["a", "b"], "id": "js"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences({"t": df}))
+    bare = df.drop("partition_id")
+    want = (
+        diff_multiset(check_quantile_bounds(bare, "v", 0.5, min_value=100.0, exact=True, check_id="qb"))
+        + diff_multiset(check_json(bare, "meta", required_keys=["a", "b"], check_id="js"))
+    )
+    assert sorted(got) == sorted(want)
+    # p50 fires once; 10 "oops" Invalid; 10 parsed objects missing "b"
+    assert len(got) == 21

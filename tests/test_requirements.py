@@ -504,3 +504,36 @@ def test_mapping_null_key_sequence_unsupported(spark):
     with _pytest.raises(NotImplementedError, match="None-containing key"):
         validate(df, "v", {None: ["a"]}, key_columns="k", value_column="v",
                  order_by="v")
+
+
+def test_json_parse_and_required_keys(spark):
+    from datatest_spark.operators.requirements import check_json
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 1, "v": "x"}',),   # complete
+            ('{"k": 2}',),             # missing v
+            ('{}',),                   # missing k and v → two findings
+            ('x{"k": 3}',),            # prefix corruption → Invalid
+            ('{"k": 3}x',),            # trailing garbage: Jackson-lenient,
+                                       # parses as {"k":3} → missing v only
+            ("[1, 2]",),               # array: not an object → Invalid
+            ("5",),                    # scalar: not an object → Invalid
+            (None,),                   # NULL passes (completeness's job)
+        ],
+        "props string",
+    )
+    rows = check_json(df, "props", required_keys=["k", "v"]).collect()
+    kinds = sorted(r["diff_kind"] for r in rows)
+    assert kinds == ["invalid"] * 3 + ["missing"] * 4
+    missing = sorted(
+        (r["value"], r["expected"])
+        for r in rows if r["diff_kind"] == "missing"
+    )
+    assert missing == sorted(
+        [("{}", "k"), ("{}", "v"), ('{"k": 2}', "v"), ('{"k": 3}x', "v")]
+    )
+    bad = sorted(r["value"] for r in rows if r["diff_kind"] == "invalid")
+    assert bad == ["5", "[1, 2]", 'x{"k": 3}']
+    # parse-validity only (no required keys): just the 3 non-objects
+    assert check_json(df, "props").count() == 3

@@ -523,3 +523,30 @@ def test_agg_bounds_family(spark):
     assert check_agg_bounds(all_null, "v", min_value=1.0).count() == 0
     with _pytest.raises(ValueError, match="agg must be"):
         check_agg_bounds(df, "v", agg="median", min_value=1.0)
+
+
+def test_quantile_bounds(spark):
+    import pytest as _pytest
+
+    from datatest_spark.operators.stats import check_quantile_bounds
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "v double"
+    )
+    # exact p50 of 1..100 = 50.5 (interpolated); NULL ignored
+    rows = check_quantile_bounds(
+        df, "v", 0.5, min_value=60.0, exact=True
+    ).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["value"]) - 50.5) < 1e-9
+    assert rows[0]["key"] == "p0.5(v)"
+    assert check_quantile_bounds(
+        df, "v", 0.5, min_value=50.5, max_value=50.5, exact=True
+    ).count() == 0
+    # approx sketch lands within rank error at this size
+    rows = check_quantile_bounds(df, "v", 0.99, min_value=200.0).collect()
+    assert len(rows) == 1 and float(rows[0]["value"]) >= 98.0
+    all_null = spark.createDataFrame([(None,)], "v double")
+    assert check_quantile_bounds(all_null, "v", 0.5, min_value=1.0).count() == 0
+    with _pytest.raises(ValueError, match=r"q must lie"):
+        check_quantile_bounds(df, "v", 1.5, min_value=1.0)
