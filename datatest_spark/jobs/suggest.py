@@ -59,12 +59,16 @@ def suggest_spec(
       no ceiling — they are structurally sparse, not drifting).
     * numeric columns: an ``interval`` from the observed min/max,
       widened by ``interval_headroom`` × the observed range per side.
-    * string columns with ≤ ``max_set_cardinality`` distinct values:
-      a ``subset`` of the observed value set (NULL excluded — the
-      completeness ceiling owns NULLs).
-    * higher-cardinality string columns: ``distinct_count`` bounds at
-      ±``distinct_headroom`` × the observed count (``approx`` mode —
-      the suggestion is a domain-stability gate, not an exact census).
+    * string columns where EVERY non-NULL value parses as a JSON
+      object (a props/meta sidecar): a ``json`` check requiring the
+      keys present in every row — detected in one fused parse-count
+      agg, keys censused in one small shuffle per such column.
+    * other string columns with ≤ ``max_set_cardinality`` distinct
+      values: a ``subset`` of the observed value set (NULL excluded —
+      the completeness ceiling owns NULLs).
+    * other higher-cardinality string columns: ``distinct_count``
+      bounds at ±``distinct_headroom`` × the observed count (``approx``
+      mode — a domain-stability gate, not an exact census).
     * columns whose exact distinct count equals the row count with no
       NULLs: a ``unique`` key check.  Candidates come from the approx
       profile (within 2× its error bar) and are CONFIRMED with one
@@ -89,6 +93,7 @@ def suggest_spec(
     checks: list[dict] = []
     set_candidates: list[str] = []
     unique_candidates: list[str] = []
+    string_cols: list[tuple] = []
     completeness_map: dict[str, float] = {}
 
     for name, r in stats.items():
@@ -116,22 +121,7 @@ def suggest_spec(
                 }
             )
         if isinstance(dt, T.StringType) and non_null:
-            if nd <= max_set_cardinality:
-                set_candidates.append(name)
-            else:
-                lo_c = max(1, math.floor(nd * (1.0 - float(distinct_headroom))))
-                hi_c = math.ceil(nd * (1.0 + float(distinct_headroom)))
-                checks.append(
-                    {
-                        "check": "distinct_count",
-                        "column": name,
-                        "min_count": lo_c,
-                        "max_count": hi_c,
-                        "approx": True,
-                        "id": f"suggest_distinct_count_{name}",
-                        "comment": f"observed ~{nd} distinct",
-                    }
-                )
+            string_cols.append((name, nd, non_null))
         # unique-key candidate: approx distinct within 2x its ~5% default
         # error bar of the row count, and no NULLs (a NULLable key is
         # not a key); confirmed exactly below before being suggested
@@ -147,6 +137,75 @@ def suggest_spec(
                 "comment": "observed null ratios + headroom, one fused pass",
             }
         )
+
+    # JSON-sidecar detection: ONE fused agg counts, per string column,
+    # how many non-NULL values parse as a JSON object; a column where
+    # EVERY one does is a metadata sidecar and gets a `json` check with
+    # the keys present in every row (one small key-census shuffle per
+    # such column — there is rarely more than one), instead of the
+    # meaningless subset / distinct-count rules.
+    json_cols: list[tuple] = []
+    if string_cols:
+        obj_counts = df.agg(
+            *[
+                F.sum(
+                    F.from_json(F.col(c), "map<string,string>")
+                    .isNotNull()
+                    .cast("long")
+                ).alias(c)
+                for c, _, _ in string_cols
+            ]
+        ).collect()[0]
+        json_cols = [
+            (c, non_null)
+            for c, _, non_null in string_cols
+            if (obj_counts[c] or 0) == non_null
+        ]
+        json_names = {c for c, _ in json_cols}
+        string_cols = [t for t in string_cols if t[0] not in json_names]
+    for c, non_null in json_cols:
+        key_rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                F.explode(
+                    F.map_keys(F.from_json(F.col(c), "map<string,string>"))
+                ).alias("_k")
+            )
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        always = sorted(r["_k"] for r in key_rows if r["_n"] == non_null)
+        checks.append(
+            {
+                "check": "json",
+                "column": c,
+                "required_keys": always,
+                "id": f"suggest_json_{c}",
+                "comment": (
+                    f"every non-NULL value is a JSON object; "
+                    f"{len(always)} always-present key(s)"
+                ),
+            }
+        )
+
+    for name, nd, _non_null in string_cols:
+        if nd <= max_set_cardinality:
+            set_candidates.append(name)
+        else:
+            lo_c = max(1, math.floor(nd * (1.0 - float(distinct_headroom))))
+            hi_c = math.ceil(nd * (1.0 + float(distinct_headroom)))
+            checks.append(
+                {
+                    "check": "distinct_count",
+                    "column": name,
+                    "min_count": lo_c,
+                    "max_count": hi_c,
+                    "approx": True,
+                    "id": f"suggest_distinct_count_{name}",
+                    "comment": f"observed ~{nd} distinct",
+                }
+            )
 
     # confirm key candidates exactly in ONE aggregate over just them
     if unique_candidates:

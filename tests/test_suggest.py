@@ -118,3 +118,24 @@ def test_suggest_cli_roundtrip(spark, tmp_path):
     assert spec["tables"] == {"t": {"path": src}}
     assert any(c["check"] == "unique" for c in spec["checks"])
     assert run_main(["--spec", out, "--strict"]) == 0
+
+
+def test_suggest_detects_json_sidecar(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        (i, '{"a": %d, "b": "x"}' % i if i % 2 else '{"a": %d}' % i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    spec = suggest_spec(df, table="t", max_set_cardinality=5)
+    byid = _by_id(spec)
+    js = byid["suggest_json_props"]
+    # "a" is in every object, "b" only in half → only "a" is required
+    assert js["required_keys"] == ["a"]
+    # a JSON column gets neither the subset nor the distinct-count rule
+    assert "suggest_subset_props" not in byid
+    assert "suggest_distinct_count_props" not in byid
+    # and the suggested spec still passes on its own snapshot
+    suite = compile_suite(spec)
+    assert suite.build_differences({"t": df}).count() == 0
