@@ -3087,6 +3087,98 @@ SELECT * FROM inv UNION ALL SELECT * FROM miss
 """
 
 
+def q_quarantine_lineitem(spark, sf_dir):
+    """Row-level quarantine split (operators/quarantine.py): route
+    lineitem rows by three rules — quantity cap (raw Column), known
+    returnflag (set predicate via the §2.3 compiler), discount cap —
+    and count quarantined rows per failed-rule combination.  The flag
+    projection is scan-local (zero shuffle, no UDF; plan-tested) and
+    the failed_checks array is deterministic rule-order, so the combo
+    census is exact.  Clean-side row count rides along as the
+    '__clean__' row — the whole census is ONE hash aggregate."""
+    from datatest_spark.operators.quarantine import split_valid
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_max40": F.col("l_quantity") <= 40,
+        "flag_known": ("l_returnflag", {"A", "N"}),
+        "disc_cap": F.col("l_discount") <= 0.08,
+    }
+    valid, quarantined = split_valid(li, rules)
+    combos = quarantined.groupBy(
+        F.array_join(F.col("failed_checks"), ",").alias("failed")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    clean = valid.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__clean__").alias("failed"), "n"
+    )
+    return combos.unionByName(clean)
+
+
+SQL_QUARANTINE_LINEITEM = """
+WITH f AS (
+  SELECT list_filter([
+    CASE WHEN l_quantity <= 40 THEN NULL ELSE 'qty_max40' END,
+    CASE WHEN l_returnflag IN ('A','N') THEN NULL ELSE 'flag_known' END,
+    CASE WHEN l_discount <= 0.08 THEN NULL ELSE 'disc_cap' END
+  ], x -> x IS NOT NULL) AS fc
+  FROM lineitem
+)
+SELECT array_to_string(fc, ',') AS failed, count(*) AS n
+FROM f WHERE len(fc) > 0 GROUP BY 1
+UNION ALL
+SELECT '__clean__' AS failed, count(*) AS n
+FROM f WHERE len(fc) = 0
+"""
+
+
+def q_format_emails_documents(spark, sf_dir):
+    """Named-format check (quarantine.check_format): a deterministic
+    synthetic contact column derived from documents — NULL every 13th
+    doc, '<lang>@<source>' otherwise, with a '.com' TLD only on every
+    7th doc — is validated against the anchored 'email' format.  The
+    no-TLD variants and the NULLs fail (the email domain needs a dot);
+    output is the per-bad-value census.  One rlike projection + one
+    hash aggregate; the oracle re-runs the SAME anchored regex in
+    DuckDB, so the pattern itself is what's being verified."""
+    from datatest_spark.operators.quarantine import check_format
+
+    docs = _t(spark, sf_dir, "documents")
+    contact = F.when(
+        F.col("doc_id") % 13 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.col("lang"),
+            F.lit("@"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".com")).otherwise(F.lit("")),
+        )
+    )
+    d = check_format(
+        docs.withColumn("contact", contact), "contact", "email",
+        check_id="fmt_email",
+    )
+    return d.groupBy(
+        "check_id", "diff_kind", F.col("value").alias("bad_contact")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_FORMAT_EMAILS = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE lang || '@' || source ||
+                   (CASE WHEN doc_id % 7 = 0 THEN '.com' ELSE '' END)
+         END AS contact
+  FROM documents
+)
+SELECT 'fmt_email' AS check_id, 'invalid' AS diff_kind,
+       contact AS bad_contact, count(*) AS n
+FROM d
+WHERE contact IS NULL OR NOT regexp_matches(contact,
+  '^[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$')
+GROUP BY 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3172,6 +3264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bounds_quantity": q_agg_bounds_quantity,
         "quantile_bounds_extprice": q_quantile_bounds_extprice,
         "json_events": q_json_events,
+        "quarantine_lineitem": q_quarantine_lineitem,
+        "format_emails_documents": q_format_emails_documents,
     }
 
 
@@ -3260,4 +3354,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_bounds_quantity": SQL_AGG_BOUNDS_QUANTITY,
         "quantile_bounds_extprice": SQL_QUANTILE_BOUNDS_EXTPRICE,
         "json_events": SQL_JSON_EVENTS,
+        "quarantine_lineitem": SQL_QUARANTINE_LINEITEM,
+        "format_emails_documents": SQL_FORMAT_EMAILS,
     }

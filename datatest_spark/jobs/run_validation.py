@@ -86,6 +86,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--fail-on-anomaly", action="store_true",
                     help="exit 3 when --history flags an anomalous "
                          "per-check violation count")
+    ap.add_argument("--route", default=None,
+                    help="quarantine-route the primary table through "
+                         "the spec's route.rules in ONE extra scan: "
+                         "clean rows to <path>/_routed=clean, "
+                         "violating rows (+failed_checks) to "
+                         "<path>/_routed=quarantined.  Overrides "
+                         "route.path from the spec; pass '-' to use "
+                         "the spec's path")
     args = ap.parse_args(argv)
     if args.fail_on_anomaly and not args.history:
         ap.error("--fail-on-anomaly needs --history")
@@ -173,6 +181,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     ).collect()
                 ]
                 out["anomalies"] = anomalies
+    if args.route:
+        route_spec = spec.get("route") or {}
+        rules_json = route_spec.get("rules")
+        if not rules_json:
+            ap.error("--route needs a route.rules block in the spec")
+        route_path = route_spec.get("path") if args.route == "-" else args.route
+        if not route_path:
+            ap.error("--route - needs route.path in the spec")
+        from ..operators.quarantine import rules_from_spec, write_routed
+
+        primary_df = tables[spec["primary"]]
+        routed = write_routed(
+            primary_df, rules_from_spec(primary_df, rules_json), route_path
+        )
+        out["routed"] = routed
+
     print(json.dumps(out))
     if args.strict and not result.passed:
         return 1

@@ -20,6 +20,7 @@ Spec shape::
         {"check": "subset",   "column": "lang", "required": ["py", "go"]},
         {"check": "interval", "column": "content_len", "min": 1, "max": 50000},
         {"check": "regex",    "column": "commit", "pattern": "^[0-9a-f]{40}$"},
+        {"check": "format",   "column": "contact", "format": "email"},
         {"check": "unique",   "columns": ["repo", "path", "commit"]},
         {"check": "referential", "keys": ["repo"],
          "parent": "repos", "parent_keys": ["repo"], "strategy": "keys"},
@@ -68,7 +69,17 @@ Spec shape::
          "max_value": 250.0},
         {"check": "json", "column": "props",
          "required_keys": ["schema_version", "source"]}
-      ]
+      ],
+      "route": {                      # optional: row-level quarantine
+        "path": "/data/routed",       # (run_validation --route; one
+        "rules": [                    #  extra scan, two destinations)
+          {"rule": "lang_known", "kind": "set", "column": "lang",
+           "values": ["py", "go"]},
+          {"rule": "commit_sha", "kind": "format", "column": "commit",
+           "format": "git_sha"},
+          {"rule": "small", "kind": "expr", "sql": "content_len <= 50000"}
+        ]
+      }
     }
 
 Each check entry takes an optional ``id`` (defaults to
@@ -170,6 +181,13 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         cid = check_id or f"regex_{column}"
         builder = lambda t, _c=column, _p=pattern, _i=cid: validate.regex(  # noqa: E731
             t[table], _c, _p, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "format":
+        column = e.pop("column")
+        fmt = e.pop("format")
+        cid = check_id or f"format_{fmt}_{column}"
+        builder = lambda t, _c=column, _f=fmt, _i=cid: validate.format(  # noqa: E731
+            t[table], _c, _f, check_id=_i, partition_id=_pid(t)
         )
     elif kind == "interval":
         column = e.pop("column")

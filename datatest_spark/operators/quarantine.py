@@ -1,0 +1,281 @@
+"""Row-level quarantine: validate-and-route in one projection.
+
+The suite surface (``ValidationSuite`` / ``validate.*``) reports
+*differences* — the datatest contract.  Production pipelines usually
+want the complementary action: split the input into clean rows that
+flow downstream and violating rows that land in a quarantine sink,
+WITHOUT a second validation pass.  This module compiles a dict of
+row-level rules into one flag projection:
+
+* every rule is a non-null boolean Column (the §2.3 predicate
+  compiler's NULL-fails semantics), so a row's verdict is decided
+  scan-locally — zero shuffle, no UDF unless a rule itself is a
+  Python callable predicate (which compiles to an Arrow pandas_udf);
+* the failed-rule names ride along as one ``array<string>`` column, so
+  the quarantine sink is self-describing (which rule(s) each row broke);
+* ``write_routed`` writes BOTH halves in one job via a
+  ``partitionBy`` flag directory — at 100 TB the input is scanned
+  once, not once per destination.
+
+Rule semantics are identical to ``validate.predicate`` /
+``check_predicate``: a row lands in quarantine exactly when the same
+rule as a suite check would emit an Invalid/Deviation difference for it
+(property-tested in ``tests/test_quarantine.py``).
+
+Named text formats (``check_format`` / format rules) are anchored
+full-match regexes — the common "is this column an email/UUID/URL"
+ask, expressed as ordinary regex checks so they stay JVM-side
+(``rlike`` under whole-stage codegen) and SQL-oracle-able.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.predicate import compile_predicate
+
+# ---------------------------------------------------------------------------
+# named formats (anchored; rlike has search semantics, so ^...$ is required)
+# ---------------------------------------------------------------------------
+
+FORMAT_PATTERNS: dict = {
+    # pragmatic email shape (WHATWG-ish, not RFC 5322 exotica)
+    "email": r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$",
+    # RFC 4122 textual form, any version nibble
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "url": r"^https?://[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?(?::[0-9]{1,5})?(?:/[^\s]*)?$",
+    "ipv4": r"^(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$",
+    "iso_date": r"^[0-9]{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])$",
+    "iso_timestamp": r"^[0-9]{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])[T ](?:[01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](?:\.[0-9]{1,9})?(?:Z|[+-](?:[01][0-9]|2[0-3]):[0-5][0-9])?$",
+    # 40-hex git object id (the code_files commit invariant)
+    "git_sha": r"^[0-9a-f]{40}$",
+    "hex": r"^[0-9a-fA-F]+$",
+    "slug": r"^[a-z0-9]+(?:-[a-z0-9]+)*$",
+    "semver": r"^(?:0|[1-9][0-9]*)\.(?:0|[1-9][0-9]*)\.(?:0|[1-9][0-9]*)(?:-[0-9A-Za-z.-]+)?(?:\+[0-9A-Za-z.-]+)?$",
+}
+
+
+def format_pattern(fmt: str) -> str:
+    """Anchored regex for a named format (KeyError lists the options)."""
+    try:
+        return FORMAT_PATTERNS[fmt]
+    except KeyError:
+        raise KeyError(
+            f"unknown format {fmt!r}; available: {sorted(FORMAT_PATTERNS)}"
+        ) from None
+
+
+def check_format(
+    df: DataFrame,
+    column: str,
+    fmt: str,
+    *,
+    check_id: Optional[str] = None,
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """Values must fully match the named format → Invalid(value).
+
+    Thin sugar over ``check_regex`` with an anchored pattern; NULL fails
+    (predicate-compiler semantics), matching "a NULL email is not an
+    email".  Plan: one rlike filter, scan-local.
+    """
+    from .requirements import check_regex
+
+    return check_regex(
+        df,
+        column,
+        format_pattern(fmt),
+        check_id=check_id or f"format_{fmt}_{column}",
+        provenance=provenance,
+        partition_id=partition_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule compilation
+# ---------------------------------------------------------------------------
+
+RuleSpec = Union[Column, Tuple[Union[str, Sequence[str]], Any]]
+
+
+def row_condition(df: DataFrame, columns, predicate: Any) -> Column:
+    """Compile a §2.3 predicate against column(s) of ``df`` → non-null
+    boolean Column (True = row passes).  Multi-column targets use the
+    tuple-predicate form (element-wise AND), exactly as
+    ``check_predicate`` does."""
+    names = [columns] if isinstance(columns, str) else list(columns)
+    cols = [F.col(n) for n in names]
+    dts = [df.schema[n].dataType for n in names]
+    if len(names) == 1:
+        return compile_predicate(predicate, cols[0], dts[0])
+    return compile_predicate(predicate, cols[0], dts[0], cols=cols, dts=dts)
+
+
+def _compile_rules(df: DataFrame, rules: Mapping[str, RuleSpec]) -> list:
+    """[(name, ok_col)] in rule order; each ok_col is non-null boolean."""
+    if not rules:
+        raise ValueError("split_valid requires at least one rule")
+    out = []
+    for name, spec in rules.items():
+        if isinstance(spec, Column):
+            # escape hatch: collapse SQL three-valued logic the same way
+            # the predicate compiler does — NULL fails the rule
+            ok = F.coalesce(spec, F.lit(False))
+        elif isinstance(spec, tuple) and len(spec) == 2:
+            ok = row_condition(df, spec[0], spec[1])
+        elif isinstance(spec, str) and ":" in spec:
+            # "format:email:col" shorthand used by JSON specs
+            _, fmt, col = spec.split(":", 2)
+            ok = F.coalesce(F.col(col).rlike(format_pattern(fmt)), F.lit(False))
+        else:
+            raise TypeError(
+                f"rule {name!r}: expected a boolean Column, a (columns, "
+                f"predicate) pair, or a 'format:<fmt>:<col>' string; got "
+                f"{type(spec).__name__}"
+            )
+        out.append((name, ok))
+    return out
+
+
+def rules_from_spec(df: DataFrame, entries: Sequence[Mapping]) -> dict:
+    """Compile JSON rule entries (a spec's ``route.rules`` block) into
+    the ``split_valid`` rules dict — so routing is deployable as DATA
+    through the spark-submit entrypoint, exactly like checks.
+
+    Entry shape: ``{"rule": <name>, "kind": <kind>, ...}`` with kinds
+
+    * ``predicate``: ``column`` + ``value`` (JSON literal, §2.3 rules)
+    * ``regex``:     ``column`` + ``pattern``
+    * ``format``:    ``column`` + ``format`` (named anchored format)
+    * ``set``:       ``column`` + ``values`` (membership)
+    * ``interval``:  ``column`` + ``min`` and/or ``max`` (inclusive)
+    * ``expr``:      ``sql`` — arbitrary boolean SQL expression
+
+    Every compiled rule collapses NULL to fail (predicate-compiler
+    semantics).  Rule names default to ``<kind>_<column>``.
+    """
+    rules: dict = {}
+    for raw in entries:
+        e = dict(raw)
+        kind = e.pop("kind")
+        name = e.pop("rule", None)
+        if kind == "predicate":
+            col, value = e.pop("column"), e.pop("value")
+            spec: RuleSpec = (col, value)
+        elif kind == "regex":
+            col, pat = e.pop("column"), e.pop("pattern")
+            spec = F.coalesce(F.col(col).rlike(pat), F.lit(False))
+        elif kind == "format":
+            col, fmt = e.pop("column"), e.pop("format")
+            spec = F.coalesce(
+                F.col(col).rlike(format_pattern(fmt)), F.lit(False)
+            )
+            name = name or f"format_{fmt}_{col}"
+        elif kind == "set":
+            col, values = e.pop("column"), e.pop("values")
+            spec = (col, set(values))
+        elif kind == "interval":
+            col = e.pop("column")
+            lo, hi = e.pop("min", None), e.pop("max", None)
+            if lo is None and hi is None:
+                raise ValueError(f"interval rule on {col!r} needs min or max")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            spec = F.coalesce(cond, F.lit(False))
+        elif kind == "expr":
+            sql = e.pop("sql")
+            spec = F.coalesce(F.expr(sql), F.lit(False))
+            name = name or f"expr_{len(rules)}"
+        else:
+            raise ValueError(f"unknown route rule kind: {kind!r}")
+        if name is None:
+            name = f"{kind}_{raw.get('column', len(rules))}"
+        if name in rules:
+            raise ValueError(f"duplicate route rule name: {name!r}")
+        rules[name] = spec
+    return rules
+
+
+def failed_rules_col(df: DataFrame, rules: Mapping[str, RuleSpec]) -> Column:
+    """``array<string>`` of the rule names this row fails (rule order,
+    deterministic).  Empty array = clean row.  Pure Column expression —
+    one projection, zero shuffle."""
+    compiled = _compile_rules(df, rules)
+    tagged = [
+        F.when(ok, F.lit(None).cast("string")).otherwise(F.lit(name))
+        for name, ok in compiled
+    ]
+    return F.filter(F.array(*tagged), lambda x: x.isNotNull())
+
+
+def split_valid(
+    df: DataFrame,
+    rules: Mapping[str, RuleSpec],
+    *,
+    failed_col: str = "failed_checks",
+) -> Tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (valid, quarantined) by row-level rules.
+
+    ``rules`` maps a rule name to either a boolean Column (True = pass;
+    NULL is collapsed to fail) or a ``(columns, predicate)`` pair
+    compiled by the §2.3 predicate sub-language — so the same
+    requirement object drives both the reporting check and the routing
+    split, and the quarantined rows are EXACTLY the rows for which
+    ``validate.predicate`` would emit a difference (property-tested).
+
+    Returns lazy DataFrames sharing one flag projection: ``valid`` has
+    the original schema; ``quarantined`` adds ``failed_col``
+    (``array<string>`` of violated rule names).  Scale shape: the flag
+    is scan-local (no shuffle, no UDF for Column/set/regex/interval
+    rules).  Materializing BOTH halves re-reads the source once per
+    half — when that matters, either ``persist()`` the flagged frame
+    yourself or use ``write_routed`` (one scan, one write job).
+    """
+    flagged = df.withColumn(failed_col, failed_rules_col(df, rules))
+    valid = flagged.filter(F.size(F.col(failed_col)) == 0).drop(failed_col)
+    quarantined = flagged.filter(F.size(F.col(failed_col)) > 0)
+    return valid, quarantined
+
+
+def write_routed(
+    df: DataFrame,
+    rules: Mapping[str, RuleSpec],
+    path: str,
+    *,
+    failed_col: str = "failed_checks",
+    flag_col: str = "_routed",
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """One-pass router: write clean rows to ``<path>/_routed=clean/``
+    and violating rows (with ``failed_col``) to
+    ``<path>/_routed=quarantined/``.
+
+    The input is scanned ONCE — the flag is a projection and
+    ``partitionBy(flag_col)`` fans the writer out by value with no
+    shuffle (each task writes at most two files).  At 100 TB this is
+    the difference between one pass and two.  Returns the two paths.
+    """
+    flagged = df.withColumn(failed_col, failed_rules_col(df, rules)).withColumn(
+        flag_col,
+        F.when(F.size(F.col(failed_col)) == 0, F.lit("clean")).otherwise(
+            F.lit("quarantined")
+        ),
+    )
+    (
+        flagged.write.mode(mode)
+        .partitionBy(flag_col)
+        .format(format)
+        .save(path)
+    )
+    return {
+        "clean": f"{path}/{flag_col}=clean",
+        "quarantined": f"{path}/{flag_col}=quarantined",
+    }

@@ -227,6 +227,26 @@ class _Validate:
 
         return check_interval_overlap(df, start_col, end_col, **kw)
 
+    @staticmethod
+    def format(df, column, fmt, **kw):
+        from .quarantine import check_format
+
+        return check_format(df, column, fmt, **kw)
+
+    # row-level routing (quarantine module): not difference-emitting —
+    # splits/writes the INPUT rows themselves by the same rule semantics
+    @staticmethod
+    def split_valid(df, rules, **kw):
+        from .quarantine import split_valid
+
+        return split_valid(df, rules, **kw)
+
+    @staticmethod
+    def write_routed(df, rules, path, **kw):
+        from .quarantine import write_routed
+
+        return write_routed(df, rules, path, **kw)
+
 
 validate = _Validate()
 

@@ -598,3 +598,84 @@ def test_spec_quantile_json_match_python_api(spark):
     assert sorted(got) == sorted(want)
     # p50 fires once; 10 "oops" Invalid; 10 parsed objects missing "b"
     assert len(got) == 21
+
+
+def test_cli_route_quarantine(spark, code_tables, tmp_path, capsys):
+    """--route writes clean/quarantined halves from the spec's
+    route.rules in one extra scan, alongside the normal validation."""
+    code, repos, code_p, repos_p = code_tables
+    routed_dir = str(tmp_path / "routed")
+    spec = {
+        "primary": "code",
+        "tables": {"code": {"path": code_p}},
+        "checks": [
+            {"check": "interval", "column": "content_len", "min": 1, "max": 50},
+        ],
+        "route": {
+            "rules": [
+                {"rule": "lang_known", "kind": "set", "column": "lang",
+                 "values": ["py", "go"]},
+                {"rule": "commit_sha", "kind": "format", "column": "commit",
+                 "format": "git_sha"},
+                {"rule": "has_content", "kind": "expr",
+                 "sql": "content_len >= 1"},
+            ],
+        },
+    }
+    rc = job_main(["--spec", json.dumps(spec), "--route", routed_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["routed"]["clean"].endswith("_routed=clean")
+
+    clean = spark.read.parquet(out["routed"]["clean"])
+    quar = spark.read.parquet(out["routed"]["quarantined"])
+    # r1/a.py and both r2/c.go rows pass all three rules; b.py fails
+    # has_content, d.rs fails lang+format
+    assert clean.count() == 3
+    byid = {
+        (r["repo"], r["path"], r["content"]): r["failed_checks"]
+        for r in quar.collect()
+    }
+    assert byid[("r1", "b.py", "")] == ["has_content"]
+    assert byid[("rX", "d.rs", "fn main()")] == ["lang_known", "commit_sha"]
+
+
+def test_cli_route_requires_spec_rules(code_tables, tmp_path):
+    _, _, code_p, _ = code_tables
+    spec = {"primary": "code", "tables": {"code": {"path": code_p}},
+            "checks": [{"check": "interval", "column": "content_len",
+                        "min": 0, "max": 99}]}
+    with pytest.raises(SystemExit):
+        job_main(["--spec", json.dumps(spec), "--route", str(tmp_path / "r")])
+
+
+def test_rules_from_spec_kinds(spark):
+    """Every route-rule kind compiles and collapses NULL to fail."""
+    from datatest_spark.operators.quarantine import rules_from_spec, split_valid
+
+    df = spark.createDataFrame(
+        [(1, "py", 10, "a@b.co", "abc"), (2, None, None, None, None)],
+        "id int, lang string, n int, mail string, tag string",
+    )
+    rules = rules_from_spec(df, [
+        {"kind": "set", "column": "lang", "values": ["py"]},
+        {"kind": "interval", "column": "n", "min": 0, "max": 100},
+        {"kind": "format", "column": "mail", "format": "email"},
+        {"kind": "regex", "column": "tag", "pattern": "^[a-z]+$"},
+        {"kind": "predicate", "column": "lang", "value": "py"},
+        {"rule": "pos", "kind": "expr", "sql": "n > 0"},
+    ])
+    assert set(rules) == {"set_lang", "interval_n", "format_email_mail",
+                          "regex_tag", "predicate_lang", "pos"}
+    valid, quarantined = split_valid(df, rules)
+    assert [r["id"] for r in valid.collect()] == [1]
+    (bad,) = quarantined.collect()
+    assert bad["id"] == 2 and len(bad["failed_checks"]) == 6
+
+    with pytest.raises(ValueError):
+        rules_from_spec(df, [{"kind": "interval", "column": "n"}])
+    with pytest.raises(ValueError):
+        rules_from_spec(df, [{"kind": "nope", "column": "n"}])
+    with pytest.raises(ValueError):
+        rules_from_spec(df, [{"rule": "a", "kind": "expr", "sql": "n > 0"},
+                             {"rule": "a", "kind": "expr", "sql": "n < 9"}])

@@ -133,3 +133,29 @@ class TestPredicateParity:
         got = _spark_matches(spark, pred, values, T.StringType())
         want = [py_matches(pred, v) for v in values]
         assert got == want, f"pred={pred!r} values={values!r}"
+
+    @given(pred=_string_preds, values=_string_values)
+    @_SETTINGS
+    def test_split_valid_complements_check_predicate(self, spark, pred, values):
+        """Routing consistency: split_valid quarantines EXACTLY the rows
+        check_predicate reports, and the two halves partition the input
+        — for ANY predicate the sub-language can express."""
+        from datatest_spark.operators.quarantine import split_valid
+        from datatest_spark.operators.requirements import check_predicate
+
+        schema = T.StructType(
+            [
+                T.StructField("i", T.IntegerType(), False),
+                T.StructField("v", T.StringType(), True),
+            ]
+        )
+        df = spark.createDataFrame(list(enumerate(values)), schema)
+        valid, quarantined = split_valid(df, {"r": ("v", pred)})
+        ok_ids = sorted(r["i"] for r in valid.collect())
+        bad_ids = sorted(r["i"] for r in quarantined.collect())
+        want_bad = sorted(i for i, v in enumerate(values) if not py_matches(pred, v))
+        assert bad_ids == want_bad, f"pred={pred!r} values={values!r}"
+        assert sorted(ok_ids + bad_ids) == list(range(len(values)))
+        # and the difference report agrees with the quarantine half
+        n_diffs = check_predicate(df, "v", pred).count()
+        assert n_diffs == len(bad_ids)

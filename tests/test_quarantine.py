@@ -1,0 +1,172 @@
+"""Quarantine split, routed writer, and named-format checks."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import validate
+from datatest_spark.operators.quarantine import (
+    FORMAT_PATTERNS,
+    check_format,
+    failed_rules_col,
+    format_pattern,
+    split_valid,
+    write_routed,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, "ann@example.com", "py", 10),
+        (2, "not-an-email", "py", 55),
+        (3, None, "go", 20),
+        (4, "bob@site.org", "rb", 0),
+        (5, "carol@x.io", "go", -3),
+    ]
+    return spark.createDataFrame(rows, ["id", "contact", "lang", "score"])
+
+
+def _rules(df):
+    return {
+        "contact_email": ("contact", re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")),
+        "lang_known": ("lang", {"py", "go"}),
+        "score_pos": F.col("score") > 0,
+    }
+
+
+def test_split_partitions_rows(people):
+    valid, quarantined = split_valid(people, _rules(people))
+    ok_ids = sorted(r["id"] for r in valid.collect())
+    bad = {r["id"]: r["failed_checks"] for r in quarantined.collect()}
+    # 1: all pass. 2: contact fails. 3: contact NULL fails.
+    # 4: lang+score fail. 5: score fails.
+    assert ok_ids == [1]
+    assert bad == {
+        2: ["contact_email"],
+        3: ["contact_email"],
+        4: ["lang_known", "score_pos"],
+        5: ["score_pos"],
+    }
+    # valid keeps the original schema (no helper column)
+    assert valid.columns == people.columns
+
+
+def test_split_agrees_with_check_predicate(people):
+    """A (columns, predicate) rule quarantines EXACTLY the rows for
+    which validate.predicate emits a difference."""
+    pred = re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
+    _, quarantined = split_valid(people, {"r": ("contact", pred)})
+    split_ids = sorted(r["id"] for r in quarantined.collect())
+    diff_values = sorted(
+        (r["value"] or "null")
+        for r in validate.predicate(people, "contact", pred).collect()
+    )
+    diff_rows = people.filter(
+        ~F.coalesce(F.col("contact").rlike(pred.pattern), F.lit(False))
+    )
+    assert split_ids == sorted(r["id"] for r in diff_rows.collect())
+    assert len(diff_values) == len(split_ids)
+
+
+def test_null_column_rule_fails_null_rows(people):
+    """Raw-Column rules collapse three-valued logic: NULL → fail."""
+    _, quarantined = split_valid(people, {"has_contact": F.col("contact").isNotNull()})
+    assert sorted(r["id"] for r in quarantined.collect()) == [3]
+    # and a rule whose Column evaluates to NULL (not just a null check)
+    _, q2 = split_valid(people, {"c_long": F.length("contact") > 3})
+    assert 3 in {r["id"] for r in q2.collect()}
+
+
+def test_multi_column_tuple_rule(people):
+    _, quarantined = split_valid(
+        people, {"pair": (["lang", "score"], ({"py", "go"}, lambda v: v >= 0))}
+    )
+    assert sorted(r["id"] for r in quarantined.collect()) == [4, 5]
+
+
+def test_rules_validation_errors(people):
+    with pytest.raises(ValueError):
+        split_valid(people, {})
+    with pytest.raises(TypeError):
+        split_valid(people, {"bad": 42})
+
+
+def test_split_plan_is_scan_local(people):
+    """The flag projection must add no shuffle: quarantine of
+    Column/set/regex rules is a filter over the scan."""
+    _, quarantined = split_valid(people, _rules(people))
+    plan = quarantined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_write_routed_single_pass(people, tmp_path):
+    out = str(tmp_path / "routed")
+    paths = write_routed(people, _rules(people), out)
+    spark = people.sparkSession
+    clean = spark.read.parquet(paths["clean"])
+    quar = spark.read.parquet(paths["quarantined"])
+    assert sorted(r["id"] for r in clean.collect()) == [1]
+    assert sorted(r["id"] for r in quar.collect()) == [2, 3, 4, 5]
+    # quarantined rows are self-describing
+    byid = {r["id"]: r["failed_checks"] for r in quar.collect()}
+    assert byid[4] == ["lang_known", "score_pos"]
+    # clean side carries an empty failed_checks array (same schema both sides)
+    assert all(r["failed_checks"] == [] for r in clean.collect())
+
+
+def test_format_pattern_registry():
+    assert format_pattern("email").startswith("^")
+    with pytest.raises(KeyError):
+        format_pattern("zipcode")
+    # every registered pattern is anchored on both ends
+    for name, pat in FORMAT_PATTERNS.items():
+        assert pat.startswith("^") and pat.endswith("$"), name
+
+
+@pytest.mark.parametrize(
+    "fmt,good,bad",
+    [
+        ("email", "a.b+c@ex-ample.co.uk", "a@b"),
+        ("uuid", "123e4567-e89b-12d3-a456-426614174000", "123e4567e89b"),
+        ("url", "https://x.io:8080/p?q=1", "ftp://x.io"),
+        ("ipv4", "192.168.0.255", "256.1.1.1"),
+        ("iso_date", "2026-02-28", "2026-13-01"),
+        ("iso_timestamp", "2026-02-28T23:59:59.123Z", "2026-02-28 24:00:00"),
+        ("git_sha", "a" * 40, "A" * 40),
+        ("semver", "1.2.3-rc.1+build5", "1.2"),
+        ("slug", "my-doc-1", "My_Doc"),
+        ("hex", "DEADbeef01", "0x01"),
+    ],
+)
+def test_check_format_accepts_and_rejects(spark, fmt, good, bad):
+    df = spark.createDataFrame([(1, good), (2, bad), (3, None)], ["id", "v"])
+    diffs = check_format(df, "v", fmt).collect()
+    flagged = sorted(r["value"] for r in diffs if r["value"] is not None)
+    assert flagged == [bad]
+    # NULL fails too (Invalid with NULL value), reference NULL-fails rule
+    assert len(diffs) == 2
+
+
+def test_format_spec_kind(spark, tmp_path):
+    from datatest_spark.jobs.spec import compile_suite
+
+    df = spark.createDataFrame([(1, "a@b.co"), (2, "nope")], ["id", "contact"])
+    spec = {
+        "primary": "t",
+        "checks": [{"check": "format", "column": "contact", "format": "email"}],
+    }
+    suite = compile_suite(spec)
+    res = suite.run({"t": df}, primary="t")
+    assert res.n_violations == 1
+    kinds = {(r["check_id"], r["value"]) for r in res.differences.collect()}
+    assert kinds == {("format_email_contact", "nope")}
+
+
+def test_failed_rules_col_order_is_rule_order(people):
+    col = failed_rules_col(people, _rules(people))
+    row = people.filter(F.col("id") == 4).select(col.alias("f")).collect()[0]
+    assert row["f"] == ["lang_known", "score_pos"]
