@@ -3179,6 +3179,130 @@ GROUP BY 3
 """
 
 
+def q_psi_drift_lineitem(spark, sf_dir):
+    """Population Stability Index drift (stats.check_psi) between the
+    pre/post-1997 lineitem snapshots, both histogram flavors in one
+    relation: the categorical l_returnflag histogram (histograms())
+    and the fixed-edge binned l_quantity histogram (binned_histogram,
+    10 bins over [0, 55) — caller-pinned edges so snapshots stay
+    comparable).  Smoothing 0.5 keeps one-sided buckets finite.  Both
+    inputs are tiny aggregates, every join broadcasts; the oracle
+    recomputes the smoothed PSI formula literally in SQL."""
+    from datatest_spark.operators.stats import (
+        binned_histogram,
+        check_psi,
+        histograms,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.filter(F.col("l_shipdate") < DRIFT_PIVOT)
+    post = li.filter(F.col("l_shipdate") >= DRIFT_PIVOT)
+    cur = histograms(post, ["l_returnflag"]).unionByName(
+        binned_histogram(post, "l_quantity", bins=10, lo=0.0, hi=55.0)
+    )
+    base = histograms(pre, ["l_returnflag"]).unionByName(
+        binned_histogram(pre, "l_quantity", bins=10, lo=0.0, hi=55.0)
+    )
+    d = check_psi(cur, base, threshold=0.0, check_id="psi_li")
+    return d.select(
+        "check_id",
+        F.col("key").alias("column_name"),
+        F.round("deviation", 4).alias("psi"),
+    )
+
+
+SQL_PSI_DRIFT_LINEITEM = f"""
+WITH pre AS (
+  SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00'
+), post AS (
+  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00'
+), cur AS (
+  SELECT 'l_returnflag' AS column_name, l_returnflag AS value, count(*) AS obs
+  FROM post GROUP BY 2
+  UNION ALL
+  SELECT 'l_quantity',
+         CAST(least(greatest(CAST(floor((l_quantity - 0.0) / 5.5) AS BIGINT), 0), 9) AS VARCHAR),
+         count(*)
+  FROM post WHERE l_quantity IS NOT NULL GROUP BY 2
+), base AS (
+  SELECT 'l_returnflag' AS column_name, l_returnflag AS value, count(*) AS base_cnt
+  FROM pre GROUP BY 2
+  UNION ALL
+  SELECT 'l_quantity',
+         CAST(least(greatest(CAST(floor((l_quantity - 0.0) / 5.5) AS BIGINT), 0), 9) AS VARCHAR),
+         count(*)
+  FROM pre WHERE l_quantity IS NOT NULL GROUP BY 2
+), j AS (
+  SELECT coalesce(cur.column_name, base.column_name) AS column_name,
+         coalesce(obs, 0) + 0.5 AS adj_cur,
+         coalesce(base_cnt, 0) + 0.5 AS adj_base
+  FROM cur FULL OUTER JOIN base
+    ON cur.column_name = base.column_name AND cur.value = base.value
+), t AS (
+  SELECT column_name, sum(adj_cur) AS tc, sum(adj_base) AS tb
+  FROM j GROUP BY 1
+), s AS (
+  SELECT j.column_name,
+         sum((adj_cur / tc - adj_base / tb) * ln((adj_cur / tc) / (adj_base / tb))) AS psi
+  FROM j JOIN t ON j.column_name = t.column_name
+  GROUP BY 1
+)
+SELECT 'psi_li' AS check_id, column_name, round(psi, 4) AS psi
+FROM s WHERE psi > 0.0
+"""
+
+
+def q_ks_drift_quantity(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift (stats.check_ks_drift)
+    between the pre/post-1997 l_quantity distributions.  D is a ratio
+    of exact integer counts (distributed running-sum CDFs over the
+    collapsed (value, count) relation; argmax via a 1-row TakeOrdered,
+    smallest attaining value wins ties), so both engines compute
+    bit-identical doubles; the oracle evaluates the same sup-norm with
+    window cumulative sums."""
+    from datatest_spark.operators.stats import check_ks_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.filter(F.col("l_shipdate") < DRIFT_PIVOT)
+    post = li.filter(F.col("l_shipdate") >= DRIFT_PIVOT)
+    d = check_ks_drift(post, pre, "l_quantity", threshold=0.0, check_id="ks_q")
+    return d.select(
+        "check_id",
+        F.split(F.col("key"), "@").getItem(1).cast("double").alias("at_v"),
+        F.round("deviation", 6).alias("d"),
+    )
+
+
+SQL_KS_DRIFT_QUANTITY = f"""
+WITH cb AS (
+  SELECT l_quantity AS v, count(*) AS c_base FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00' AND l_quantity IS NOT NULL
+  GROUP BY 1
+), cc AS (
+  SELECT l_quantity AS v, count(*) AS c_cur FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00' AND l_quantity IS NOT NULL
+  GROUP BY 1
+), m AS (
+  SELECT coalesce(cc.v, cb.v) AS v,
+         coalesce(c_cur, 0) AS c_cur, coalesce(c_base, 0) AS c_base
+  FROM cc FULL OUTER JOIN cb ON cc.v = cb.v
+), cum AS (
+  SELECT v,
+         sum(c_cur) OVER (ORDER BY v) AS cum_cur,
+         sum(c_base) OVER (ORDER BY v) AS cum_base
+  FROM m
+), tot AS (
+  SELECT sum(c_cur) AS n_cur, sum(c_base) AS n_base FROM m
+), dd AS (
+  SELECT v, abs(cum_cur * 1.0 / n_cur - cum_base * 1.0 / n_base) AS d
+  FROM cum, tot
+)
+SELECT 'ks_q' AS check_id, CAST(v AS DOUBLE) AS at_v, round(d, 6) AS d
+FROM dd WHERE d > 0.0
+ORDER BY d DESC, v ASC LIMIT 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3266,6 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_events": q_json_events,
         "quarantine_lineitem": q_quarantine_lineitem,
         "format_emails_documents": q_format_emails_documents,
+        "psi_drift_lineitem": q_psi_drift_lineitem,
+        "ks_drift_quantity": q_ks_drift_quantity,
     }
 
 
@@ -3356,4 +3482,6 @@ def oracle_sql() -> dict[str, str]:
         "json_events": SQL_JSON_EVENTS,
         "quarantine_lineitem": SQL_QUARANTINE_LINEITEM,
         "format_emails_documents": SQL_FORMAT_EMAILS,
+        "psi_drift_lineitem": SQL_PSI_DRIFT_LINEITEM,
+        "ks_drift_quantity": SQL_KS_DRIFT_QUANTITY,
     }

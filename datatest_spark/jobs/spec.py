@@ -68,7 +68,13 @@ Spec shape::
         {"check": "quantile_bounds", "column": "latency_ms", "q": 0.99,
          "max_value": 250.0},
         {"check": "json", "column": "props",
-         "required_keys": ["schema_version", "source"]}
+         "required_keys": ["schema_version", "source"]},
+        {"check": "psi", "column": "lang", "baseline": "lang_hist",
+         "threshold": 0.1},
+        {"check": "psi", "column": "latency_ms", "baseline": "lat_hist",
+         "bins": 20, "lo": 0, "hi": 1000, "threshold": 0.25},
+        {"check": "ks_drift", "column": "amount",
+         "baseline": "orders_snapshot", "threshold": 0.05}
       ],
       "route": {                      # optional: row-level quarantine
         "path": "/data/routed",       # (run_validation --route; one
@@ -112,6 +118,7 @@ from ..operators.referential import check_referential
 from ..operators.requirements import check_json
 from ..operators.secrets import check_no_secrets
 from ..operators.stats import (
+    binned_histogram,
     check_agg_bounds,
     check_chi_square_drift,
     check_completeness,
@@ -120,8 +127,10 @@ from ..operators.stats import (
     check_distinct_count,
     check_entropy,
     check_freshness,
+    check_ks_drift,
     check_mutual_information,
     check_partition_outliers,
+    check_psi,
     check_quantile_bounds,
     check_row_count_drift,
     check_schema_drift,
@@ -539,6 +548,36 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 t[table], _c, required_keys=_k, check_id=_i,
                 partition_id=_pid(t),
             )
+        )
+    elif kind == "psi":
+        column = e.pop("column")
+        baseline = e.pop("baseline")  # table name holding the baseline histogram
+        threshold = e.pop("threshold", 0.1)
+        smoothing = e.pop("smoothing", 0.5)
+        bins = e.pop("bins", None)  # with lo/hi: numeric binned mode
+        lo = e.pop("lo", None)
+        hi = e.pop("hi", None)
+        cid = check_id or f"psi_{column}"
+        builder = lambda t, _c=column, _b=baseline, _th=threshold, _s=smoothing, _bins=bins, _lo=lo, _hi=hi, _i=cid: (  # noqa: E731
+            check_psi(
+                (
+                    binned_histogram(
+                        t[table], _c, bins=int(_bins), lo=float(_lo), hi=float(_hi)
+                    )
+                    if _bins is not None
+                    else histograms(t[table], [_c])
+                ),
+                t[_b],
+                threshold=float(_th), smoothing=float(_s), check_id=_i,
+            )
+        )
+    elif kind == "ks_drift":
+        column = e.pop("column")
+        baseline = e.pop("baseline")  # table name holding baseline ROWS (not a histogram)
+        threshold = e.pop("threshold", 0.0)
+        cid = check_id or f"ks_drift_{column}"
+        builder = lambda t, _c=column, _b=baseline, _th=threshold, _i=cid: (  # noqa: E731
+            check_ks_drift(t[table], t[_b], _c, threshold=float(_th), check_id=_i)
         )
     elif kind == "partition_outliers":
         column = e.pop("column")

@@ -1520,3 +1520,199 @@ def check_quantile_bounds(
         key=f"p{q:g}({column})",
         check_id=check_id,
     )
+
+
+def binned_histogram(
+    df: DataFrame,
+    column: str,
+    *,
+    bins: int,
+    lo: float,
+    hi: float,
+    table_name: str = "table",
+) -> DataFrame:
+    """Fixed-edge numeric histogram — the binning companion of
+    ``histograms()`` for continuous columns (PSI/KS baselines).
+
+    Bin edges are CALLER-SUPPLIED (``lo``/``hi``), never inferred from
+    the data: snapshot comparability requires the current and baseline
+    histograms to share edges, and data-derived edges would drift with
+    the data they are meant to judge.  Values below ``lo`` / above
+    ``hi`` clamp into the first / last bin (standard PSI practice —
+    out-of-range mass must be visible, not dropped); NULLs are skipped
+    (``check_completeness`` owns null-rate).  Returns the
+    ``histograms()`` relation shape (table_name, column_name,
+    value=bin index as string, cnt) so every drift check that consumes
+    a categorical histogram consumes this one unchanged.
+
+    One scan-local projection + one groupBy of ≤ ``bins`` groups
+    (map-side partial) — no other shuffle at any scale.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    if not (float(lo) < float(hi)):
+        raise ValueError(f"lo must be < hi: {lo} >= {hi}")
+    width = (float(hi) - float(lo)) / int(bins)
+    idx = F.floor((F.col(column).cast("double") - F.lit(float(lo))) / F.lit(width))
+    idx = F.least(F.greatest(idx, F.lit(0)), F.lit(int(bins) - 1))
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(idx.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.lit(column).alias("column_name"),
+            "value",
+            "cnt",
+        )
+    )
+
+
+def check_psi(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    *,
+    threshold: float = 0.1,
+    smoothing: float = 0.5,
+    check_id: str = "psi_drift",
+) -> DataFrame:
+    """Population Stability Index per column vs the baseline histogram
+    — the ML-monitoring drift statistic (PSI < 0.1 stable, 0.1–0.25
+    moderate shift, > 0.25 major shift by the usual industry reading).
+
+    PSI = Σ_buckets (p_cur − p_base) · ln(p_cur / p_base), where the
+    bucket probabilities are computed from ``smoothing``-adjusted
+    counts (each side of every joined bucket gains the pseudo-count, so
+    buckets present in only one snapshot stay finite — the raw formula
+    is undefined at 0).  Inputs are ``histograms()`` /
+    ``binned_histogram()`` relations; the same code covers categorical
+    and binned-numeric columns.  Emits one Deviation(psi, threshold)
+    row per column with psi > threshold.
+
+    Both inputs are tiny aggregates (≤ distinct values / bins per
+    column) — every join broadcasts, nothing rescans the data.
+    """
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError(f"smoothing must be > 0: {smoothing}")
+    cur = current_hist.select(
+        "column_name", "value", F.col("cnt").alias("obs")
+    )
+    base = baseline_hist.select(
+        "column_name", "value", F.col("cnt").alias("base_cnt")
+    )
+    joined = (
+        cur.join(base, ["column_name", "value"], "full_outer")
+        .withColumn("adj_cur", F.coalesce(F.col("obs"), F.lit(0)) + F.lit(s))
+        .withColumn(
+            "adj_base", F.coalesce(F.col("base_cnt"), F.lit(0)) + F.lit(s)
+        )
+    )
+    totals = joined.groupBy("column_name").agg(
+        F.sum("adj_cur").alias("tot_cur"), F.sum("adj_base").alias("tot_base")
+    )
+    terms = joined.join(F.broadcast(totals), "column_name").select(
+        "column_name",
+        (
+            (F.col("adj_cur") / F.col("tot_cur") - F.col("adj_base") / F.col("tot_base"))
+            * F.log(
+                (F.col("adj_cur") / F.col("tot_cur"))
+                / (F.col("adj_base") / F.col("tot_base"))
+            )
+        ).alias("term"),
+    )
+    stat = (
+        terms.groupBy("column_name")
+        .agg(F.sum("term").alias("psi"))
+        .filter(F.col("psi") > F.lit(float(threshold)))
+    )
+    return make_differences(
+        stat,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("column_name"),
+        value=F.col("psi"),
+        expected=F.lit(float(threshold)),
+        deviation=F.col("psi") - F.lit(float(threshold)),
+    )
+
+
+def check_ks_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    threshold: float = 0.0,
+    num_partitions: Optional[int] = None,
+    check_id: str = "ks_drift",
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance between the
+    ``column`` distributions of two snapshots: D = max_x |F_cur(x) −
+    F_base(x)|.  Unlike the binned PSI this needs no edge choice and
+    catches shape changes PSI's bins can blur.  NULLs are skipped.
+    Emits ONE Deviation(D, threshold) row — keyed by the value at
+    which the supremum is attained (smallest such value on ties) —
+    when D > threshold.
+
+    Scale shape: each side collapses to (value, count) via its own
+    map-side-partial groupBy; the full-outer merge of the two count
+    relations then carries ONE row per distinct value.  Both empirical
+    CDFs come from a single distributed running-sum pass over that
+    collapsed relation (range shuffle + Arrow cumsum + triangular
+    offset broadcast — never a global window; the only
+    single-partition exchange is the 1-row scalar totals aggregate,
+    which receives one PARTIAL row per task, not data), and the argmax
+    is a 1-row TakeOrdered.  AQE exchange reuse dedupes the repeated
+    merged-counts subtree at runtime (plan-tested).  D is a ratio of
+    exact integer counts evaluated identically in any engine —
+    bit-stable across parallelism levels.
+    """
+    from ..plans.distributed import with_global_running_sums
+
+    cur_cnt = (
+        current.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    base_cnt = (
+        baseline.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_base"))
+    )
+    merged = (
+        cur_cnt.join(base_cnt, "v", "full_outer")
+        .withColumn("c_cur", F.coalesce(F.col("c_cur"), F.lit(0)))
+        .withColumn("c_base", F.coalesce(F.col("c_base"), F.lit(0)))
+    )
+    cum = with_global_running_sums(
+        merged,
+        ["v"],
+        {"cum_cur": F.col("c_cur"), "cum_base": F.col("c_base")},
+        num_partitions=num_partitions,
+    )
+    totals = merged.agg(
+        F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
+    )
+    diff = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter((F.col("n_cur") > 0) & (F.col("n_base") > 0))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cum_cur") / F.col("n_cur")
+                - F.col("cum_base") / F.col("n_base")
+            ),
+        )
+    )
+    top = diff.orderBy(F.col("d").desc(), F.col("v").asc()).limit(1).filter(
+        F.col("d") > F.lit(float(threshold))
+    )
+    return make_differences(
+        top,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.concat(F.lit(f"ks({column})@"), F.col("v").cast("string")),
+        value=F.col("d"),
+        expected=F.lit(float(threshold)),
+        deviation=F.col("d") - F.lit(float(threshold)),
+    )

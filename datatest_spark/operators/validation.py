@@ -210,6 +210,18 @@ class _Validate:
         return check_json(df, column, **kw)
 
     @staticmethod
+    def psi(current_hist, baseline_hist, **kw):
+        from .stats import check_psi
+
+        return check_psi(current_hist, baseline_hist, **kw)
+
+    @staticmethod
+    def ks_drift(current, baseline, column, **kw):
+        from .stats import check_ks_drift
+
+        return check_ks_drift(current, baseline, column, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

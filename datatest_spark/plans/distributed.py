@@ -31,11 +31,93 @@ the downstream accepted/filtered multiset is unique.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def with_global_running_sums(
+    df: DataFrame,
+    order_by: Sequence[str],
+    flags: Mapping[str, Column],
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Add one column per ``flags`` entry = running Σ of that flag
+    (cast to long) over the global ``order_by`` order — inclusive of
+    the current row.  All running sums share ONE range shuffle + ONE
+    Arrow cumsum pass (k flags do not cost k exchanges).
+
+    No single-partition exchange appears anywhere in the plan
+    (asserted by tests/test_plans.py).
+    """
+    if not flags:
+        raise ValueError("flags must be non-empty")
+    names = list(flags)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    sort_cols = [F.col(c).asc_nulls_first() for c in order_by]
+    flagged = df
+    tmp = {name: f"_gf_{i}" for i, name in enumerate(names)}
+    for name in names:
+        flagged = flagged.withColumn(
+            tmp[name], F.coalesce(flags[name].cast("long"), F.lit(0))
+        )
+    parted = (
+        flagged.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+
+    # branch 2: per-partition flag totals → prefix offsets.  Triangular
+    # broadcast join over ≤n rows — deliberately NOT a global window, so
+    # the whole plan is free of Exchange SinglePartition.
+    counts = parted.groupBy("_gpid").agg(
+        *[F.sum(tmp[name]).alias(f"_gc_{i}") for i, name in enumerate(names)]
+    )
+    prior = counts.select(
+        F.col("_gpid").alias("_qpid"),
+        *[F.col(f"_gc_{i}").alias(f"_qc_{i}") for i in range(len(names))],
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_qpid") < F.col("_gpid"), "left")
+        .groupBy("_gpid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_qc_{i}"), F.lit(0)).alias(f"_goff_{i}")
+                for i in range(len(names))
+            ]
+        )
+    )
+
+    # branch 1: Arrow cumsum per partition (streamed in sorted order,
+    # running totals carried across record batches of the same partition)
+    cs_cols = [f"_gcs_{i}" for i in range(len(names))]
+    out_schema = T.StructType(
+        list(parted.schema.fields)
+        + [T.StructField(c, T.LongType(), False) for c in cs_cols]
+    )
+    flag_cols = [tmp[name] for name in names]
+
+    def cumsum(batches):
+        totals = [0] * len(flag_cols)
+        for pdf in batches:
+            pdf = pdf.copy()
+            for i, fc in enumerate(flag_cols):
+                cs = pdf[fc].cumsum() + totals[i]
+                pdf[cs_cols[i]] = cs.astype("int64")
+                if len(cs):
+                    totals[i] = int(cs.iloc[-1])
+            yield pdf
+
+    local = parted.mapInPandas(cumsum, schema=out_schema)
+    out = local.join(F.broadcast(offsets), "_gpid")
+    for i, name in enumerate(names):
+        out = out.withColumn(name, F.col(cs_cols[i]) + F.col(f"_goff_{i}"))
+    drop = flag_cols + cs_cols + ["_gpid"] + [f"_goff_{i}" for i in range(len(names))]
+    return out.drop(*drop)
 
 
 def with_global_running_sum(
@@ -50,51 +132,9 @@ def with_global_running_sum(
     global ``order_by`` order — inclusive of the current row.
 
     With ``flag=F.lit(1)`` this is a distributed global ``row_number``.
-    No single-partition exchange appears anywhere in the plan (asserted
-    by tests/test_plans.py).
     """
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    sort_cols = [F.col(c).asc_nulls_first() for c in order_by]
-    flagged = df.withColumn("_gf", F.coalesce(flag.cast("long"), F.lit(0)))
-    parted = (
-        flagged.repartitionByRange(n, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("_gpid", F.spark_partition_id())
-    )
-
-    # branch 2: per-partition flag totals → prefix offsets.  Triangular
-    # broadcast join over ≤n rows — deliberately NOT a global window, so
-    # the whole plan is free of Exchange SinglePartition.
-    counts = parted.groupBy("_gpid").agg(F.sum("_gf").alias("_gc"))
-    prior = counts.select(F.col("_gpid").alias("_qpid"), F.col("_gc").alias("_qc"))
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("_qpid") < F.col("_gpid"), "left")
-        .groupBy("_gpid")
-        .agg(F.coalesce(F.sum("_qc"), F.lit(0)).alias("_goff"))
-    )
-
-    # branch 1: Arrow cumsum per partition (streamed in sorted order,
-    # running total carried across record batches of the same partition)
-    out_schema = T.StructType(
-        list(parted.schema.fields) + [T.StructField("_gcs", T.LongType(), False)]
-    )
-
-    def cumsum(batches):
-        total = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            cs = pdf["_gf"].cumsum() + total
-            pdf["_gcs"] = cs.astype("int64")
-            if len(cs):
-                total = int(cs.iloc[-1])
-            yield pdf
-
-    local = parted.mapInPandas(cumsum, schema=out_schema)
-    return (
-        local.join(F.broadcast(offsets), "_gpid")
-        .withColumn(out_col, F.col("_gcs") + F.col("_goff"))
-        .drop("_gf", "_gpid", "_gcs", "_goff")
+    return with_global_running_sums(
+        df, order_by, {out_col: flag}, num_partitions=num_partitions
     )
 
 

@@ -679,3 +679,56 @@ def test_rules_from_spec_kinds(spark):
     with pytest.raises(ValueError):
         rules_from_spec(df, [{"rule": "a", "kind": "expr", "sql": "n > 0"},
                              {"rule": "a", "kind": "expr", "sql": "n < 9"}])
+
+
+def test_spec_psi_ks_match_python_api(spark):
+    from datatest_spark.operators.stats import (
+        binned_histogram,
+        check_ks_drift,
+        check_psi,
+        histograms,
+    )
+
+    cur = spark.createDataFrame(
+        [("a", float(i % 3)) for i in range(40)] + [("b", 9.0)] * 40,
+        "cat string, v double",
+    ).withColumn("partition_id", F.lit(0))
+    base_rows = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(80)], "cat string, v double"
+    )
+    base_cat_hist = histograms(base_rows, ["cat"])
+    base_v_hist = binned_histogram(base_rows, "v", bins=4, lo=0.0, hi=10.0)
+
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "psi", "column": "cat", "baseline": "cat_hist",
+                 "threshold": 0.05, "id": "psi_cat"},
+                {"check": "psi", "column": "v", "baseline": "v_hist",
+                 "bins": 4, "lo": 0.0, "hi": 10.0, "threshold": 0.05,
+                 "id": "psi_v"},
+                {"check": "ks_drift", "column": "v", "baseline": "snap",
+                 "threshold": 0.1, "id": "ks_v"},
+            ],
+        }
+    )
+    got = diff_multiset(
+        suite.build_differences(
+            {"t": cur, "cat_hist": base_cat_hist, "v_hist": base_v_hist,
+             "snap": base_rows}
+        )
+    )
+    bare = cur.drop("partition_id")
+    want = (
+        diff_multiset(check_psi(histograms(bare, ["cat"]), base_cat_hist,
+                                threshold=0.05, check_id="psi_cat"))
+        + diff_multiset(check_psi(
+            binned_histogram(bare, "v", bins=4, lo=0.0, hi=10.0),
+            base_v_hist, threshold=0.05, check_id="psi_v"))
+        + diff_multiset(check_ks_drift(bare, base_rows, "v",
+                                       threshold=0.1, check_id="ks_v"))
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == 3  # cat gains "b", v mass moves to bin 3, CDF shifts

@@ -290,3 +290,166 @@ def test_sketch_store_update_after_all_failed_run(spark, tmp_path):
     store2 = StatSketchStore(spark, p2)
     store2.update(df, ["id"], "part")
     assert store2.stored_ids() == ["p0"]
+
+
+# ---------------------------------------------------------------------------
+# PSI + exact KS drift (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_binned_histogram_edges_clamp_and_nulls(spark):
+    from datatest_spark.operators.stats import binned_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (25.0,), (None,)], "v double"
+    )
+    out = binned_histogram(df, "v", bins=2, lo=0.0, hi=10.0).collect()
+    h = {r["value"]: r["cnt"] for r in out}
+    # -5 clamps into bin 0; 25 clamps into bin 1; 5.0 lands in bin 1
+    # (left-closed bins); NULL skipped entirely
+    assert h == {"0": 3, "1": 3}
+    assert all(r["table_name"] == "table" and r["column_name"] == "v" for r in out)
+    with pytest.raises(ValueError):
+        binned_histogram(df, "v", bins=0, lo=0.0, hi=1.0)
+    with pytest.raises(ValueError):
+        binned_histogram(df, "v", bins=4, lo=1.0, hi=1.0)
+
+
+def test_psi_hand_computed_and_quiet_on_identical(spark):
+    import math
+
+    from datatest_spark.operators.stats import check_psi
+
+    base = spark.createDataFrame(
+        [("x", "a", 50), ("x", "b", 50)], "column_name string, value string, cnt long"
+    ).select(F.lit("t").alias("table_name"), "column_name", "value", "cnt")
+    cur = spark.createDataFrame(
+        [("x", "a", 90), ("x", "b", 10)], "column_name string, value string, cnt long"
+    ).select(F.lit("t").alias("table_name"), "column_name", "value", "cnt")
+
+    rows = check_psi(cur, base, threshold=0.0).collect()
+    assert len(rows) == 1 and rows[0]["key"] == "x"
+    # smoothing 0.5: adj totals are both 101
+    expected = (90.5 - 50.5) / 101 * math.log(90.5 / 50.5) + (
+        10.5 - 50.5
+    ) / 101 * math.log(10.5 / 50.5)
+    assert abs(rows[0]["deviation"] - expected) < 1e-12
+
+    # identical snapshots: PSI is exactly 0 -> below any positive threshold
+    assert check_psi(base, base, threshold=1e-9).collect() == []
+
+
+def test_psi_single_sided_bucket_stays_finite(spark):
+    from datatest_spark.operators.stats import check_psi
+
+    base = spark.createDataFrame(
+        [("x", "a", 100)], "column_name string, value string, cnt long"
+    ).select(F.lit("t").alias("table_name"), "column_name", "value", "cnt")
+    cur = spark.createDataFrame(
+        [("x", "a", 50), ("x", "NEW", 50)],
+        "column_name string, value string, cnt long",
+    ).select(F.lit("t").alias("table_name"), "column_name", "value", "cnt")
+    rows = check_psi(cur, base, threshold=0.0).collect()
+    assert len(rows) == 1
+    v = rows[0]["deviation"]
+    assert v == v and v not in (float("inf"), float("-inf"))  # finite, not NaN
+    assert v > 0.25  # a brand-new 50% bucket is a major shift
+
+
+def test_psi_fires_on_code_files_drift(spark):
+    from datatest_spark.operators.stats import check_psi
+
+    clean = code_files(spark, 4000, "clean")
+    drifted = code_files(spark, 4000, "drifted")
+    base = histograms(clean, ["lang"])
+    cur = histograms(drifted, ["lang"])
+    diffs = check_psi(cur, base, threshold=0.05).collect()
+    assert len(diffs) == 1 and diffs[0]["key"] == "lang"
+    assert check_psi(base, base, threshold=0.05).collect() == []
+
+
+def test_ks_hand_computed_with_tie_break(spark):
+    from datatest_spark.operators.stats import check_ks_drift
+
+    cur = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v long")
+    base = spark.createDataFrame([(3,), (4,), (5,), (6,)], "v long")
+    rows = check_ks_drift(cur, base, "v", threshold=0.0).collect()
+    # D = 0.5 attained at v in {2,3,4}; smallest wins the tie
+    assert len(rows) == 1
+    assert rows[0]["key"] == "ks(v)@2"
+    assert abs(rows[0]["deviation"] - 0.5) < 1e-15
+
+    # identical snapshots: D = 0, threshold 0 keeps it quiet
+    assert check_ks_drift(cur, cur, "v", threshold=0.0).collect() == []
+
+
+def test_ks_matches_pandas_reference(spark):
+    from datatest_spark.operators.stats import check_ks_drift
+
+    clean = code_files(spark, 3000, "clean").select(F.length("content").alias("len"))
+    drifted = code_files(spark, 3000, "drifted").select(
+        F.length("content").alias("len")
+    )
+    rows = check_ks_drift(drifted, clean, "len", threshold=0.0).collect()
+    assert len(rows) == 1
+
+    import numpy as np
+
+    a = np.sort(np.array([r["len"] for r in drifted.collect()]))
+    b = np.sort(np.array([r["len"] for r in clean.collect()]))
+    grid = np.union1d(a, b)
+    d_ref = np.max(
+        np.abs(
+            np.searchsorted(a, grid, side="right") / len(a)
+            - np.searchsorted(b, grid, side="right") / len(b)
+        )
+    )
+    assert abs(rows[0]["deviation"] - d_ref) < 1e-12
+
+
+def test_ks_plan_shape(spark):
+    """KS: the CDFs come from the distributed running-sum pass (range
+    partitioning, no global window); the ONLY single-partition exchange
+    in the plan is the 1-row scalar totals aggregate, which carries one
+    partial row per task — never data rows.  At runtime AQE dedupes the
+    repeated merged-counts subtree via exchange reuse."""
+    from datatest_spark.operators.stats import check_ks_drift
+
+    cur = spark.range(0, 1000).select((F.col("id") % 37).alias("v"))
+    base = spark.range(0, 1000).select((F.col("id") % 41).alias("v"))
+    d = check_ks_drift(cur, base, "v", threshold=-1.0)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
+    d.collect()  # AQE finalizes exchange reuse only at execution
+    assert "ReusedExchange" in d._jdf.queryExecution().executedPlan().toString()
+
+
+def test_running_sums_multi_flag_matches_single(spark):
+    """One range shuffle carries k running sums; results must equal k
+    independent single-flag passes."""
+    from datatest_spark.plans.distributed import (
+        with_global_running_sum,
+        with_global_running_sums,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    )
+    multi = with_global_running_sums(
+        df, ["k"], {"ra": F.col("a"), "rb": F.col("b")}
+    )
+    s1 = with_global_running_sum(df, ["k"], F.col("a"), "ra")
+    s2 = with_global_running_sum(df, ["k"], F.col("b"), "rb")
+    got = {r["k"]: (r["ra"], r["rb"]) for r in multi.collect()}
+    want_a = {r["k"]: r["ra"] for r in s1.collect()}
+    want_b = {r["k"]: r["rb"] for r in s2.collect()}
+    assert got == {k: (want_a[k], want_b[k]) for k in want_a}
+    # the multi-flag pass must not multiply exchanges: k flags cost the
+    # same number of range partitionings as one flag
+    n_multi = multi._jdf.queryExecution().executedPlan().toString().lower().count("rangepartitioning")
+    n_single = s1._jdf.queryExecution().executedPlan().toString().lower().count("rangepartitioning")
+    assert n_multi == n_single
