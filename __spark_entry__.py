@@ -3303,6 +3303,108 @@ ORDER BY d DESC, v ASC LIMIT 1
 """
 
 
+def q_wasserstein_quantity(spark, sf_dir):
+    """Exact 1-Wasserstein (earth mover's) drift
+    (stats.check_wasserstein_drift) between the pre/post-1997
+    l_quantity distributions: W1 = ∫|F_cur − F_base| dx over the
+    merged support.  CDFs come from the pinned running-sum pass, Δx
+    from the distributed lead-of-key pass; the oracle evaluates the
+    same step integral with window cumsums + lead."""
+    from datatest_spark.operators.stats import check_wasserstein_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    pre = li.filter(F.col("l_shipdate") < DRIFT_PIVOT)
+    post = li.filter(F.col("l_shipdate") >= DRIFT_PIVOT)
+    d = check_wasserstein_drift(
+        post, pre, "l_quantity", threshold=0.0, check_id="w1_q"
+    )
+    return d.select(
+        "check_id", "key", F.round("deviation", 4).alias("w1")
+    )
+
+
+SQL_WASSERSTEIN_QUANTITY = f"""
+WITH cb AS (
+  SELECT l_quantity AS v, count(*) AS c_base FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00' AND l_quantity IS NOT NULL
+  GROUP BY 1
+), cc AS (
+  SELECT l_quantity AS v, count(*) AS c_cur FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00' AND l_quantity IS NOT NULL
+  GROUP BY 1
+), m AS (
+  SELECT coalesce(cc.v, cb.v) AS v,
+         coalesce(c_cur, 0) AS c_cur, coalesce(c_base, 0) AS c_base
+  FROM cc FULL OUTER JOIN cb ON cc.v = cb.v
+), cum AS (
+  SELECT v,
+         sum(c_cur) OVER (ORDER BY v) AS cum_cur,
+         sum(c_base) OVER (ORDER BY v) AS cum_base,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM m
+), tot AS (
+  SELECT sum(c_cur) AS n_cur, sum(c_base) AS n_base FROM m
+)
+SELECT 'w1_q' AS check_id, 'w1(l_quantity)' AS key,
+       round(sum(abs(cum_cur * 1.0 / n_cur - cum_base * 1.0 / n_base)
+                 * (nv - v)), 4) AS w1
+FROM cum, tot WHERE nv IS NOT NULL
+HAVING sum(abs(cum_cur * 1.0 / n_cur - cum_base * 1.0 / n_base) * (nv - v)) > 0.0
+"""
+
+
+def q_benford_extprice(spark, sf_dir):
+    """Benford's-law first-digit conformity (stats.check_benford, MAD
+    statistic) on l_extendedprice.  Threshold 0 so the Deviation row
+    always fires and the oracle verifies the full statistic: digit
+    extraction floor(|v| / 10^floor(log10|v|)) and the 9-term mean
+    absolute deviation from log10(1 + 1/d), with the Benford
+    probabilities embedded as identical double literals in both
+    engines."""
+    from datatest_spark.operators.stats import check_benford
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = check_benford(
+        li, "l_extendedprice", statistic="mad", threshold=0.0,
+        check_id="benford_extprice",
+    )
+    return d.select(
+        "check_id", "key", F.round("deviation", 4).alias("mad")
+    )
+
+
+def _benford_values_sql() -> str:
+    import math
+
+    return ", ".join(
+        f"({d}, {math.log10(1.0 + 1.0 / d)!r})" for d in range(1, 10)
+    )
+
+
+SQL_BENFORD_EXTPRICE = f"""
+WITH d AS (
+  SELECT CAST(floor(abs(l_extendedprice)
+              / power(10, floor(log10(abs(l_extendedprice))))) AS BIGINT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+), c AS (
+  SELECT digit, count(*) AS obs FROM d GROUP BY 1
+), bench AS (
+  SELECT * FROM (VALUES {_benford_values_sql()}) t(digit, p)
+), filled AS (
+  SELECT bench.digit, coalesce(obs, 0) AS obs, p
+  FROM bench LEFT JOIN c ON bench.digit = c.digit
+), tot AS (
+  SELECT sum(obs) AS n FROM filled
+)
+SELECT 'benford_extprice' AS check_id,
+       'benford_mad(l_extendedprice)' AS key,
+       round(sum(abs(obs * 1.0 / n - p)) / 9.0, 4) AS mad
+FROM filled, tot
+HAVING sum(abs(obs * 1.0 / n - p)) / 9.0 > 0.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3392,6 +3494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_emails_documents": q_format_emails_documents,
         "psi_drift_lineitem": q_psi_drift_lineitem,
         "ks_drift_quantity": q_ks_drift_quantity,
+        "wasserstein_quantity": q_wasserstein_quantity,
+        "benford_extprice": q_benford_extprice,
     }
 
 
@@ -3484,4 +3588,6 @@ def oracle_sql() -> dict[str, str]:
         "format_emails_documents": SQL_FORMAT_EMAILS,
         "psi_drift_lineitem": SQL_PSI_DRIFT_LINEITEM,
         "ks_drift_quantity": SQL_KS_DRIFT_QUANTITY,
+        "wasserstein_quantity": SQL_WASSERSTEIN_QUANTITY,
+        "benford_extprice": SQL_BENFORD_EXTPRICE,
     }

@@ -74,7 +74,11 @@ Spec shape::
         {"check": "psi", "column": "latency_ms", "baseline": "lat_hist",
          "bins": 20, "lo": 0, "hi": 1000, "threshold": 0.25},
         {"check": "ks_drift", "column": "amount",
-         "baseline": "orders_snapshot", "threshold": 0.05}
+         "baseline": "orders_snapshot", "threshold": 0.05},
+        {"check": "wasserstein_drift", "column": "amount",
+         "baseline": "orders_snapshot", "threshold": 1.0},
+        {"check": "benford", "column": "amount", "statistic": "mad",
+         "threshold": 0.015}
       ],
       "route": {                      # optional: row-level quarantine
         "path": "/data/routed",       # (run_validation --route; one
@@ -120,6 +124,7 @@ from ..operators.secrets import check_no_secrets
 from ..operators.stats import (
     binned_histogram,
     check_agg_bounds,
+    check_benford,
     check_chi_square_drift,
     check_completeness,
     check_compliance,
@@ -136,6 +141,7 @@ from ..operators.stats import (
     check_schema_drift,
     check_timeseries_anomaly,
     check_uniqueness,
+    check_wasserstein_drift,
     histograms,
 )
 from ..suite import Check, ValidationSuite
@@ -578,6 +584,26 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         cid = check_id or f"ks_drift_{column}"
         builder = lambda t, _c=column, _b=baseline, _th=threshold, _i=cid: (  # noqa: E731
             check_ks_drift(t[table], t[_b], _c, threshold=float(_th), check_id=_i)
+        )
+    elif kind == "wasserstein_drift":
+        column = e.pop("column")
+        baseline = e.pop("baseline")  # table name holding baseline ROWS
+        threshold = e.pop("threshold", 0.0)
+        cid = check_id or f"wasserstein_drift_{column}"
+        builder = lambda t, _c=column, _b=baseline, _th=threshold, _i=cid: (  # noqa: E731
+            check_wasserstein_drift(
+                t[table], t[_b], _c, threshold=float(_th), check_id=_i
+            )
+        )
+    elif kind == "benford":
+        column = e.pop("column")
+        statistic = e.pop("statistic", "mad")
+        threshold = e.pop("threshold", 0.015)
+        cid = check_id or f"benford_{column}"
+        builder = lambda t, _c=column, _s=statistic, _th=threshold, _i=cid: (  # noqa: E731
+            check_benford(
+                t[table], _c, statistic=_s, threshold=float(_th), check_id=_i
+            )
         )
     elif kind == "partition_outliers":
         column = e.pop("column")

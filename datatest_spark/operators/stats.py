@@ -23,6 +23,7 @@ Design (scale-first):
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Mapping, Optional, Sequence, Union
 
@@ -1662,10 +1663,10 @@ def check_ks_drift(
     offset broadcast — never a global window; the only
     single-partition exchange is the 1-row scalar totals aggregate,
     which receives one PARTIAL row per task, not data), and the argmax
-    is a 1-row TakeOrdered.  AQE exchange reuse dedupes the repeated
-    merged-counts subtree at runtime (plan-tested).  D is a ratio of
-    exact integer counts evaluated identically in any engine —
-    bit-stable across parallelism levels.
+    is a 1-row TakeOrdered.  The running-sum pass persists its Arrow
+    output so both of its phases read one pinned materialization
+    (plan-tested).  D is a ratio of exact integer counts evaluated
+    identically in any engine — bit-stable across parallelism levels.
     """
     from ..plans.distributed import with_global_running_sums
 
@@ -1715,4 +1716,178 @@ def check_ks_drift(
         value=F.col("d"),
         expected=F.lit(float(threshold)),
         deviation=F.col("d") - F.lit(float(threshold)),
+    )
+
+
+def check_wasserstein_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    threshold: float = 0.0,
+    num_partitions: Optional[int] = None,
+    check_id: str = "wasserstein_drift",
+) -> DataFrame:
+    """EXACT 1-Wasserstein (earth mover's) distance between the
+    ``column`` distributions of two snapshots: W1 = ∫ |F_cur − F_base|
+    dx over the merged support.  Complements KS (which reports only
+    the worst POINT of CDF separation) by integrating the separation —
+    a mean shift of δ yields W1 ≈ δ in the column's own units, which
+    is the natural "how far did the distribution move" number.  NULLs
+    are skipped.  Emits ONE Deviation(W1, threshold) row when
+    W1 > threshold.
+
+    Scale shape: both sides collapse to (value, count) map-side; the
+    merged relation gets its CDFs from the shared-shuffle running-sums
+    pass and its Δx from the distributed lead-of-key pass (both range
+    shuffles over the COLLAPSED relation, never a global window; see
+    ``plans/distributed.py``).  The only single-partition exchanges
+    are 1-row scalar aggregates over partial rows.
+    """
+    from ..plans.distributed import (
+        with_global_lead_of_key,
+        with_global_running_sums,
+    )
+
+    cur_cnt = (
+        current.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    base_cnt = (
+        baseline.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_base"))
+    )
+    merged = (
+        cur_cnt.join(base_cnt, "v", "full_outer")
+        .withColumn("c_cur", F.coalesce(F.col("c_cur"), F.lit(0)))
+        .withColumn("c_base", F.coalesce(F.col("c_base"), F.lit(0)))
+    )
+    cum = with_global_running_sums(
+        merged,
+        ["v"],
+        {"cum_cur": F.col("c_cur"), "cum_base": F.col("c_base")},
+        num_partitions=num_partitions,
+    )
+    stepped = with_global_lead_of_key(
+        cum, "v", "next_v", num_partitions=num_partitions
+    )
+    totals = merged.agg(
+        F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
+    )
+    w1 = (
+        stepped.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("next_v").isNotNull()
+            & (F.col("n_cur") > 0)
+            & (F.col("n_base") > 0)
+        )
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_cur") / F.col("n_cur")
+                    - F.col("cum_base") / F.col("n_base")
+                )
+                * (F.col("next_v") - F.col("v"))
+            ).alias("w1")
+        )
+        .filter(F.col("w1") > F.lit(float(threshold)))
+    )
+    return make_differences(
+        w1,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(f"w1({column})"),
+        value=F.col("w1"),
+        expected=F.lit(float(threshold)),
+        deviation=F.col("w1") - F.lit(float(threshold)),
+    )
+
+
+# Benford's-law expected first-digit probabilities log10(1 + 1/d);
+# spelled as literals so both engines (and the oracle SQL) share the
+# exact same doubles.
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def check_benford(
+    df: DataFrame,
+    column: str,
+    *,
+    statistic: str = "mad",
+    threshold: float = 0.015,
+    check_id: str = "benford",
+) -> DataFrame:
+    """First-significant-digit Benford's-law conformity check — the
+    classic screen for fabricated or truncated numeric populations
+    (amounts, sizes, counts spanning several orders of magnitude).
+
+    The first significant digit of |v| is extracted JVM-side as
+    ``floor(|v| / 10^floor(log10(|v|)))`` (NULLs and zeros skipped —
+    they have no significant digit); both Java and libm are exact on
+    integral powers of 10, so the extraction agrees across engines.
+
+    ``statistic``:
+      - ``"mad"`` (default): Nigrini's Mean Absolute Deviation
+        ``mean_d |p_obs(d) − p_benford(d)|`` over the 9 digits —
+        sample-size independent; 0.015 is the usual upper edge of
+        "marginally acceptable conformity" for general populations.
+      - ``"chi_square"``: ``Σ_d (obs_d − exp_d)² / exp_d`` —
+        n-sensitive, for fixed-n snapshot gating.
+
+    Emits one Deviation(stat, threshold) row when the statistic
+    exceeds ``threshold``.  One scan-local projection + one ≤9-group
+    hash aggregate (map-side partial) — no other shuffle at any scale.
+    """
+    if statistic not in ("mad", "chi_square"):
+        raise ValueError(f"statistic must be 'mad' or 'chi_square': {statistic!r}")
+    v = F.abs(F.col(column).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+    counts = (
+        df.filter(F.col(column).isNotNull() & (F.col(column) != 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    # a digit with zero observations must still contribute |0 − p_d|
+    # to the MAD, so union a 9-digit zero frame in; the subsequent
+    # inner join against the Benford frame also EXCLUDES any digit
+    # outside 1–9 (possible only via FP pathology at power-of-10
+    # boundaries) rather than poisoning the statistic with NULLs
+    digits = counts.sparkSession.createDataFrame(
+        [(d, 0) for d in range(1, 10)], "digit long, obs long"
+    )
+    bench = counts.sparkSession.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)], "digit long, p_exp double"
+    )
+    full = (
+        counts.unionByName(digits)
+        .groupBy("digit")
+        .agg(F.sum("obs").alias("obs"))
+        .join(F.broadcast(bench), "digit", "inner")
+    )
+    tot = full.agg(F.sum("obs").alias("n"))
+    scored = full.crossJoin(F.broadcast(tot))
+    if statistic == "mad":
+        stat = scored.agg(
+            (
+                F.sum(F.abs(F.col("obs") / F.col("n") - F.col("p_exp"))) / F.lit(9.0)
+            ).alias("stat")
+        )
+    else:
+        stat = scored.agg(
+            F.sum(
+                F.pow(F.col("obs") - F.col("p_exp") * F.col("n"), F.lit(2.0))
+                / (F.col("p_exp") * F.col("n"))
+            ).alias("stat")
+        )
+    fired = stat.filter(F.col("stat") > F.lit(float(threshold)))
+    return make_differences(
+        fired,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(f"benford_{statistic}({column})"),
+        value=F.col("stat"),
+        expected=F.lit(float(threshold)),
+        deviation=F.col("stat") - F.lit(float(threshold)),
     )

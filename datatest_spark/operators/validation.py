@@ -222,6 +222,18 @@ class _Validate:
         return check_ks_drift(current, baseline, column, **kw)
 
     @staticmethod
+    def wasserstein_drift(current, baseline, column, **kw):
+        from .stats import check_wasserstein_drift
+
+        return check_wasserstein_drift(current, baseline, column, **kw)
+
+    @staticmethod
+    def benford(df, column, **kw):
+        from .stats import check_benford
+
+        return check_benford(df, column, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

@@ -18,9 +18,14 @@ The two-phase form keeps every stage distributed:
    offset computation never funnels through a single partition.
 
 global value = local running sum + broadcast offset of all preceding
-partitions.  Both consumers of the range exchange (the cumsum branch
-and the totals branch) are identical subtrees, so Spark executes the
-shuffle once (ReusedExchange).
+partitions.  The Arrow-pass output is persisted (MEMORY_AND_DISK) and
+the totals/offsets pass reads that cache: range-partition boundaries
+are SAMPLED per physical execution (seeded by RDD id), and exchange
+reuse is an optimizer rule that can silently fail to fire (join-dedup
+re-aliasing defeats plan canonical-equality), so letting the two
+passes re-execute the shuffle independently can misalign their
+partition boundaries — a silent-corruption class of bug, not a perf
+wart.  The persist pins one materialization for both.
 
 Determinism: ties in the order keys stay within one partition (range
 partitioning is key-based), and callers order by a key set that makes
@@ -71,28 +76,7 @@ def with_global_running_sums(
         .withColumn("_gpid", F.spark_partition_id())
     )
 
-    # branch 2: per-partition flag totals → prefix offsets.  Triangular
-    # broadcast join over ≤n rows — deliberately NOT a global window, so
-    # the whole plan is free of Exchange SinglePartition.
-    counts = parted.groupBy("_gpid").agg(
-        *[F.sum(tmp[name]).alias(f"_gc_{i}") for i, name in enumerate(names)]
-    )
-    prior = counts.select(
-        F.col("_gpid").alias("_qpid"),
-        *[F.col(f"_gc_{i}").alias(f"_qc_{i}") for i in range(len(names))],
-    )
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("_qpid") < F.col("_gpid"), "left")
-        .groupBy("_gpid")
-        .agg(
-            *[
-                F.coalesce(F.sum(f"_qc_{i}"), F.lit(0)).alias(f"_goff_{i}")
-                for i in range(len(names))
-            ]
-        )
-    )
-
-    # branch 1: Arrow cumsum per partition (streamed in sorted order,
+    # pass 1: Arrow cumsum per partition (streamed in sorted order,
     # running totals carried across record batches of the same partition)
     cs_cols = [f"_gcs_{i}" for i in range(len(names))]
     out_schema = T.StructType(
@@ -112,7 +96,44 @@ def with_global_running_sums(
                     totals[i] = int(cs.iloc[-1])
             yield pdf
 
-    local = parted.mapInPandas(cumsum, schema=out_schema)
+    # CORRECTNESS-CRITICAL persist: everything below reads this ONE
+    # materialization.  Spark's range partitioner SAMPLES its boundaries
+    # independently per physical execution (the sampling seed involves
+    # the RDD id), and exchange reuse — an optimizer RULE — is not
+    # guaranteed to fire (join-dedup re-aliasing defeats canonical
+    # equality, observed on full-outer-join-derived inputs).  Without
+    # the persist, the cumsum pass and the totals pass can execute the
+    # range shuffle separately with DIFFERENT boundaries, silently
+    # misaligning offsets with local sums.  MEMORY_AND_DISK: spills
+    # rather than recomputes; lazy, so plan-build stays job-free.
+    from pyspark import StorageLevel
+
+    local = parted.mapInPandas(cumsum, schema=out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # pass 2 (reads the cache): per-partition flag totals → prefix
+    # offsets.  Triangular broadcast join over ≤n rows — deliberately
+    # NOT a global window, so the plan stays free of data-carrying
+    # Exchange SinglePartition.
+    counts = local.groupBy("_gpid").agg(
+        *[F.sum(tmp[name]).alias(f"_gc_{i}") for i, name in enumerate(names)]
+    )
+    prior = counts.select(
+        F.col("_gpid").alias("_qpid"),
+        *[F.col(f"_gc_{i}").alias(f"_qc_{i}") for i in range(len(names))],
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_qpid") < F.col("_gpid"), "left")
+        .groupBy("_gpid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_qc_{i}"), F.lit(0)).alias(f"_goff_{i}")
+                for i in range(len(names))
+            ]
+        )
+    )
+
     out = local.join(F.broadcast(offsets), "_gpid")
     for i, name in enumerate(names):
         out = out.withColumn(name, F.col(cs_cols[i]) + F.col(f"_goff_{i}"))
@@ -148,4 +169,92 @@ def with_global_row_number(
     """Distributed global 1-based row_number over ``order_by``."""
     return with_global_running_sum(
         df, order_by, F.lit(1), out_col, num_partitions=num_partitions
+    )
+
+
+def with_global_lead_of_key(
+    df: DataFrame,
+    key: str,
+    out_col: str,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Add ``out_col`` = the NEXT DISTINCT value of ``key`` in global
+    ascending key order (NULL on the globally last row) — the
+    scale-safe form of ``lead(key).over(Window.orderBy(key))`` for
+    relations whose ``key`` is unique (collapsed count relations).
+
+    Same two-phase shape as the running sums: a range shuffle puts the
+    rows in globally ordered partitions; an Arrow pass computes the
+    within-partition lead by buffering ONE record batch (the last row
+    of each batch takes the first key of the next batch); the only
+    cross-partition traffic is the ≤n-row per-partition minimum
+    relation, joined triangularly and broadcast back to fill each
+    partition's final row.  Empty range partitions are handled by
+    taking the min over ALL later partitions, not just pid+1.
+
+    ``key`` must be numeric-or-orderable and UNIQUE per row — with
+    duplicate keys "the next row's key" is ill-defined under range
+    partitioning (ties may split across batches); callers collapse
+    first (groupBy key), which every CDF consumer already does.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key_field = df.schema[key]
+    parted = (
+        df.repartitionByRange(n, F.col(key).asc_nulls_first())
+        .sortWithinPartitions(F.col(key).asc_nulls_first())
+        .withColumn("_lpid", F.spark_partition_id())
+    )
+
+    # pass 1: within-partition lead, one buffered batch deep
+    out_schema = T.StructType(
+        list(parted.schema.fields)
+        + [T.StructField("_llead", key_field.dataType, True)]
+    )
+
+    def lead_pass(batches):
+        prev = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue  # never let an empty batch evict the buffer
+            pdf = pdf.copy()
+            # object dtype: avoids pandas widening int64 -> float64+NaN
+            pdf["_llead"] = pdf[key].astype(object).shift(-1)
+            if prev is not None:
+                prev.iloc[-1, prev.columns.get_loc("_llead")] = pdf[key].iloc[0]
+                yield prev
+            prev = pdf
+        if prev is not None:
+            yield prev
+
+    # CORRECTNESS-CRITICAL persist — same reason as the running sums:
+    # range boundaries are sampled per physical execution, so the
+    # boundary-fill pass below MUST read the same materialization the
+    # lead pass ran on, not a re-sampled re-execution.
+    from pyspark import StorageLevel
+
+    local = parted.mapInPandas(lead_pass, schema=out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # pass 2 (reads the cache): per-partition first keys →
+    # next-partition boundary fill.  Triangular min over ≤n rows,
+    # broadcast — no single-partition funnel.
+    firsts = local.groupBy("_lpid").agg(F.min(key).alias("_lk"))
+    nxt = (
+        firsts.alias("a")
+        .join(
+            F.broadcast(firsts.alias("b")),
+            F.col("b._lpid") > F.col("a._lpid"),
+            "left",
+        )
+        .groupBy(F.col("a._lpid").alias("_lpid"))
+        .agg(F.min("b._lk").alias("_lnext"))
+    )
+
+    return (
+        local.join(F.broadcast(nxt), "_lpid", "left")
+        .withColumn(out_col, F.coalesce(F.col("_llead"), F.col("_lnext")))
+        .drop("_lpid", "_llead", "_lnext")
     )

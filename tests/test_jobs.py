@@ -732,3 +732,38 @@ def test_spec_psi_ks_match_python_api(spark):
     )
     assert sorted(got) == sorted(want)
     assert len(got) == 3  # cat gains "b", v mass moves to bin 3, CDF shifts
+
+
+def test_spec_wasserstein_benford_match_python_api(spark):
+    from datatest_spark.operators.stats import (
+        check_benford,
+        check_wasserstein_drift,
+    )
+
+    cur = spark.createDataFrame(
+        [(float(i % 7 + 1),) for i in range(60)], "v double"
+    ).withColumn("partition_id", F.lit(0))
+    base_rows = spark.createDataFrame(
+        [(float(i % 5 + 3),) for i in range(60)], "v double"
+    )
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "wasserstein_drift", "column": "v",
+                 "baseline": "snap", "threshold": 0.0, "id": "w1"},
+                {"check": "benford", "column": "v", "threshold": 0.0,
+                 "id": "bf"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences({"t": cur, "snap": base_rows}))
+    bare = cur.drop("partition_id")
+    want = (
+        diff_multiset(check_wasserstein_drift(bare, base_rows, "v",
+                                              threshold=0.0, check_id="w1"))
+        + diff_multiset(check_benford(bare, "v", threshold=0.0, check_id="bf"))
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == 2

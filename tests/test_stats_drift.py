@@ -411,8 +411,10 @@ def test_ks_plan_shape(spark):
     """KS: the CDFs come from the distributed running-sum pass (range
     partitioning, no global window); the ONLY single-partition exchange
     in the plan is the 1-row scalar totals aggregate, which carries one
-    partial row per task — never data rows.  At runtime AQE dedupes the
-    repeated merged-counts subtree via exchange reuse."""
+    partial row per task — never data rows.  The running-sum pass pins
+    ONE materialization of the range shuffle via persist (correctness:
+    range boundaries are sampled per execution), visible in the plan as
+    an InMemoryTableScan."""
     from datatest_spark.operators.stats import check_ks_drift
 
     cur = spark.range(0, 1000).select((F.col("id") % 37).alias("v"))
@@ -422,8 +424,7 @@ def test_ks_plan_shape(spark):
     assert plan.count("Exchange SinglePartition") <= 1
     assert "rangepartitioning" in plan.lower()
     assert "Window" not in plan
-    d.collect()  # AQE finalizes exchange reuse only at execution
-    assert "ReusedExchange" in d._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # the pinned Arrow-pass cache
 
 
 def test_running_sums_multi_flag_matches_single(spark):
@@ -453,3 +454,148 @@ def test_running_sums_multi_flag_matches_single(spark):
     n_multi = multi._jdf.queryExecution().executedPlan().toString().lower().count("rangepartitioning")
     n_single = s1._jdf.queryExecution().executedPlan().toString().lower().count("rangepartitioning")
     assert n_multi == n_single
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 drift + Benford conformity (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_global_lead_of_key_matches_window(spark):
+    from pyspark.sql import Window
+
+    from datatest_spark.plans.distributed import with_global_lead_of_key
+
+    # unique keys, deliberately more partitions than rows so some range
+    # partitions are EMPTY (the boundary fill must look past pid+1)
+    df = spark.createDataFrame([(k,) for k in (3, 1, 41, 7, 20, 5)], "k long")
+    got = {
+        r["k"]: r["nk"]
+        for r in with_global_lead_of_key(df, "k", "nk", num_partitions=16).collect()
+    }
+    want = {
+        r["k"]: r["nk"]
+        for r in df.withColumn(
+            "nk", F.lead("k").over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == want
+    assert got[41] is None  # global last row
+
+    # long dtype must survive the Arrow pass (no float64 widening)
+    assert all(v is None or isinstance(v, int) for v in got.values())
+
+
+def test_wasserstein_hand_computed(spark):
+    from datatest_spark.operators.stats import check_wasserstein_drift
+
+    cur = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    base = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    rows = check_wasserstein_drift(cur, base, "v", threshold=0.0).collect()
+    # a pure +2 shift: W1 = 2 exactly
+    assert len(rows) == 1 and rows[0]["key"] == "w1(v)"
+    assert abs(rows[0]["deviation"] - 2.0) < 1e-12
+    assert check_wasserstein_drift(cur, cur, "v", threshold=0.0).collect() == []
+
+
+def test_wasserstein_matches_scipy_formula(spark):
+    from datatest_spark.operators.stats import check_wasserstein_drift
+
+    clean = code_files(spark, 2000, "clean").select(F.length("content").alias("len"))
+    drifted = code_files(spark, 2000, "drifted").select(
+        F.length("content").alias("len")
+    )
+    rows = check_wasserstein_drift(drifted, clean, "len", threshold=0.0).collect()
+    assert len(rows) == 1
+
+    import numpy as np
+
+    a = np.sort(np.array([r["len"] for r in drifted.collect()], dtype=float))
+    b = np.sort(np.array([r["len"] for r in clean.collect()], dtype=float))
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    w1_ref = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+    assert abs(rows[0]["deviation"] - w1_ref) < 1e-9
+
+
+def test_benford_conforming_vs_uniform(spark):
+    from datatest_spark.operators.stats import check_benford
+
+    # log-uniform sample: first-digit law holds by construction
+    n = 9000
+    conforming = spark.range(n).select(
+        F.pow(F.lit(10.0), F.col("id") * (3.0 / n)).alias("v")
+    )
+    assert check_benford(conforming, "v", threshold=0.015).collect() == []
+
+    # uniform [1, 10): every digit equally likely -> MAD far above 0.015
+    uniform = spark.range(n).select((1.0 + F.col("id") * (9.0 / n)).alias("v"))
+    rows = check_benford(uniform, "v", threshold=0.015).collect()
+    assert len(rows) == 1 and rows[0]["key"] == "benford_mad(v)"
+    assert rows[0]["deviation"] > 0.03
+
+    # chi_square mode fires on the same data
+    chi = check_benford(uniform, "v", statistic="chi_square", threshold=100.0)
+    assert len(chi.collect()) == 1
+    with pytest.raises(ValueError):
+        check_benford(uniform, "v", statistic="bogus")
+
+
+def test_benford_digit_extraction_edges(spark):
+    import math
+
+    from datatest_spark.operators.stats import check_benford
+
+    # digits of: 0.005 -> 5, -321 -> 3, 1 -> 1, 9.99 -> 9; NULL/0 skipped
+    df = spark.createDataFrame(
+        [(0.005,), (-321.0,), (1.0,), (9.99,), (None,), (0.0,)], "v double"
+    )
+    rows = check_benford(df, "v", threshold=0.0).collect()
+    assert len(rows) == 1
+    # observed p: digit1=.25, digit3=.25, digit5=.25, digit9=.25, rest 0
+    obs = {1: 0.25, 3: 0.25, 5: 0.25, 9: 0.25}
+    mad = sum(
+        abs(obs.get(d, 0.0) - math.log10(1 + 1 / d)) for d in range(1, 10)
+    ) / 9.0
+    assert abs(rows[0]["deviation"] - mad) < 1e-12
+
+
+def test_running_sums_correct_on_join_derived_input(spark):
+    """Regression: range-partition boundaries are SAMPLED per physical
+    execution, and exchange reuse can fail to fire on full-outer-join-
+    derived inputs (join-dedup re-aliasing defeats plan canonical
+    equality).  Before the pinned persist, the cumsum pass and the
+    totals pass could shuffle with DIFFERENT boundaries, silently
+    corrupting the running sums.  This input shape + size reproduced
+    the divergence."""
+    import itertools
+
+    from datatest_spark.plans.distributed import with_global_running_sums
+
+    a = spark.range(0, 6000).select(
+        ((F.col("id") * 7919) % 2000).cast("double").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    b = spark.range(0, 6000).select(
+        ((F.col("id") * 104729) % 1500).cast("double").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    merged = (
+        a.join(b, "v", "full_outer")
+        .withColumn("ca", F.coalesce("ca", F.lit(0)))
+        .withColumn("cb", F.coalesce("cb", F.lit(0)))
+    )
+    got = sorted(
+        (r["v"], r["ra"], r["rb"])
+        for r in with_global_running_sums(
+            merged, ["v"], {"ra": F.col("ca"), "rb": F.col("cb")}
+        ).collect()
+    )
+    rows = sorted(merged.collect(), key=lambda r: r["v"])
+    want = list(
+        zip(
+            [r["v"] for r in rows],
+            itertools.accumulate(r["ca"] for r in rows),
+            itertools.accumulate(r["cb"] for r in rows),
+        )
+    )
+    assert got == want
