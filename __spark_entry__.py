@@ -3405,6 +3405,54 @@ HAVING sum(abs(obs * 1.0 / n - p)) / 9.0 > 0.0
 """
 
 
+def q_outliers_extprice(spark, sf_dir):
+    """Row-level robust outlier screen (stats.check_outliers, MAD
+    fence): l_extendedprice with deterministically planted extremes
+    (every orderkey ≡ 0 mod 997 multiplied by 50 — identical literal
+    transform in both engines).  Exact interpolated percentiles (Spark
+    percentile = DuckDB quantile_cont, same (N−1)·q rule) make the
+    median/MAD doubles bit-identical, so the flagged row set and the
+    robust z scores agree exactly; the data rows never shuffle (fence
+    scalars broadcast into a scan-local filter, plan-tested)."""
+    from datatest_spark.operators.stats import check_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    mutated = li.withColumn(
+        "l_extendedprice",
+        F.when(
+            F.col("l_orderkey") % 997 == 0, F.col("l_extendedprice") * 50
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    d = check_outliers(
+        mutated, "l_extendedprice", method="mad", k=3.5,
+        check_id="outliers_extprice",
+    )
+    return d.select(
+        "check_id",
+        "key",
+        F.round(F.col("value").cast("double"), 4).alias("val"),
+        F.round("deviation", 4).alias("score"),
+    )
+
+
+SQL_OUTLIERS_EXTPRICE = """
+WITH src AS (
+  SELECT CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 50
+              ELSE l_extendedprice END AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), med AS (
+  SELECT quantile_cont(v, 0.5) AS m FROM src
+), mad AS (
+  SELECT quantile_cont(abs(v - m), 0.5) AS s FROM src, med
+)
+SELECT 'outliers_extprice' AS check_id, 'mad(l_extendedprice)' AS key,
+       round(v, 4) AS val,
+       round(abs(v - m) / (1.4826 * s), 4) AS score
+FROM src, med, mad
+WHERE abs(v - m) / (1.4826 * s) > 3.5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3496,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_quantity": q_ks_drift_quantity,
         "wasserstein_quantity": q_wasserstein_quantity,
         "benford_extprice": q_benford_extprice,
+        "outliers_extprice": q_outliers_extprice,
     }
 
 
@@ -3590,4 +3639,5 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_quantity": SQL_KS_DRIFT_QUANTITY,
         "wasserstein_quantity": SQL_WASSERSTEIN_QUANTITY,
         "benford_extprice": SQL_BENFORD_EXTPRICE,
+        "outliers_extprice": SQL_OUTLIERS_EXTPRICE,
     }

@@ -78,7 +78,9 @@ Spec shape::
         {"check": "wasserstein_drift", "column": "amount",
          "baseline": "orders_snapshot", "threshold": 1.0},
         {"check": "benford", "column": "amount", "statistic": "mad",
-         "threshold": 0.015}
+         "threshold": 0.015},
+        {"check": "outliers", "column": "amount", "method": "mad",
+         "k": 3.5}
       ],
       "route": {                      # optional: row-level quarantine
         "path": "/data/routed",       # (run_validation --route; one
@@ -134,6 +136,7 @@ from ..operators.stats import (
     check_freshness,
     check_ks_drift,
     check_mutual_information,
+    check_outliers,
     check_partition_outliers,
     check_psi,
     check_quantile_bounds,
@@ -603,6 +606,20 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         builder = lambda t, _c=column, _s=statistic, _th=threshold, _i=cid: (  # noqa: E731
             check_benford(
                 t[table], _c, statistic=_s, threshold=float(_th), check_id=_i
+            )
+        )
+    elif kind == "outliers":
+        column = e.pop("column")
+        method = e.pop("method", "mad")
+        k = e.pop("k", None)
+        exact = bool(e.pop("exact", True))
+        accuracy = int(e.pop("accuracy", 10_000))
+        cid = check_id or f"outliers_{column}"
+        builder = lambda t, _c=column, _m=method, _k=k, _e=exact, _a=accuracy, _i=cid: (  # noqa: E731
+            check_outliers(
+                t[table], _c, method=_m,
+                k=None if _k is None else float(_k),
+                exact=_e, accuracy=_a, check_id=_i,
             )
         )
     elif kind == "partition_outliers":

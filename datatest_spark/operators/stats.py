@@ -1891,3 +1891,123 @@ def check_benford(
         expected=F.lit(float(threshold)),
         deviation=F.col("stat") - F.lit(float(threshold)),
     )
+
+
+def check_outliers(
+    df: DataFrame,
+    column: str,
+    *,
+    method: str = "mad",
+    k: Optional[float] = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    check_id: str = "outliers",
+) -> DataFrame:
+    """Row-level numeric outlier screen — one Deviation row per value
+    outside the fence.  Three standard fences:
+
+    - ``"mad"`` (default, k=3.5): robust z = |v − median| /
+      (1.4826·MAD) > k, MAD = median(|v − median|).  The robust
+      choice — median/MAD do not move when the outliers themselves do
+      (unlike mean/stddev, which an extreme value drags toward
+      itself).  Degenerate MAD = 0 (over half the values identical):
+      every v ≠ median is flagged, with the raw |v − median| as the
+      deviation (the z is undefined; same convention as the
+      sigma=0 time-series gate).
+    - ``"zscore"`` (k=3.0): classic |v − mean| / stddev_samp > k.
+    - ``"iqr"`` (k=1.5): Tukey fences v < Q1 − k·IQR or v > Q3 + k·IQR.
+
+    ``exact=True`` uses interpolated ``percentile`` (oracle-parity
+    path); ``exact=False`` swaps in the ``percentile_approx`` sketch —
+    the constant-memory 10^12-row path.  NULLs are skipped.
+
+    Scale shape: the center/scale statistics are one (mad: two)
+    map-side-partial scalar aggregates over the pruned column; the
+    1-row result broadcasts into a scan-local filter — the data rows
+    themselves never shuffle.  Emitted deviation is the score
+    (robust z / z / fence distance), value is the offending value,
+    expected is the fence center.
+    """
+    if method not in ("mad", "zscore", "iqr"):
+        raise ValueError(f"method must be 'mad', 'zscore' or 'iqr': {method!r}")
+    if k is None:
+        k = {"mad": 3.5, "zscore": 3.0, "iqr": 1.5}[method]
+    k = float(k)
+    v = F.col(column).cast("double")
+    rows = df.filter(F.col(column).isNotNull()).select(v.alias("_v"))
+
+    def _q(col_df, c, p):
+        if exact:
+            return col_df.agg(F.percentile(c, F.lit(p)).alias("_q"))
+        return col_df.agg(
+            F.percentile_approx(c, F.lit(p), F.lit(accuracy)).alias("_q")
+        )
+
+    if method == "mad":
+        med = _q(rows, F.col("_v"), 0.5).select(F.col("_q").alias("_med"))
+        centered = rows.crossJoin(F.broadcast(med))
+        mad = _q(
+            centered, F.abs(F.col("_v") - F.col("_med")), 0.5
+        ).select(F.col("_q").alias("_mad"))
+        scored = (
+            centered.crossJoin(F.broadcast(mad))
+            .withColumn(
+                "_score",
+                F.when(
+                    F.col("_mad") > 0,
+                    F.abs(F.col("_v") - F.col("_med"))
+                    / (F.lit(1.4826) * F.col("_mad")),
+                ).otherwise(F.abs(F.col("_v") - F.col("_med"))),
+            )
+            .filter(
+                F.when(F.col("_mad") > 0, F.col("_score") > k).otherwise(
+                    F.col("_v") != F.col("_med")
+                )
+            )
+            .withColumn("_center", F.col("_med"))
+        )
+    elif method == "zscore":
+        stats = rows.agg(
+            F.avg("_v").alias("_mu"), F.stddev_samp("_v").alias("_sd")
+        )
+        scored = (
+            rows.crossJoin(F.broadcast(stats))
+            .filter(F.col("_sd") > 0)
+            .withColumn(
+                "_score", F.abs(F.col("_v") - F.col("_mu")) / F.col("_sd")
+            )
+            .filter(F.col("_score") > k)
+            .withColumn("_center", F.col("_mu"))
+        )
+    else:  # iqr
+        if exact:
+            fences = rows.agg(
+                F.percentile("_v", F.lit(0.25)).alias("_q1"),
+                F.percentile("_v", F.lit(0.75)).alias("_q3"),
+            )
+        else:
+            fences = rows.agg(
+                F.percentile_approx("_v", F.lit(0.25), F.lit(accuracy)).alias("_q1"),
+                F.percentile_approx("_v", F.lit(0.75), F.lit(accuracy)).alias("_q3"),
+            )
+        scored = (
+            rows.crossJoin(F.broadcast(fences))
+            .withColumn("_lo", F.col("_q1") - k * (F.col("_q3") - F.col("_q1")))
+            .withColumn("_hi", F.col("_q3") + k * (F.col("_q3") - F.col("_q1")))
+            .filter((F.col("_v") < F.col("_lo")) | (F.col("_v") > F.col("_hi")))
+            .withColumn(
+                "_score",
+                F.when(F.col("_v") < F.col("_lo"), F.col("_lo") - F.col("_v"))
+                .otherwise(F.col("_v") - F.col("_hi")),
+            )
+            .withColumn("_center", (F.col("_q1") + F.col("_q3")) / 2.0)
+        )
+    return make_differences(
+        scored,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit(f"{method}({column})"),
+        value=F.col("_v"),
+        expected=F.col("_center"),
+        deviation=F.col("_score"),
+    )

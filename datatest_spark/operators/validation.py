@@ -234,6 +234,12 @@ class _Validate:
         return check_benford(df, column, **kw)
 
     @staticmethod
+    def outliers(df, column, **kw):
+        from .stats import check_outliers
+
+        return check_outliers(df, column, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

@@ -767,3 +767,27 @@ def test_spec_wasserstein_benford_match_python_api(spark):
     )
     assert sorted(got) == sorted(want)
     assert len(got) == 2
+
+
+def test_spec_outliers_match_python_api(spark):
+    from datatest_spark.operators.stats import check_outliers
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in list(range(20)) + [900]], "v double"
+    ).withColumn("partition_id", F.lit(0))
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "outliers", "column": "v", "method": "zscore",
+                 "k": 3.0, "id": "out"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences({"t": df}))
+    want = diff_multiset(
+        check_outliers(df.drop("partition_id"), "v", method="zscore",
+                       k=3.0, check_id="out")
+    )
+    assert sorted(got) == sorted(want) and len(got) == 1

@@ -599,3 +599,81 @@ def test_running_sums_correct_on_join_derived_input(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# row-level outliers (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_outliers_mad_hand_computed(spark):
+    from datatest_spark.operators.stats import check_outliers
+
+    # 9 values around 10 plus one wild point; median = 10, MAD = 1
+    vals = [8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 100.0]
+    df = spark.createDataFrame([(x,) for x in vals], "v double")
+    rows = check_outliers(df, "v", method="mad", k=3.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "mad(v)" and r["value"] == "100.0"
+    assert abs(r["deviation"] - (90.0 / 1.4826)) < 1e-9
+    # tighter k flags more; looser flags none
+    assert len(check_outliers(df, "v", method="mad", k=1.0).collect()) > 1
+    assert check_outliers(df, "v", method="mad", k=100.0).collect() == []
+
+
+def test_outliers_mad_degenerate_scale(spark):
+    from datatest_spark.operators.stats import check_outliers
+
+    # >half identical -> MAD = 0: every v != median flags, raw distance
+    df = spark.createDataFrame(
+        [(5.0,)] * 6 + [(7.0,), (3.0,)], "v double"
+    )
+    rows = sorted(
+        check_outliers(df, "v", method="mad").collect(),
+        key=lambda r: r["value"],
+    )
+    assert [(r["value"], r["deviation"]) for r in rows] == [
+        ("3.0", 2.0),
+        ("7.0", 2.0),
+    ]
+
+
+def test_outliers_zscore_and_iqr(spark):
+    import statistics
+
+    from datatest_spark.operators.stats import check_outliers
+
+    vals = [float(x) for x in range(1, 21)] + [500.0]
+    df = spark.createDataFrame([(x,) for x in vals], "v double")
+
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    z = sorted(
+        check_outliers(df, "v", method="zscore", k=3.0).collect(),
+        key=lambda r: r["value"],
+    )
+    assert [r["value"] for r in z] == ["500.0"]
+    assert abs(z[0]["deviation"] - abs(500.0 - mu) / sd) < 1e-9
+
+    i = check_outliers(df, "v", method="iqr", k=1.5).collect()
+    assert [r["value"] for r in i] == ["500.0"]
+    # exact percentile: q1 = 6, q3 = 16 over 21 ordered values
+    assert abs(i[0]["deviation"] - (500.0 - (16.0 + 1.5 * 10.0))) < 1e-9
+
+    with pytest.raises(ValueError):
+        check_outliers(df, "v", method="nope")
+
+
+def test_outliers_rows_never_shuffle(spark):
+    """The fence statistics broadcast into a scan-local filter: the data
+    rows themselves must not enter any exchange (only the 1-row scalar
+    aggregates do)."""
+    from datatest_spark.operators.stats import check_outliers
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    d = check_outliers(li, "l_extendedprice", method="zscore", k=4.0)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    # no sort-merge join / hash-partitioned data exchange of the rows
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
