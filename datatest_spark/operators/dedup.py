@@ -132,6 +132,48 @@ def _jaccard_udf():
     return F.pandas_udf(_j, T.DoubleType())
 
 
+def _bitset_probe(df: DataFrame, g: DataFrame, id_col: str, strategy: str):
+    """Probe whether the ≤64-gram bitset fast path applies (two small
+    eager jobs — callers only reach this under the opt-in
+    'bitset'/'auto' strategies, never from a lazy default).  Returns
+    (use_bitset, sorted_vocab); raises under strategy='bitset' when the
+    corpus exceeds the vocab/doc-count bounds."""
+    vocab = [
+        r["_gram"] for r in g.select("_gram").distinct().limit(66).collect()
+    ]
+    small_vocab = len(vocab) <= 64
+    small_docs = (
+        df.select(id_col).limit(BITSET_MAX_DOCS + 1).count() <= BITSET_MAX_DOCS
+    )
+    if strategy == "bitset" and not (small_vocab and small_docs):
+        raise ValueError(
+            f"bitset strategy needs ≤64 distinct grams and "
+            f"≤{BITSET_MAX_DOCS} docs; use 'posting_list' or 'auto'"
+        )
+    return small_vocab and small_docs, vocab
+
+
+def _bitset_mask_pairs(df: DataFrame, g: DataFrame, vocab) -> DataFrame:
+    """(id_a, id_b, _ma, _mb) for all id_a < id_b with each doc's gram
+    SET encoded as one long (≤64-gram dictionary fast path: the whole
+    pair scan is codegen'd longs, no posting-list fan-out).  Callers
+    apply their own bit_count similarity on top."""
+    idx_df = df.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(sorted(vocab))], "_gram string, _bit int"
+    )
+    masks = (
+        g.join(F.broadcast(idx_df), "_gram")
+        .groupBy("_gid")
+        .agg(F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_mask"))
+    )
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    a = masks.select(
+        F.col("_gid").alias("id_a"), F.col("_mask").alias("_ma")
+    ).repartition(n_tasks)
+    b = masks.select(F.col("_gid").alias("id_b"), F.col("_mask").alias("_mb"))
+    return a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -269,41 +311,14 @@ def ngram_jaccard_pairs(
         # The probes are eager jobs, so they run ONLY under the opt-in
         # 'bitset'/'auto' strategies — never from the lazy default.
         if strategy in ("bitset", "auto"):
-            vocab = [
-                r["_gram"]
-                for r in g.select("_gram").distinct().limit(66).collect()
-            ]
-            small_vocab = len(vocab) <= 64
-            small_docs = (
-                df.select(id_col).limit(BITSET_MAX_DOCS + 1).count()
-                <= BITSET_MAX_DOCS
-            )
-            if strategy == "bitset" and not (small_vocab and small_docs):
-                raise ValueError(
-                    f"bitset strategy needs ≤64 distinct grams and "
-                    f"≤{BITSET_MAX_DOCS} docs; use 'posting_list' or 'auto'"
-                )
-            use_bitset = small_vocab and small_docs
+            use_bitset, vocab = _bitset_probe(df, g, id_col, strategy)
         else:
             use_bitset = False
         if use_bitset:
-            idx_df = df.sparkSession.createDataFrame(
-                [(t, i) for i, t in enumerate(sorted(vocab))], "_gram string, _bit int"
-            )
-            masks = (
-                g.join(F.broadcast(idx_df), "_gram")
-                .groupBy("_gid")
-                .agg(F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_mask"))
-            )
-            n_tasks = df.sparkSession.sparkContext.defaultParallelism
-            a = masks.select(
-                F.col("_gid").alias("id_a"), F.col("_mask").alias("_ma")
-            ).repartition(n_tasks)
-            b = masks.select(F.col("_gid").alias("id_b"), F.col("_mask").alias("_mb"))
             inter = F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb")))
             union = F.bit_count(F.col("_ma").bitwiseOR(F.col("_mb")))
             return (
-                a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+                _bitset_mask_pairs(df, g, vocab)
                 .withColumn(
                     "jaccard",
                     F.round(
@@ -367,6 +382,141 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(sim, 6))
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _containment_udf():
+    """Vectorized Arrow containment over array pairs (see _jaccard_udf
+    for why the verify step crosses to Arrow)."""
+    import pandas as pd
+
+    def _c(a, b):
+        out = []
+        for xs, ys in zip(a, b):
+            sx, sy = set(xs), set(ys)
+            m = min(len(sx), len(sy))
+            out.append(len(sx & sy) / m if m else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    _c.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_c, T.DoubleType())
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    candidates: Optional[DataFrame] = None,
+    strategy: str = "posting_list",
+) -> DataFrame:
+    """(id_a, id_b, containment) for pairs with n-gram CONTAINMENT ≥
+    threshold, where containment(A,B) = |A∩B| / min(|A|,|B|) (the
+    symmetric overlap coefficient).
+
+    The dedup case Jaccard misses: a document EMBEDDED inside a much
+    larger one (quoted article, vendored file, template wrapper) has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| → 0 as the host grows — so a
+    Jaccard threshold never fires.  Containment catches exactly that
+    asymmetric near-dup.
+
+    Physical plan is the same exact inverted-index counting join as
+    ``ngram_jaccard_pairs(strategy="posting_list")`` (pure-lazy, one
+    codegen'd join + hash-agg, shuffle distributed by probe partitioning
+    so hot grams can't hotspot a reducer); only the final similarity
+    expression differs — |A∩B| divided by the smaller set size instead
+    of the union.  ``strategy`` offers the same ``"bitset"``/``"auto"``
+    ≤64-gram dictionary fast path (probe jobs at plan time, opt-in by
+    name — the default stays pure-lazy).  With ``candidates``
+    (id_a, id_b) the join is candidate-driven and verification is one
+    Arrow crossing (the LSH path).  Cost bound is the same Σ_gram df²
+    as any exact set-overlap join; note the overlap coefficient has no
+    prefix-filter analogue as tight as Jaccard's (min(|A|,|B|) in the
+    denominator breaks the prefix bound), so there is no "prefix"
+    strategy here.
+    """
+    if candidates is None:
+        if strategy not in ("posting_list", "bitset", "auto"):
+            raise ValueError(
+                "strategy must be 'posting_list', 'bitset' or 'auto'"
+            )
+        if threshold <= 0:
+            raise ValueError(
+                "all-pairs ngram_containment_pairs requires threshold > 0"
+            )
+        g = df.select(
+            F.col(id_col).alias("_gid"),
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("_gram"),
+        )
+        if strategy in ("bitset", "auto"):
+            use_bitset, vocab = _bitset_probe(df, g, id_col, strategy)
+            if use_bitset:
+                inter = F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb")))
+                mn = F.least(
+                    F.bit_count(F.col("_ma")), F.bit_count(F.col("_mb"))
+                )
+                return (
+                    _bitset_mask_pairs(df, g, vocab)
+                    .withColumn(
+                        "containment",
+                        F.round(
+                            F.when(
+                                mn > 0, inter.cast("double") / mn
+                            ).otherwise(F.lit(0.0)),
+                            6,
+                        ),
+                    )
+                    .filter(F.col("containment") >= F.lit(float(threshold)))
+                    .select("id_a", "id_b", "containment")
+                )
+        sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
+        n_tasks = df.sparkSession.sparkContext.defaultParallelism
+        a = g.select(F.col("_gid").alias("id_a"), "_gram").repartition(n_tasks)
+        inter = (
+            a.join(g.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
+        sim = F.col("_i").cast("double") / F.least(F.col("_na"), F.col("_nb"))
+        return (
+            inter.join(
+                sizes.select(F.col("_gid").alias("id_a"), F.col("_n").alias("_na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("_gid").alias("id_b"), F.col("_n").alias("_nb")),
+                "id_b",
+            )
+            .withColumn("containment", F.round(sim, 6))
+            .filter(F.col("containment") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "containment")
+        )
+    grams = df.select(
+        F.col(id_col).alias("_gid"),
+        word_ngrams(F.col(text_col), ngram).alias("_grams"),
+    )
+    pairs = (
+        candidates.join(
+            grams.withColumnRenamed("_grams", "_ga"),
+            candidates["id_a"] == grams["_gid"],
+        )
+        .drop("_gid")
+        .join(
+            grams.withColumnRenamed("_grams", "_gb").withColumnRenamed(
+                "_gid", "_gid2"
+            ),
+            F.col("id_b") == F.col("_gid2"),
+        )
+        .drop("_gid2")
+    )
+    sim = _containment_udf()(F.col("_ga"), F.col("_gb"))
+    return (
+        pairs.withColumn("containment", F.round(sim, 6))
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "containment")
     )
 
 

@@ -1,0 +1,269 @@
+"""Embedding-column validation: structural checks and distribution drift
+over ``array<float>`` / ``array<double>`` columns.
+
+The similarity module (similarity.py) searches embeddings; this module
+VALIDATES them — the checks an LLM-data pipeline runs before it trusts a
+vector column at 100 TB:
+
+* ``embedding_profile`` — per-row structural profile (dimension, L2
+  norm, non-finite count, zero-vector flag) as pure Column expressions:
+  scan-local, zero shuffle, no UDF.
+* ``check_embedding`` — difference rows (SURVEY.md §2.1 model) for NULL
+  vectors, wrong dimensionality, NaN/Inf components, zero vectors, and
+  out-of-bound norms.  One scan, one pass; kinds are selected with a
+  single ``when`` chain so no union of subplans is needed.
+* ``check_embedding_drift`` — per-dimension mean drift between two
+  snapshots.  Component values are quantized to a fixed grid
+  (``round(x·scale)`` as bigint) before summation so the per-dimension
+  means are integer-exact: byte-identical across partitionings and
+  cluster sizes (float sums do not commute; the north_rule requires
+  identical violation bytes at N and 4N executors), and exactly
+  reproducible by any ANSI-SQL oracle.
+
+Determinism note on norms: the sum of squares is a strict left-to-right
+``aggregate`` fold in index order — per-row work, independent of
+partitioning, and bit-identical to DuckDB's ``list_reduce`` fold, so
+round-6 norms are portable across engines.
+
+Scale shape: ``embedding_profile``/``check_embedding`` are scan-local
+projections (no shuffle at any scale).  ``check_embedding_drift``
+explodes to (dim, component) pairs but aggregates immediately with
+map-side partial aggregation — shuffle volume is O(dims × partitions)
+rows of two bigints, never the vectors; the dim-keyed join of two
+dim-sized aggregates broadcasts.
+
+Re-expresses the reference's per-column statistics pass for vector
+columns (SURVEY.md §2.5 "column stats"; reference mount is empty — see
+SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.differences import (
+    KIND_DEVIATION,
+    KIND_INVALID,
+    KIND_MISSING,
+    make_differences,
+)
+
+__all__ = [
+    "embedding_profile",
+    "check_embedding",
+    "check_embedding_drift",
+]
+
+
+def _norm_col(vec) -> "F.Column":
+    """L2 norm as a strict left-to-right fold (see module docstring)."""
+    v = vec.cast("array<double>")
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return F.sqrt(sumsq)
+
+
+def _nonfinite_col(vec) -> "F.Column":
+    v = vec.cast("array<double>")
+    return F.size(
+        F.filter(
+            v,
+            lambda x: F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+
+
+def embedding_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row structural profile of an embedding column.
+
+    Returns (id_col, dim, nonfinite, is_zero, norm):
+
+    * ``dim`` — array length (NULL for NULL vectors),
+    * ``nonfinite`` — count of NaN/±Inf components,
+    * ``is_zero`` — true when every component is exactly 0.0 (and the
+      vector is non-empty and finite),
+    * ``norm`` — L2 norm rounded to 6 decimals; NULL when any component
+      is non-finite (a NaN norm carries no information).
+
+    Pure Column expressions over one scan — no shuffle, no UDF; safe to
+    compose into a shared-scan suite.
+    """
+    vec = F.col(vec_col)
+    dim = F.size(vec)
+    nonfinite = _nonfinite_col(vec)
+    norm = _norm_col(vec)
+    finite = nonfinite == 0
+    return df.select(
+        F.col(id_col),
+        dim.alias("dim"),
+        nonfinite.alias("nonfinite"),
+        (finite & (dim > 0) & (norm == 0.0)).alias("is_zero"),
+        F.when(finite, F.round(norm, 6)).alias("norm"),
+    )
+
+
+def check_embedding(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: Optional[int] = None,
+    min_norm: Optional[float] = None,
+    max_norm: Optional[float] = None,
+    check_id: str = "embedding",
+) -> DataFrame:
+    """Structural validation of an embedding column → difference rows.
+
+    Emitted kinds, checked in priority order (one row per offending
+    vector — the most fundamental defect wins, so a NULL vector is not
+    also reported as wrong-dimensioned):
+
+    * Missing — vector is NULL (key = id).
+    * Invalid(dim, expected_dim) — wrong dimensionality.
+    * Invalid('nonfinite=<n>') — NaN/Inf components present.
+    * Invalid('zero_vector') — all-zero vector (cosine-undefined).
+    * Deviation(norm − bound) — L2 norm outside [min_norm, max_norm];
+      value = norm, expected = the violated bound.
+
+    Single scan-local pass: the kind is a ``when`` chain over the
+    profile expressions, so Catalyst sees one projection + one filter —
+    no unions, nothing shuffles, and column pruning reaches the parquet
+    scan (only ``id_col`` and ``vec_col`` are read).
+    """
+    vec = F.col(vec_col)
+    dim = F.size(vec)
+    nonfinite = _nonfinite_col(vec)
+    norm = F.round(_norm_col(vec), 6)
+
+    is_null = vec.isNull()
+    bad_dim = (
+        dim != F.lit(int(expected_dim))
+        if expected_dim is not None
+        else F.lit(False)
+    )
+    bad_finite = nonfinite > 0
+    is_zero = (dim > 0) & ~bad_finite & (norm == 0.0)
+    low = (
+        norm < F.lit(float(min_norm)) if min_norm is not None else F.lit(False)
+    )
+    high = (
+        norm > F.lit(float(max_norm)) if max_norm is not None else F.lit(False)
+    )
+
+    kind = (
+        F.when(is_null, F.lit(KIND_MISSING))
+        .when(bad_dim, F.lit(KIND_INVALID))
+        .when(bad_finite, F.lit(KIND_INVALID))
+        .when(is_zero, F.lit(KIND_INVALID))
+        .when(low | high, F.lit(KIND_DEVIATION))
+    )
+    value = (
+        F.when(is_null, F.lit(None).cast("string"))
+        .when(bad_dim, dim.cast("string"))
+        .when(bad_finite, F.concat(F.lit("nonfinite="), nonfinite.cast("string")))
+        .when(is_zero, F.lit("zero_vector"))
+        .otherwise(norm.cast("string"))
+    )
+    expected = (
+        F.when(bad_dim, F.lit(expected_dim).cast("string"))
+        .when(bad_finite | is_zero, F.lit(None).cast("string"))
+        .when(low, F.lit(min_norm).cast("string"))
+        .when(high, F.lit(max_norm).cast("string"))
+    )
+    deviation = F.when(
+        kind == KIND_DEVIATION,
+        F.when(low, norm - F.lit(min_norm)).otherwise(norm - F.lit(max_norm)),
+    )
+
+    flagged = df.select(
+        F.col(id_col).alias("_id"),
+        kind.alias("_kind"),
+        value.alias("_value"),
+        expected.alias("_expected"),
+        deviation.alias("_dev"),
+    ).filter(F.col("_kind").isNotNull())
+    return make_differences(
+        flagged,
+        check_id=check_id,
+        kind_col=F.col("_kind"),
+        key=F.col("_id"),
+        value=F.col("_value"),
+        expected=F.col("_expected"),
+        deviation=F.col("_dev"),
+    )
+
+
+def check_embedding_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    threshold: float = 0.0,
+    scale: float = 1e6,
+    check_id: str = "embedding_drift",
+) -> DataFrame:
+    """Per-dimension mean drift between two embedding snapshots.
+
+    For each dimension d, computes mean_cur(d) and mean_base(d) on
+    components quantized to the 1/``scale`` grid (``round(x·scale)`` as
+    bigint, summed exactly — see module docstring for why), and emits:
+
+    * Deviation(mean_cur − mean_base) per dimension with
+      \\|Δmean\\| > ``threshold`` (key = dimension index, value =
+      mean_cur, expected = mean_base);
+    * Invalid per dimension present in only one snapshot (ragged or
+      mismatched dimensionality between snapshots).
+
+    Non-finite components are excluded from the means (they are a
+    structural defect — ``check_embedding`` reports them).
+
+    Scale shape: posexplode → immediate groupBy(dim) with map-side
+    partial aggregation (shuffle = O(dims × partitions) bigint rows);
+    the final dim-on-dim join is two dim-sized aggregates.
+    """
+
+    def _dim_means(df: DataFrame, mean_name: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        pairs = df.select(F.posexplode(v).alias("dim", "_x"))
+        q = F.when(
+            ~(F.isnan(F.col("_x")) | (F.abs(F.col("_x")) == F.lit(float("inf")))),
+            F.round(F.col("_x") * F.lit(float(scale))).cast("bigint"),
+        )
+        return (
+            pairs.select("dim", q.alias("_q"))
+            .groupBy("dim")
+            .agg(
+                (
+                    F.sum("_q").cast("double")
+                    / (F.count("_q") * F.lit(float(scale)))
+                ).alias(mean_name)
+            )
+        )
+
+    cur = _dim_means(current, "_mc")
+    base = _dim_means(baseline, "_mb")
+    joined = cur.join(base, "dim", "full_outer")
+    both = F.col("_mc").isNotNull() & F.col("_mb").isNotNull()
+    delta = F.col("_mc") - F.col("_mb")
+    flagged = joined.filter(
+        ~both | (F.abs(delta) > F.lit(float(threshold)))
+    )
+    return make_differences(
+        flagged,
+        check_id=check_id,
+        kind_col=F.when(both, F.lit(KIND_DEVIATION)).otherwise(
+            F.lit(KIND_INVALID)
+        ),
+        key=F.col("dim"),
+        value=F.col("_mc"),
+        expected=F.col("_mb"),
+        deviation=F.when(both, delta),
+    )

@@ -33,7 +33,9 @@ from pyspark.sql import types as T
 
 from ..plans.differences import (
     KIND_DEVIATION,
+    KIND_EXTRA,
     KIND_INVALID,
+    KIND_MISSING,
     make_differences,
     union_differences,
 )
@@ -363,6 +365,143 @@ def check_quantile_drift(
         expected=F.lit(0.0),
         deviation=F.col("_delta"),
     )
+
+
+def check_grouped_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    *,
+    column: str,
+    group_by: str,
+    threshold: float = 0.0,
+    smoothing: float = 0.5,
+    check_id: str = "grouped_drift",
+) -> DataFrame:
+    """Per-GROUP chi-square drift of ``column`` between two snapshots —
+    the "did the language mix shift inside each repo bucket?" ask that a
+    single global histogram hides (a 2× shift in a small group vanishes
+    into the corpus-wide counts).
+
+    Takes RAW DataFrames (unlike ``check_chi_square_drift``, which takes
+    pre-built histograms) because the grouped histograms are
+    check-specific.  Emits, per group value g:
+
+    * Deviation(chi2_g, 0) — both snapshots contain g and the Pearson
+      statistic of ``column``'s distribution within g exceeds
+      ``threshold`` (expected counts are the group's baseline
+      frequencies rescaled to its current total; categories unseen in
+      the baseline get ``smoothing`` pseudo-counts, as in the global
+      check);
+    * Extra(g, current_count) — group appears only in the current
+      snapshot (a brand-new group is drift by definition);
+    * Missing(g, baseline_count) — group vanished from the current
+      snapshot.
+
+    Scale shape: two groupBy(group, value) counts with map-side partial
+    aggregation — shuffle volume is distinct (group, value) PAIRS, not
+    rows; per-group totals derive from those counts (no second scan);
+    all joins are between count aggregates.  NULL group/category values
+    count as their own bucket (eqNullSafe grouping semantics, like
+    groupBy everywhere in the engine).
+    """
+    cur = (
+        current.groupBy(
+            F.col(group_by).cast("string").alias("_g"),
+            F.col(column).cast("string").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    base = (
+        baseline.groupBy(
+            F.col(group_by).cast("string").alias("_g"),
+            F.col(column).cast("string").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("base_cnt"))
+    )
+    cur_tot = cur.groupBy("_g").agg(F.sum("obs").alias("cur_total"))
+    base_tot = base.groupBy("_g").agg(
+        F.col("_g").alias("_gb2"), F.sum("base_cnt").alias("base_total")
+    ).drop("_g")
+    # NULL groups/categories are real buckets → every key join below is
+    # null-safe (plain equi-joins drop NULL keys from both sides and a
+    # NULL group would surface as Extra AND Missing at once)
+    totals = cur_tot.join(
+        base_tot, F.col("_g").eqNullSafe(F.col("_gb2")), "full_outer"
+    ).select(
+        F.coalesce(F.col("_g"), F.col("_gb2")).alias("_g"),
+        # presence on a side = that side's total is non-NULL (counts
+        # never sum to NULL for a present group), so no extra marker
+        # column is needed even when the group key itself is NULL
+        F.col("cur_total"),
+        F.col("base_total"),
+    )
+
+    # groups present in both → per-group chi-square
+    live = totals.filter(
+        F.col("cur_total").isNotNull() & F.col("base_total").isNotNull()
+    )
+    base_r = base.select(
+        F.col("_g").alias("_gb"), F.col("value").alias("_vb"), "base_cnt"
+    )
+    live_r = live.select(
+        F.col("_g").alias("_gl"), "cur_total", "base_total"
+    )
+    joined = (
+        cur.join(
+            base_r,
+            F.col("_g").eqNullSafe(F.col("_gb"))
+            & F.col("value").eqNullSafe(F.col("_vb")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("_g"), F.col("_gb")).alias("_g"),
+            F.coalesce(F.col("value"), F.col("_vb")).alias("value"),
+            "obs",
+            "base_cnt",
+        )
+        .join(
+            F.broadcast(live_r), F.col("_g").eqNullSafe(F.col("_gl"))
+        )
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .withColumn(
+            "exp",
+            (F.coalesce(F.col("base_cnt"), F.lit(float(smoothing))))
+            * F.col("cur_total")
+            / F.col("base_total"),
+        )
+    )
+    stat = (
+        joined.groupBy("_g")
+        .agg(
+            F.sum(
+                F.pow(F.col("obs") - F.col("exp"), F.lit(2.0)) / F.col("exp")
+            ).alias("chi2")
+        )
+        .filter(F.col("chi2") > F.lit(float(threshold)))
+    )
+    drifted = make_differences(
+        stat,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("_g"),
+        value=F.col("chi2"),
+        expected=F.lit(0.0),
+        deviation=F.col("chi2"),
+    )
+    # groups present on one side only → Extra / Missing
+    churn = totals.filter(
+        F.col("cur_total").isNull() | F.col("base_total").isNull()
+    )
+    churned = make_differences(
+        churn,
+        check_id=check_id,
+        kind_col=F.when(
+            F.col("base_total").isNull(), F.lit(KIND_EXTRA)
+        ).otherwise(F.lit(KIND_MISSING)),
+        key=F.col("_g"),
+        value=F.coalesce(F.col("cur_total"), F.col("base_total")),
+    )
+    return drifted.unionByName(churned)
 
 
 def check_stats_bounds(

@@ -432,3 +432,113 @@ def test_duplicate_clusters_local_contract_off_matches_on(spark):
     )
     assert on == off
     assert {c for _, c in on} == {0, 100}
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (overlap coefficient)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc embedded verbatim in a long host: containment = 1.0
+    while Jaccard ~ |A|/|B| stays below any useful threshold."""
+    from datatest_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha bravo charlie delta echo"
+    host = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, short), (1, host), (2, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, ngram=1, threshold=0.9).collect()
+    }
+    assert cont == {(0, 1): 1.0}
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, ngram=1, threshold=0.05).collect()
+    }
+    assert jac[(0, 1)] < 0.2  # jaccard misses what containment catches
+
+
+def test_containment_exact_value_and_threshold(spark):
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c x"), (2, "p q r s")],
+        "doc_id long, text string",
+    )
+    # |A∩B|=3, min size 4 → 0.75
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, ngram=1, threshold=0.7).collect()
+    }
+    assert got == {(0, 1): 0.75}
+    assert (
+        ngram_containment_pairs(df, ngram=1, threshold=0.76).count() == 0
+    )
+
+
+def test_containment_candidates_path_parity(spark, docs):
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    full = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(docs, ngram=1, threshold=0.5).collect(),
+        )
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)], "id_a long, id_b long"
+    )
+    via_cand = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                docs, ngram=1, threshold=0.5, candidates=cand
+            ).collect(),
+        )
+    )
+    assert full == via_cand and len(full) >= 1
+
+
+def test_containment_requires_positive_threshold(spark, docs):
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    with pytest.raises(ValueError):
+        ngram_containment_pairs(docs, threshold=0.0)
+
+
+def test_containment_is_lazy(spark, docs):
+    """Building the all-pairs containment plan must run zero jobs."""
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    before = _n_jobs(spark)
+    ngram_containment_pairs(docs, ngram=1, threshold=0.8)
+    assert _n_jobs(spark) == before
+
+
+def test_containment_bitset_matches_posting_list(spark, docs):
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    pl = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                docs, ngram=1, threshold=0.5, strategy="posting_list"
+            ).collect(),
+        )
+    )
+    bs = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                docs, ngram=1, threshold=0.5, strategy="auto"
+            ).collect(),
+        )
+    )
+    assert pl == bs and len(pl) >= 1

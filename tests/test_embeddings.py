@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.embeddings import (
+    check_embedding,
+    check_embedding_drift,
+    embedding_profile,
+)
+
+from .conftest import diff_multiset
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_profile_basic(spark):
+    df = _vecs(
+        spark,
+        [
+            (1, [3.0, 4.0]),
+            (2, [0.0, 0.0]),
+            (3, None),
+            (4, [1.0, float("nan"), 2.0]),
+            (5, [float("inf"), 0.0]),
+        ],
+    )
+    got = {
+        r["vec_id"]: (r["dim"], r["nonfinite"], r["is_zero"], r["norm"])
+        for r in embedding_profile(df).collect()
+    }
+    assert got[1] == (2, 0, False, 5.0)
+    assert got[2] == (2, 0, True, 0.0)
+    assert got[3][0] is None
+    assert got[4] == (3, 1, False, None)  # NaN norm carries no info
+    assert got[5] == (2, 1, False, None)
+
+
+def test_profile_norm_fold_order(spark):
+    # the norm is a strict left-to-right fold; verify against python's
+    # identical sequential accumulation
+    comps = [0.1, 0.2, 0.30000000000000004, 1e-9, 7.25]
+    acc = 0.0
+    for x in comps:
+        acc += x * x
+    expected = round(math.sqrt(acc), 6)
+    df = _vecs(spark, [(1, comps)])
+    assert embedding_profile(df).head()["norm"] == expected
+
+
+def test_check_embedding_kinds_and_priority(spark):
+    df = _vecs(
+        spark,
+        [
+            (1, [3.0, 4.0]),          # fine
+            (2, None),                 # missing
+            (3, [1.0, 2.0, 3.0]),      # wrong dim
+            (4, [float("nan"), 1.0]),  # nonfinite
+            (5, [0.0, 0.0]),           # zero vector
+            (6, [100.0, 0.0]),         # norm above max
+            (7, [0.001, 0.0]),         # norm below min
+            (8, [float("nan")]),       # wrong dim AND nonfinite → dim wins
+        ],
+    )
+    d = check_embedding(
+        df, expected_dim=2, min_norm=0.01, max_norm=50.0, check_id="emb"
+    )
+    got = diff_multiset(d)
+    assert ("missing", "2", None, None, None) in got
+    assert ("invalid", "3", "3", "2", None) in got
+    assert ("invalid", "4", "nonfinite=1", None, None) in got
+    assert ("invalid", "5", "zero_vector", None, None) in got
+    assert ("invalid", "8", "1", "2", None) in got  # priority: dim first
+    devs = {t[1]: t for t in got if t[0] == "deviation"}
+    assert devs["6"][2] == "100.0" and devs["6"][3] == "50.0"
+    assert devs["6"][4] == pytest.approx(50.0)
+    assert devs["7"][4] == pytest.approx(0.001 - 0.01)
+    # id 1 clean
+    assert not any(t[1] == "1" for t in got)
+    assert len(got) == 7
+
+
+def test_check_embedding_no_bounds_no_dim(spark):
+    df = _vecs(spark, [(1, [1.0, 2.0]), (2, [9.0])])
+    assert check_embedding(df).count() == 0
+
+
+def test_drift_exact_means(spark):
+    cur = _vecs(spark, [(1, [1.0, 10.0]), (2, [3.0, 10.0])])
+    base = _vecs(spark, [(1, [1.0, 10.0]), (2, [1.0, 10.0])])
+    d = check_embedding_drift(cur, base, threshold=0.0)
+    got = {r["key"]: r for r in d.collect()}
+    # dim 0: mean 2.0 vs 1.0 → deviation 1.0; dim 1 identical → filtered
+    assert set(got) == {"0"}
+    assert got["0"]["diff_kind"] == "deviation"
+    assert got["0"]["deviation"] == pytest.approx(1.0)
+    assert got["0"]["value"] == "2.0"
+    assert got["0"]["expected"] == "1.0"
+
+
+def test_drift_threshold_and_ragged(spark):
+    cur = _vecs(spark, [(1, [1.0, 2.0, 5.0])])
+    base = _vecs(spark, [(1, [1.05, 2.5])])
+    d = check_embedding_drift(cur, base, threshold=0.1)
+    got = {r["key"]: r for r in d.collect()}
+    # dim0 delta 0.05 under threshold; dim1 delta 0.5 over; dim2 only in cur
+    assert set(got) == {"1", "2"}
+    assert got["1"]["diff_kind"] == "deviation"
+    assert got["2"]["diff_kind"] == "invalid"
+    assert got["2"]["expected"] is None
+
+
+def test_drift_skips_nonfinite_components(spark):
+    cur = _vecs(spark, [(1, [float("nan")]), (2, [4.0])])
+    base = _vecs(spark, [(1, [2.0]), (2, [2.0])])
+    d = check_embedding_drift(cur, base)
+    got = {r["key"]: r for r in d.collect()}
+    # NaN excluded → cur mean over the single finite value = 4.0
+    assert got["0"]["deviation"] == pytest.approx(2.0)
+
+
+def test_drift_quantization_determinism(spark):
+    # means are integer-exact on the 1e-6 grid: identical regardless of
+    # partition count
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    a = check_embedding_drift(
+        _vecs(spark, rows).repartition(1),
+        _vecs(spark, rows[:100]).repartition(1),
+        threshold=-1.0,
+    ).collect()
+    b = check_embedding_drift(
+        _vecs(spark, rows).repartition(7),
+        _vecs(spark, rows[:100]).repartition(3),
+        threshold=-1.0,
+    ).collect()
+    key = lambda r: r["key"]
+    assert sorted(
+        [(r["key"], r["value"], r["expected"], r["deviation"]) for r in a]
+    ) == sorted([(r["key"], r["value"], r["expected"], r["deviation"]) for r in b])
+
+
+def test_profile_is_scan_local(spark):
+    # no Exchange in the profile plan — pure projection
+    df = _vecs(spark, [(1, [1.0, 2.0])])
+    plan = embedding_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -677,3 +677,90 @@ def test_outliers_rows_never_shuffle(spark):
     # no sort-merge join / hash-partitioned data exchange of the rows
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# grouped drift
+# ---------------------------------------------------------------------------
+
+
+def _gd_frame(spark, rows):
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_grouped_drift_per_group_chi2(spark):
+    from datatest_spark.operators.stats import (
+        check_chi_square_drift,
+        check_grouped_drift,
+        histograms,
+    )
+
+    base_rows = [("g1", "a")] * 50 + [("g1", "b")] * 50 + [("g2", "a")] * 100
+    cur_rows = [("g1", "a")] * 80 + [("g1", "b")] * 20 + [("g2", "a")] * 100
+    base = _gd_frame(spark, base_rows)
+    cur = _gd_frame(spark, cur_rows)
+    d = {
+        r["key"]: r
+        for r in check_grouped_drift(
+            cur, base, column="v", group_by="g", threshold=-1.0
+        ).collect()
+    }
+    assert set(d) == {"g1", "g2"}
+    # g2 is identical → chi2 == 0; g1 drifted hard
+    assert d["g2"]["deviation"] == 0.0
+    assert d["g1"]["deviation"] > 10.0
+    # single-group parity with the global (ungrouped) check
+    g1_cur = cur.filter(F.col("g") == "g1")
+    g1_base = base.filter(F.col("g") == "g1")
+    global_stat = check_chi_square_drift(
+        histograms(g1_cur, ["v"]), histograms(g1_base, ["v"]), threshold=-1.0
+    ).head()["deviation"]
+    assert d["g1"]["deviation"] == pytest.approx(global_stat)
+
+
+def test_grouped_drift_group_churn(spark):
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    base = _gd_frame(spark, [("old", "a")] * 5 + [("both", "a")] * 5)
+    cur = _gd_frame(spark, [("new", "a")] * 7 + [("both", "a")] * 5)
+    d = {
+        (r["diff_kind"], r["key"]): r
+        for r in check_grouped_drift(
+            cur, base, column="v", group_by="g", threshold=-1.0
+        ).collect()
+    }
+    assert ("extra", "new") in d and d[("extra", "new")]["value"] == "7"
+    assert ("missing", "old") in d and d[("missing", "old")]["value"] == "5"
+    assert ("deviation", "both") in d
+
+
+def test_grouped_drift_unseen_category_smoothing(spark):
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    base = _gd_frame(spark, [("g", "a")] * 10)
+    cur = _gd_frame(spark, [("g", "a")] * 8 + [("g", "zz")] * 2)
+    d = check_grouped_drift(
+        cur, base, column="v", group_by="g", threshold=0.0
+    ).collect()
+    # statistic is finite (smoothing) and positive
+    assert len(d) == 1 and 0.0 < d[0]["deviation"] < float("inf")
+
+
+def test_grouped_drift_null_groups_and_categories(spark):
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    base = spark.createDataFrame(
+        [(None, "a"), (None, "a"), ("g", None)], "g string, v string"
+    )
+    cur = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("g", None)], "g string, v string"
+    )
+    d = {
+        r["key"]: r["diff_kind"]
+        for r in check_grouped_drift(
+            cur, base, column="v", group_by="g", threshold=-1.0
+        ).collect()
+    }
+    # NULL group is a real bucket; NULL category likewise
+    assert set(d) == {None, "g"}
+    assert set(d.values()) == {"deviation"}
