@@ -3453,6 +3453,201 @@ WHERE abs(v - m) / (1.4826 * s) > 3.5
 """
 
 
+def q_grouped_drift_documents(spark, sf_dir):
+    """Per-GROUP chi-square drift (stats.check_grouped_drift): the
+    source-mix distribution of documents per language, odd doc_ids
+    (current) vs even doc_ids (baseline).  One Deviation row per lang;
+    the per-group expected counts rescale each group's baseline to its
+    current total with 0.5 smoothing for unseen sources — identical
+    closed form in the DuckDB oracle."""
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    d = _t(spark, sf_dir, "documents")
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    out = check_grouped_drift(
+        cur, base, column="source", group_by="lang", threshold=-1.0,
+        check_id="grouped_drift",
+    )
+    return out.select(
+        F.col("key").alias("lang"), F.round("deviation", 4).alias("chi2")
+    )
+
+
+SQL_GROUPED_DRIFT = """
+WITH base AS (
+  SELECT lang AS g, source AS v, count(*) AS bc
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), cur AS (
+  SELECT lang AS g, source AS v, count(*) AS obs
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+), ct AS (SELECT g, sum(obs) AS tot FROM cur GROUP BY 1),
+   bt AS (SELECT g, sum(bc) AS tot FROM base GROUP BY 1),
+j AS (
+  SELECT coalesce(cur.g, base.g) AS g,
+         coalesce(cur.obs, 0) AS obs,
+         (coalesce(base.bc, 0.5) * ct.tot) / bt.tot AS exp
+  FROM cur FULL OUTER JOIN base ON cur.g = base.g AND cur.v = base.v
+  JOIN ct ON coalesce(cur.g, base.g) = ct.g
+  JOIN bt ON coalesce(cur.g, base.g) = bt.g
+)
+SELECT g AS lang, round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2
+FROM j GROUP BY 1
+"""
+
+
+def q_containment_documents(spark, sf_dir):
+    """n-gram CONTAINMENT near-dup (dedup.ngram_containment_pairs):
+    unigram overlap coefficient |A∩B|/min(|A|,|B|) = 1 — one token set
+    fully inside another, the asymmetric near-dup Jaccard misses.
+    strategy='auto' (query is executed immediately, so the probe jobs
+    are not wasted; the documents fixture's tiny unigram vocabulary
+    makes the bitset path the fast one, as in token_jaccard_pairs)."""
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, ngram=1, threshold=1.0, strategy="auto"
+    )
+
+
+SQL_CONTAINMENT = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS tok
+  FROM documents
+), counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / least(ca.n, cb.n), 6) AS containment
+FROM inter
+JOIN counts ca ON id_a = ca.doc_id
+JOIN counts cb ON id_b = cb.doc_id
+WHERE round(i * 1.0 / least(ca.n, cb.n), 6) >= 1.0
+"""
+
+
+def q_embedding_quality(spark, sf_dir):
+    """Structural embedding validation (embeddings.check_embedding)
+    over the embeddings table plus three deterministically derived
+    defect families (vec_id < 50 → NULL vector / 32-dim slice /
+    all-zero / ×3-scaled): Missing, Invalid(dim), Invalid(zero_vector)
+    and Deviation(norm − max) rows.  Norms are strict left-to-right
+    folds — bit-identical to the DuckDB oracle's list_reduce (see
+    operators/embeddings.py)."""
+    from datatest_spark.operators.embeddings import check_embedding
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    seed = e.filter(F.col("vec_id") < 50)
+    bad = (
+        seed.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+        )
+        .unionByName(
+            seed.select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"),
+                F.slice(v, 1, 32).alias("embedding"),
+            )
+        )
+        .unionByName(
+            seed.select(
+                (F.col("vec_id") + 3_000_000).alias("vec_id"),
+                F.transform(v, lambda x: x * F.lit(0.0)).alias("embedding"),
+            )
+        )
+        .unionByName(
+            seed.select(
+                (F.col("vec_id") + 4_000_000).alias("vec_id"),
+                F.transform(v, lambda x: x * F.lit(3.0)).alias("embedding"),
+            )
+        )
+    )
+    full = e.select("vec_id", v.alias("embedding")).unionByName(bad)
+    d = check_embedding(
+        full, expected_dim=64, min_norm=0.5, max_norm=2.0,
+        check_id="embedding_quality",
+    )
+    return d.select(
+        "diff_kind",
+        F.col("key").cast("bigint").alias("vec_id"),
+        "value",
+        "expected",
+        F.round("deviation", 6).alias("dev"),
+    )
+
+
+SQL_EMBEDDING_QUALITY = """
+WITH seed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 50
+), scaled AS (
+  SELECT vec_id + 4000000 AS vec_id,
+         round(sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(emb, x -> x * 3.0)),
+               (acc, x) -> acc + x * x)), 6) AS norm
+  FROM seed
+)
+SELECT 'missing' AS diff_kind, vec_id + 1000000 AS vec_id,
+       NULL AS value, NULL AS expected, NULL::DOUBLE AS dev
+FROM seed
+UNION ALL
+SELECT 'invalid', vec_id + 2000000, '32', '64', NULL FROM seed
+UNION ALL
+SELECT 'invalid', vec_id + 3000000, 'zero_vector', NULL, NULL FROM seed
+UNION ALL
+SELECT 'deviation', vec_id, CAST(norm AS VARCHAR), '2.0',
+       round(norm - 2.0, 6)
+FROM scaled WHERE norm > 2.0
+"""
+
+
+def q_embedding_drift_dims(spark, sf_dir):
+    """Per-dimension mean drift (embeddings.check_embedding_drift),
+    even vec_ids (current) vs odd (baseline).  Means are computed on
+    1e-6-quantized components summed as bigints, so they are integer-
+    exact: byte-identical across partitionings AND across engines (no
+    float-sum ordering anywhere)."""
+    from datatest_spark.operators.embeddings import check_embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = check_embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        threshold=-1.0,
+        check_id="embedding_drift",
+    )
+    return d.select(
+        F.col("key").cast("int").alias("dim"),
+        F.col("value").cast("double").alias("mean_cur"),
+        F.col("expected").cast("double").alias("mean_base"),
+        F.col("deviation").alias("delta"),
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH pairs AS (
+  SELECT vec_id % 2 AS side,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings
+), means AS (
+  SELECT dim,
+         sum(CASE WHEN side = 0 THEN q END) * 1.0
+           / (count(CASE WHEN side = 0 THEN q END) * 1000000.0) AS mean_cur,
+         sum(CASE WHEN side = 1 THEN q END) * 1.0
+           / (count(CASE WHEN side = 1 THEN q END) * 1000000.0) AS mean_base
+  FROM pairs GROUP BY 1
+)
+SELECT dim, mean_cur, mean_base, mean_cur - mean_base AS delta
+FROM means
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3545,6 +3740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_quantity": q_wasserstein_quantity,
         "benford_extprice": q_benford_extprice,
         "outliers_extprice": q_outliers_extprice,
+        "grouped_drift_documents": q_grouped_drift_documents,
+        "containment_documents": q_containment_documents,
+        "embedding_quality": q_embedding_quality,
+        "embedding_drift_dims": q_embedding_drift_dims,
     }
 
 
@@ -3640,4 +3839,8 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_quantity": SQL_WASSERSTEIN_QUANTITY,
         "benford_extprice": SQL_BENFORD_EXTPRICE,
         "outliers_extprice": SQL_OUTLIERS_EXTPRICE,
+        "grouped_drift_documents": SQL_GROUPED_DRIFT,
+        "containment_documents": SQL_CONTAINMENT,
+        "embedding_quality": SQL_EMBEDDING_QUALITY,
+        "embedding_drift_dims": SQL_EMBEDDING_DRIFT,
     }
