@@ -123,11 +123,13 @@ from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
 from ..operators.requirements import check_json
 from ..operators.secrets import check_no_secrets
+from ..operators.embeddings import check_embedding, check_embedding_drift
 from ..operators.stats import (
     binned_histogram,
     check_agg_bounds,
     check_benford,
     check_chi_square_drift,
+    check_grouped_drift,
     check_completeness,
     check_compliance,
     check_correlation,
@@ -620,6 +622,47 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 t[table], _c, method=_m,
                 k=None if _k is None else float(_k),
                 exact=_e, accuracy=_a, check_id=_i,
+            )
+        )
+    elif kind == "grouped_drift":
+        column = e.pop("column")
+        group_by = e.pop("group_by")
+        baseline = e.pop("baseline")  # table name holding baseline ROWS
+        threshold = e.pop("threshold", 0.0)
+        smoothing = e.pop("smoothing", 0.5)
+        cid = check_id or f"grouped_drift_{column}_by_{group_by}"
+        builder = lambda t, _c=column, _g=group_by, _b=baseline, _th=threshold, _s=smoothing, _i=cid: (  # noqa: E731
+            check_grouped_drift(
+                t[table], t[_b], column=_c, group_by=_g,
+                threshold=float(_th), smoothing=float(_s), check_id=_i,
+            )
+        )
+    elif kind == "embedding":
+        column = e.pop("column")
+        id_col = e.pop("id_col", "vec_id")
+        expected_dim = e.pop("expected_dim", None)
+        min_norm = e.pop("min_norm", None)
+        max_norm = e.pop("max_norm", None)
+        cid = check_id or f"embedding_{column}"
+        builder = lambda t, _c=column, _id=id_col, _d=expected_dim, _lo=min_norm, _hi=max_norm, _i=cid: (  # noqa: E731
+            check_embedding(
+                t[table], id_col=_id, vec_col=_c,
+                expected_dim=None if _d is None else int(_d),
+                min_norm=None if _lo is None else float(_lo),
+                max_norm=None if _hi is None else float(_hi),
+                check_id=_i,
+            )
+        )
+    elif kind == "embedding_drift":
+        column = e.pop("column")
+        baseline = e.pop("baseline")  # table name holding baseline ROWS
+        threshold = e.pop("threshold", 0.0)
+        scale = e.pop("scale", 1e6)
+        cid = check_id or f"embedding_drift_{column}"
+        builder = lambda t, _c=column, _b=baseline, _th=threshold, _s=scale, _i=cid: (  # noqa: E731
+            check_embedding_drift(
+                t[table], t[_b], vec_col=_c,
+                threshold=float(_th), scale=float(_s), check_id=_i,
             )
         )
     elif kind == "partition_outliers":

@@ -208,6 +208,7 @@ def suggest_spec(
             )
 
     # confirm key candidates exactly in ONE aggregate over just them
+    confirmed_keys: list[str] = []
     if unique_candidates:
         exact = df.agg(
             *[
@@ -217,6 +218,7 @@ def suggest_spec(
         ).collect()[0]
         for c in unique_candidates:
             if exact[c] == row_count:
+                confirmed_keys.append(c)
                 checks.append(
                     {
                         "check": "unique",
@@ -225,6 +227,55 @@ def suggest_spec(
                         "comment": f"exactly {row_count} distinct in {row_count} rows",
                     }
                 )
+
+    # embedding columns (array<float>/array<double>): one fused agg over
+    # all of them profiles dimensionality and the round-6 L2 norm range
+    # (scan-local expressions — same fold the runtime check uses);
+    # a fixed observed dimension becomes expected_dim, the norm range
+    # (± interval_headroom per side) becomes the bounds.  The difference
+    # key is the confirmed unique key when one exists, else the first
+    # column (any stable column works — it is provenance, not math).
+    vec_cols = [
+        name
+        for name, dt in dtypes.items()
+        if isinstance(dt, T.ArrayType)
+        and isinstance(dt.elementType, (T.FloatType, T.DoubleType))
+    ]
+    if vec_cols and row_count:
+        from ..operators.embeddings import _norm_col
+
+        aggs = []
+        for c in vec_cols:
+            v = F.col(c)
+            n6 = F.round(_norm_col(v), 6)
+            aggs += [
+                F.min(F.size(v)).alias(f"{c}__dlo"),
+                F.max(F.size(v)).alias(f"{c}__dhi"),
+                F.min(n6).alias(f"{c}__nlo"),
+                F.max(n6).alias(f"{c}__nhi"),
+            ]
+        prof = df.agg(*aggs).collect()[0]
+        id_col = confirmed_keys[0] if confirmed_keys else df.columns[0]
+        for c in vec_cols:
+            dlo, dhi = prof[f"{c}__dlo"], prof[f"{c}__dhi"]
+            nlo, nhi = prof[f"{c}__nlo"], prof[f"{c}__nhi"]
+            if dlo is None or nlo is None:
+                continue  # all-NULL or all-nonfinite column — nothing to pin
+            sug = {
+                "check": "embedding",
+                "column": c,
+                "id_col": id_col,
+                "id": f"suggest_embedding_{c}",
+                "comment": (
+                    f"observed dim [{dlo}, {dhi}], norm [{nlo}, {nhi}]"
+                ),
+            }
+            if dlo == dhi:
+                sug["expected_dim"] = int(dlo)
+            pad = float(interval_headroom) * (float(nhi) - float(nlo))
+            sug["min_norm"] = float(nlo) - pad
+            sug["max_norm"] = float(nhi) + pad
+            checks.append(sug)
 
     # observed value sets for the categorical columns, ONE shuffle
     if set_candidates:

@@ -279,17 +279,24 @@ def ngram_jaccard_pairs(
                 )
                 + F.lit(1)
             )
+            n_tasks = df.sparkSession.sparkContext.defaultParallelism
+            # one explicit hash exchange by the join key, REUSED by both
+            # sides of the self-join (ReuseExchange dedupes identical
+            # exchange subtrees): the whole dfreq-ranking + window +
+            # prefix-filter pipeline is computed once, not twice, and
+            # the join needs no further shuffle.  Prefix grams are the
+            # RAREST by construction, so hashing by gram cannot hotspot
+            # a task the way raw posting lists can.
             pre = (
                 g.join(dfreq, "_gram")
                 .withColumn("_rn", rn)
                 .join(doc_n, "_gid")
                 .filter(F.col("_rn") <= plen)
                 .select("_gid", "_gram")
+                .repartition(n_tasks, "_gram")
             )
-            n_tasks = df.sparkSession.sparkContext.defaultParallelism
             cand = (
                 pre.select(F.col("_gid").alias("id_a"), "_gram")
-                .repartition(n_tasks)
                 .join(pre.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")

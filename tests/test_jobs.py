@@ -791,3 +791,62 @@ def test_spec_outliers_match_python_api(spark):
                        k=3.0, check_id="out")
     )
     assert sorted(got) == sorted(want) and len(got) == 1
+
+
+def test_spec_grouped_drift_and_embedding_match_python_api(spark):
+    from datatest_spark.operators.embeddings import (
+        check_embedding,
+        check_embedding_drift,
+    )
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    cur = spark.createDataFrame(
+        [("g1", "a")] * 30 + [("g1", "b")] * 10 + [("g2", "a")] * 20,
+        "g string, v string",
+    ).withColumn("partition_id", F.lit(0))
+    base = spark.createDataFrame(
+        [("g1", "a")] * 20 + [("g1", "b")] * 20 + [("g2", "a")] * 20,
+        "g string, v string",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("partition_id", F.lit(0))
+    vec_base = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "grouped_drift", "column": "v", "group_by": "g",
+                 "baseline": "base", "threshold": 1.0, "id": "gd"},
+                {"check": "embedding", "table": "vecs", "column": "embedding",
+                 "id_col": "vec_id", "expected_dim": 2, "max_norm": 4.0,
+                 "id": "emb"},
+                {"check": "embedding_drift", "table": "vecs",
+                 "column": "embedding", "baseline": "vec_base",
+                 "threshold": 0.5, "id": "embd"},
+            ],
+        }
+    )
+    got = diff_multiset(
+        suite.build_differences(
+            {"t": cur, "base": base, "vecs": vecs, "vec_base": vec_base}
+        )
+    )
+    want = (
+        diff_multiset(check_grouped_drift(
+            cur.drop("partition_id"), base, column="v", group_by="g",
+            threshold=1.0, check_id="gd"))
+        + diff_multiset(check_embedding(
+            vecs.drop("partition_id"), expected_dim=2, max_norm=4.0,
+            check_id="emb"))
+        + diff_multiset(check_embedding_drift(
+            vecs.drop("partition_id"), vec_base, threshold=0.5,
+            check_id="embd"))
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) >= 4  # g1 drifts, NULL vec, wrong dim, norm 5 > 4

@@ -139,3 +139,34 @@ def test_suggest_detects_json_sidecar(spark):
     # and the suggested spec still passes on its own snapshot
     suite = compile_suite(spec)
     assert suite.build_differences({"t": df}).count() == 0
+
+
+def test_suggest_embedding_column(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 4.0]) for i in range(20)],
+        "vid long, emb array<double>",
+    )
+    spec = suggest_spec(df, table="t")
+    byid = _by_id(spec)
+    sug = byid["suggest_embedding_emb"]
+    assert sug["expected_dim"] == 2
+    assert sug["id_col"] == "vid"  # confirmed unique key becomes the diff key
+    assert sug["min_norm"] == 4.0  # min norm: [0,4]
+    assert sug["max_norm"] == pytest.approx(4.472136)
+    # the suggested spec passes on its own snapshot
+    suite = compile_suite(spec)
+    got = suite.build_differences({"t": df})
+    assert got.count() == 0
+    # and fires on a drifted load (extra dim + scaled norms)
+    drifted = df.withColumn(
+        "emb", F.expr("array(emb[0] * 10.0, emb[1] * 10.0, 0.0)")
+    )
+    assert suite.build_differences({"t": drifted}).count() == 20
+
+
+def test_suggest_skips_all_null_vector_column(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vid long, emb array<float>"
+    )
+    spec = suggest_spec(df, table="t")
+    assert "suggest_embedding_emb" not in _by_id(spec)
