@@ -630,11 +630,18 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         baseline = e.pop("baseline")  # table name holding baseline ROWS
         threshold = e.pop("threshold", 0.0)
         smoothing = e.pop("smoothing", 0.5)
+        bins = e.pop("bins", None)  # with lo/hi: numeric binned mode
+        lo = e.pop("lo", None)
+        hi = e.pop("hi", None)
         cid = check_id or f"grouped_drift_{column}_by_{group_by}"
-        builder = lambda t, _c=column, _g=group_by, _b=baseline, _th=threshold, _s=smoothing, _i=cid: (  # noqa: E731
+        builder = lambda t, _c=column, _g=group_by, _b=baseline, _th=threshold, _s=smoothing, _bins=bins, _lo=lo, _hi=hi, _i=cid: (  # noqa: E731
             check_grouped_drift(
                 t[table], t[_b], column=_c, group_by=_g,
-                threshold=float(_th), smoothing=float(_s), check_id=_i,
+                threshold=float(_th), smoothing=float(_s),
+                bins=None if _bins is None else int(_bins),
+                lo=None if _lo is None else float(_lo),
+                hi=None if _hi is None else float(_hi),
+                check_id=_i,
             )
         )
     elif kind == "embedding":

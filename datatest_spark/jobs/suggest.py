@@ -124,8 +124,16 @@ def suggest_spec(
             string_cols.append((name, nd, non_null))
         # unique-key candidate: approx distinct within 2x its ~5% default
         # error bar of the row count, and no NULLs (a NULLable key is
-        # not a key); confirmed exactly below before being suggested
-        if row_count and nulls == 0 and nd >= row_count * 0.90:
+        # not a key); confirmed exactly below before being suggested.
+        # Atomic types only — an array/struct/map "key" (e.g. an
+        # embedding column that happens to be all-distinct) would make
+        # every later run groupBy wide payloads for a meaningless check
+        if (
+            row_count
+            and nulls == 0
+            and nd >= row_count * 0.90
+            and isinstance(dt, T.AtomicType)
+        ):
             unique_candidates.append(name)
 
     if completeness_map:

@@ -375,6 +375,9 @@ def check_grouped_drift(
     group_by: str,
     threshold: float = 0.0,
     smoothing: float = 0.5,
+    bins: Optional[int] = None,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
     check_id: str = "grouped_drift",
 ) -> DataFrame:
     """Per-GROUP chi-square drift of ``column`` between two snapshots —
@@ -403,18 +406,38 @@ def check_grouped_drift(
     all joins are between count aggregates.  NULL group/category values
     count as their own bucket (eqNullSafe grouping semantics, like
     groupBy everywhere in the engine).
+
+    NUMERIC columns: pass ``bins``/``lo``/``hi`` to compare fixed-edge
+    binned distributions per group instead of raw categories — the same
+    caller-supplied shared-edge contract (and clamp/NULL-skip
+    semantics) as ``binned_histogram``.
     """
+    if bins is not None:
+        if bins < 1:
+            raise ValueError(f"bins must be >= 1: {bins}")
+        if lo is None or hi is None or not (float(lo) < float(hi)):
+            raise ValueError(f"bins needs lo < hi: lo={lo} hi={hi}")
+        width = (float(hi) - float(lo)) / int(bins)
+        idx = F.floor(
+            (F.col(column).cast("double") - F.lit(float(lo))) / F.lit(width)
+        )
+        idx = F.least(F.greatest(idx, F.lit(0)), F.lit(int(bins) - 1))
+        value_expr = idx.cast("string")
+        current = current.filter(F.col(column).isNotNull())
+        baseline = baseline.filter(F.col(column).isNotNull())
+    else:
+        value_expr = F.col(column).cast("string")
     cur = (
         current.groupBy(
             F.col(group_by).cast("string").alias("_g"),
-            F.col(column).cast("string").alias("value"),
+            value_expr.alias("value"),
         )
         .agg(F.count(F.lit(1)).alias("obs"))
     )
     base = (
         baseline.groupBy(
             F.col(group_by).cast("string").alias("_g"),
-            F.col(column).cast("string").alias("value"),
+            value_expr.alias("value"),
         )
         .agg(F.count(F.lit(1)).alias("base_cnt"))
     )

@@ -764,3 +764,32 @@ def test_grouped_drift_null_groups_and_categories(spark):
     # NULL group is a real bucket; NULL category likewise
     assert set(d) == {None, "g"}
     assert set(d.values()) == {"deviation"}
+
+
+def test_grouped_drift_binned_numeric(spark):
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    base = spark.createDataFrame(
+        [("g1", float(i % 10)) for i in range(100)]
+        + [("g2", float(i % 10)) for i in range(100)],
+        "g string, v double",
+    )
+    # g1 shifts all its mass to the top bin; g2 unchanged; NULLs skipped
+    cur = spark.createDataFrame(
+        [("g1", 9.5)] * 100
+        + [("g2", float(i % 10)) for i in range(100)]
+        + [("g2", None)],
+        "g string, v double",
+    )
+    d = {
+        r["key"]: r["deviation"]
+        for r in check_grouped_drift(
+            cur, base, column="v", group_by="g", threshold=-1.0,
+            bins=5, lo=0.0, hi=10.0,
+        ).collect()
+    }
+    assert d["g2"] == 0.0
+    assert d["g1"] > 50.0
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        check_grouped_drift(cur, base, column="v", group_by="g", bins=5)

@@ -149,6 +149,8 @@ def test_suggest_embedding_column(spark):
     spec = suggest_spec(df, table="t")
     byid = _by_id(spec)
     sug = byid["suggest_embedding_emb"]
+    # the all-distinct ARRAY column must NOT be proposed as a unique key
+    assert "suggest_unique_emb" not in byid
     assert sug["expected_dim"] == 2
     assert sug["id_col"] == "vid"  # confirmed unique key becomes the diff key
     assert sug["min_norm"] == 4.0  # min norm: [0,4]
