@@ -121,6 +121,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             "status": r["status"],
             "n_rows": r["n_rows"],
             "n_violations": r["n_violations"],
+            "n_warnings": r["n_warnings"],
         }
         for r in result.verdicts.collect()
     ]
@@ -128,6 +129,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "run_id": result.run_id,
         "passed": result.passed,
         "n_violations": result.n_violations,
+        "n_warnings": result.n_warnings,
         "n_partitions_checked": result.n_partitions_checked,
         "verdicts": verdicts,
     }

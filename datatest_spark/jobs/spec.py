@@ -80,7 +80,7 @@ Spec shape::
         {"check": "benford", "column": "amount", "statistic": "mad",
          "threshold": 0.015},
         {"check": "outliers", "column": "amount", "method": "mad",
-         "k": 3.5}
+         "k": 3.5, "severity": "warn"}   # warn: reported, never gates
       ],
       "route": {                      # optional: row-level quarantine
         "path": "/data/routed",       # (run_validation --route; one
@@ -181,6 +181,7 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
     table = e.pop("table", primary)
     acceptance = _acceptance(e.pop("acceptance", None))
     check_id = e.pop("id", None)
+    severity = e.pop("severity", "error")
 
     def _pid(t: dict):
         from pyspark.sql import functions as F
@@ -690,7 +691,7 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
     leftover = {k: v for k, v in e.items() if k not in ("comment",)}
     if leftover:
         raise ValueError(f"unknown keys for check {kind!r}: {sorted(leftover)}")
-    return Check(cid, builder, acceptance=acceptance)
+    return Check(cid, builder, acceptance=acceptance, severity=severity)
 
 
 def compile_suite(spec: dict) -> ValidationSuite:

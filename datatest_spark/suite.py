@@ -40,11 +40,27 @@ __engine_version__ = "0.1.0"
 
 @dataclass
 class Check:
-    """A named check: builder(tables) → difference DataFrame."""
+    """A named check: builder(tables) → difference DataFrame.
+
+    ``severity``: ``"error"`` (default) gates verdicts and
+    ``raise_on_failure``; ``"warn"`` differences are still computed,
+    reported, and sunk, but count as ``n_warnings`` — they never fail a
+    partition or block the ledger/stats-store from marking it
+    validated.  Severity keys on the EMITTED ``check_id``, so the
+    builder's ``check_id`` must equal the check's ``name`` (the spec
+    compiler guarantees this; Python-API callers own the pairing).
+    """
 
     name: str
     builder: Callable[[dict], DataFrame]
     acceptance: Optional[Acceptance] = None
+    severity: str = "error"
+
+    def __post_init__(self):
+        if self.severity not in ("error", "warn"):
+            raise ValueError(
+                f"severity must be 'error' or 'warn': {self.severity!r}"
+            )
 
 
 @dataclass
@@ -52,8 +68,9 @@ class SuiteResult:
     run_id: str
     differences: DataFrame  # post-acceptance survivors (lazy)
     verdicts: DataFrame  # per (partition_id) pass/fail + metrics (lazy)
-    n_violations: int
+    n_violations: int  # ERROR-severity survivors (gate verdicts/raise)
     n_partitions_checked: int
+    n_warnings: int = 0  # warn-severity survivors (reported, never gate)
     stats: Optional[DataFrame] = None  # merged table stats when a
     # StatSketchStore was passed to run() (lazy)
 
@@ -205,10 +222,16 @@ class ValidationSuite:
             F.count(F.lit(1)).alias("n_rows")
         )
         diff_pid = F.coalesce(F.col("partition_id"), F.lit(diff_sentinel))
+        # warn-severity checks count separately and never gate a verdict
+        warn_ids = [c.name for c in self.checks if c.severity == "warn"]
+        is_warn = (
+            F.col("check_id").isin(warn_ids) if warn_ids else F.lit(False)
+        )
         diff_stats = (
             diffs.groupBy(diff_pid.alias("partition_id"))
             .agg(
-                F.count(F.lit(1)).alias("n_violations"),
+                F.sum(F.when(is_warn, 0).otherwise(1)).alias("n_violations"),
+                F.sum(F.when(is_warn, 1).otherwise(0)).alias("n_warnings"),
                 F.sum(lineage_hash_col()).cast("string").alias("lineage_hash"),
             )
         )
@@ -231,6 +254,7 @@ class ValidationSuite:
             )
             .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
             .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
+            .withColumn("n_warnings", F.coalesce(F.col("n_warnings"), F.lit(0)))
             .withColumn(
                 "status",
                 F.when(F.col("n_violations") == 0, F.lit("ok")).otherwise(
@@ -245,6 +269,7 @@ class ValidationSuite:
                 "status",
                 "n_rows",
                 "n_violations",
+                "n_warnings",
                 "lineage_hash",
                 "engine_version",
             )
@@ -288,11 +313,16 @@ class ValidationSuite:
             differences=diffs,
             verdicts=verdicts,
             n_violations=int(n_viol),
+            n_warnings=int(sum(r["n_warnings"] for r in verdicts_rows)),
             n_partitions_checked=len(verdicts_rows),
             stats=merged_stats,
         )
         if raise_on_failure and n_viol:
-            raise_if_invalid(diffs, f"suite run {run_id} failed")
+            # raise on ERROR-severity survivors only (warn rows stay in
+            # the sink/report but never gate)
+            raise_if_invalid(
+                diffs.filter(~is_warn), f"suite run {run_id} failed"
+            )
         return result
 
 

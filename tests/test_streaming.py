@@ -435,3 +435,47 @@ def test_stateful_contiguous_flags_out_of_order_arrival(spark, tmp_path):
     rows = spark.table("seq_ooo_mem").collect()
     got = sorted((r["diff_kind"], r["value"]) for r in rows)
     assert got == [("invalid", "3")]
+
+
+def test_embedding_check_is_streaming_safe(spark, tmp_path):
+    """check_embedding compiles to filter+project — it must run
+    unchanged on a streaming source with batch-identical output."""
+    from datatest_spark.operators.embeddings import check_embedding
+
+    p = str(tmp_path / "vec_src")
+    schema = "vec_id long, embedding array<double>"
+    df1 = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [1.0, 2.0, 3.0])], schema
+    )
+    df2 = spark.createDataFrame([(4, [0.0, 0.0]), (5, [30.0, 40.0])], schema)
+    df1.coalesce(1).write.mode("overwrite").parquet(p)
+    df2.coalesce(1).write.mode("append").parquet(p)
+
+    sdf = spark.readStream.schema(df1.schema).parquet(p)
+    from datatest_spark.streaming.validate_stream import validate_stream
+
+    check = lambda df: check_embedding(  # noqa: E731
+        df, expected_dim=2, max_norm=10.0, check_id="emb"
+    )
+    q = (
+        validate_stream(sdf, [check])
+        .writeStream.format("memory")
+        .queryName("emb_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["diff_kind"], r["key"], r["value"])
+        for r in spark.table("emb_mem").collect()
+    }
+    bdf = spark.read.schema(df1.schema).parquet(p)
+    expect = {
+        (r["diff_kind"], r["key"], r["value"]) for r in check(bdf).collect()
+    }
+    assert got == expect
+    assert ("missing", "2", None) in got
+    assert ("invalid", "3", "3") in got       # wrong dim
+    assert ("invalid", "4", "zero_vector") in got
+    assert ("deviation", "5", "50.0") in got  # norm 50 > 10

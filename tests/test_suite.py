@@ -338,3 +338,104 @@ def test_suite_null_partition_verdict_and_store(spark, tmp_path):
     r2 = suite.run({"d": good}, primary="d", stats_store=store, stats_columns=["id"])
     assert r2.passed
     assert sorted(store.stored_ids()) == [NULL_PARTITION, "p0"]
+
+
+# ---------------------------------------------------------------------------
+# severity levels
+# ---------------------------------------------------------------------------
+
+
+def test_warn_severity_reports_but_never_gates(spark):
+    from datatest_spark.operators.validation import ValidationError
+
+    tables = _tables(spark, "dirty")
+    warn_suite = ValidationSuite(
+        [
+            Check(
+                "lang_subset",
+                lambda t: validate.subset(
+                    t["code"], "lang", LANG_SET, check_id="lang_subset"
+                ),
+                severity="warn",
+            ),
+        ],
+        partition_col="partition_id",
+    )
+    res = warn_suite.run(tables, primary="code", raise_on_failure=True)
+    # the dirty fixture violates lang_subset — but it's warn-level
+    assert res.passed and res.n_violations == 0
+    assert res.n_warnings > 0
+    assert res.differences.count() == res.n_warnings  # still reported
+    assert all(r["status"] == "ok" for r in res.verdicts.collect())
+
+    # the same check at error severity fails and raises
+    err_suite = ValidationSuite(
+        [
+            Check(
+                "lang_subset",
+                lambda t: validate.subset(
+                    t["code"], "lang", LANG_SET, check_id="lang_subset"
+                ),
+            ),
+        ],
+        partition_col="partition_id",
+    )
+    with pytest.raises(ValidationError):
+        err_suite.run(tables, primary="code", raise_on_failure=True)
+
+
+def test_mixed_severity_verdict_counts(spark):
+    tables = _tables(spark, "dirty")
+    suite = ValidationSuite(
+        [
+            Check(
+                "lang_subset",
+                lambda t: validate.subset(
+                    t["code"], "lang", LANG_SET, check_id="lang_subset"
+                ),
+                severity="warn",
+            ),
+            Check(
+                "key_unique",
+                lambda t: validate.unique(
+                    t["code"], ["repo", "path", "commit"],
+                    check_id="key_unique", per_occurrence=False,
+                ),
+            ),
+        ],
+        partition_col="partition_id",
+    )
+    res = suite.run(tables, primary="code")
+    assert res.n_warnings > 0 and res.n_violations > 0
+    rows = res.verdicts.collect()
+    assert sum(r["n_warnings"] for r in rows) == res.n_warnings
+    assert sum(r["n_violations"] for r in rows) == res.n_violations
+    # failed status comes from error-severity only: every failed
+    # partition has error violations
+    assert all(
+        r["n_violations"] > 0 for r in rows if r["status"] == "failed"
+    )
+
+
+def test_severity_validation():
+    with pytest.raises(ValueError, match="severity"):
+        Check("x", lambda t: None, severity="fatal")
+
+
+def test_spec_severity_roundtrip(spark):
+    from datatest_spark.jobs import compile_suite
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "zz")], "id long, cat string"
+    ).withColumn("partition_id", F.lit("p0"))
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "checks": [
+                {"check": "subset", "column": "cat", "required": ["a"],
+                 "id": "cat_ok", "severity": "warn"},
+            ],
+        }
+    )
+    res = suite.run({"t": df}, primary="t")
+    assert res.passed and res.n_warnings == 1
