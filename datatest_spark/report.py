@@ -61,21 +61,34 @@ def report_dict(
     verdict_rows=None,
     *,
     run_id: Optional[str] = None,
+    warn_check_ids=None,
 ) -> dict:
     """Driver-side JSON-able report from collected summary (and
-    optionally verdict) rows."""
+    optionally verdict) rows.
+
+    ``warn_check_ids``: check_ids running at warn severity — each check
+    entry gains a ``severity`` field and the report a ``n_warnings``
+    total.  ``n_violations`` stays the ALL-severities difference count
+    (the historical meaning; trend diffs compare like with like).
+    """
+    warns = set(warn_check_ids or ())
     checks = [
         {k: r[k] for k in SUMMARY_COLUMNS}
         for r in sorted(
             summary_rows, key=lambda r: (-r["n"], r["check_id"], r["diff_kind"])
         )
     ]
+    if warn_check_ids is not None:
+        for c in checks:
+            c["severity"] = "warn" if c["check_id"] in warns else "error"
     out = {
         "run_id": run_id,
         "n_violations": sum(c["n"] for c in checks),
         "n_failing_checks": len({c["check_id"] for c in checks}),
         "checks": checks,
     }
+    if warn_check_ids is not None:
+        out["n_warnings"] = sum(c["n"] for c in checks if c["check_id"] in warns)
     if verdict_rows is not None:
         failed = [r for r in verdict_rows if r["status"] == "failed"]
         total_rows = sum(r["n_rows"] for r in verdict_rows)
@@ -123,8 +136,11 @@ def report_markdown(report: dict) -> str:
         )
         ex = "" if c["example_value"] is None else str(c["example_value"])
         exp = "" if c["example_expected"] is None else str(c["example_expected"])
+        name = c["check_id"]
+        if c.get("severity") == "warn":
+            name += " (warn)"
         lines.append(
-            f"| {c['check_id']} | {c['diff_kind']} | {c['n']:,} "
+            f"| {name} | {c['diff_kind']} | {c['n']:,} "
             f"| {c['n_values']:,} | {c['n_partitions']:,} "
             f"| {ex[:60]} | {exp[:60]} | {dev} |"
         )

@@ -71,6 +71,7 @@ class SuiteResult:
     n_violations: int  # ERROR-severity survivors (gate verdicts/raise)
     n_partitions_checked: int
     n_warnings: int = 0  # warn-severity survivors (reported, never gate)
+    warn_check_ids: tuple = ()  # check_ids running at warn severity
     stats: Optional[DataFrame] = None  # merged table stats when a
     # StatSketchStore was passed to run() (lazy)
 
@@ -88,7 +89,12 @@ class SuiteResult:
 
         summary_rows = summarize_differences(self.differences).collect()
         verdict_rows = self.verdicts.collect()
-        rep = report_dict(summary_rows, verdict_rows, run_id=self.run_id)
+        rep = report_dict(
+            summary_rows,
+            verdict_rows,
+            run_id=self.run_id,
+            warn_check_ids=self.warn_check_ids or None,
+        )
         if write_to:
             write_report(rep, write_to)
         return rep
@@ -314,6 +320,7 @@ class ValidationSuite:
             verdicts=verdicts,
             n_violations=int(n_viol),
             n_warnings=int(sum(r["n_warnings"] for r in verdicts_rows)),
+            warn_check_ids=tuple(warn_ids),
             n_partitions_checked=len(verdicts_rows),
             stats=merged_stats,
         )

@@ -196,3 +196,38 @@ def test_report_history_steady_run_silent_and_clean_marker(spark, tmp_path):
     append_report_history(spark, _hist_report("r7", []), path, run_seq=7)
     rows = check_report_anomaly(spark, path, window=7, z=3.0).collect()
     assert len(rows) == 1 and float(rows[0]["value"]) == 0.0
+
+
+def test_report_carries_severity(spark):
+    from datatest_spark import validate
+    from datatest_spark.suite import Check, ValidationSuite
+    from datatest_spark.report import report_markdown
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "zz")], "id long, cat string"
+    ).withColumn("partition_id", F.lit("p0"))
+    suite = ValidationSuite(
+        [
+            Check(
+                "cat_ok",
+                lambda t: validate.subset(
+                    t["t"], "cat", {"a"}, check_id="cat_ok"
+                ),
+                severity="warn",
+            ),
+            Check(
+                "id_pos",
+                lambda t: validate.interval(
+                    t["t"], "id", min=2, check_id="id_pos"
+                ),
+            ),
+        ],
+        partition_col="partition_id",
+    )
+    res = suite.run({"t": df}, primary="t")
+    rep = res.report()
+    sev = {c["check_id"]: c["severity"] for c in rep["checks"]}
+    assert sev == {"cat_ok": "warn", "id_pos": "error"}
+    assert rep["n_warnings"] == 1
+    assert rep["n_violations"] == 2  # all severities (historical meaning)
+    assert "cat_ok (warn)" in report_markdown(rep)
