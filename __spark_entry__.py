@@ -3672,6 +3672,53 @@ FROM means
 """
 
 
+def q_dedup_near_embeddings(spark, sf_dir):
+    """One-call near-dup removal over a VECTOR corpus: dedup_near's
+    pluggable pairs= socket fed by hyperplane-LSH cosine pairs
+    (embeddings ∪ exact shifted-id copies; recall is provable for exact
+    copies — identical hyperplane signs — and no natural pair reaches
+    cos ≥ 0.999 in this corpus, brute-verified).  Clusters {i, i+10^6}
+    keep min id, so exactly the original rows survive; the oracle is
+    the recursive-CTE closure + keep rule over the exact cosine pair
+    set — same contract as dedup_near_documents, different modality."""
+    from datatest_spark.operators.dedup import (
+        dedup_near,
+        embedding_neardup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    doubled = e.unionByName(
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    dim = len(e.select("embedding").first()["embedding"])
+    pairs = embedding_neardup_pairs(
+        doubled, dim=dim, threshold=0.999, use_lsh=True, n_planes=16,
+        n_tables=2,
+    )
+    kept = dedup_near(doubled, id_col="vec_id", pairs=pairs)
+    return kept.select("vec_id", "label")
+
+
+SQL_DEDUP_NEAR_EMBEDDINGS = """
+WITH RECURSIVE d AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding, label FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.999
+), edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), cc AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT d.vec_id, d.label FROM d
+WHERE d.vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id != cluster_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3768,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_documents": q_containment_documents,
         "embedding_quality": q_embedding_quality,
         "embedding_drift_dims": q_embedding_drift_dims,
+        "dedup_near_embeddings": q_dedup_near_embeddings,
     }
 
 
@@ -3867,4 +3915,5 @@ def oracle_sql() -> dict[str, str]:
         "containment_documents": SQL_CONTAINMENT,
         "embedding_quality": SQL_EMBEDDING_QUALITY,
         "embedding_drift_dims": SQL_EMBEDDING_DRIFT,
+        "dedup_near_embeddings": SQL_DEDUP_NEAR_EMBEDDINGS,
     }

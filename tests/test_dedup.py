@@ -542,3 +542,32 @@ def test_containment_bitset_matches_posting_list(spark, docs):
         )
     )
     assert pl == bs and len(pl) >= 1
+
+
+def test_containment_random_parity_vs_bruteforce(spark):
+    """Posting-list containment vs a literal python set evaluation on a
+    randomized corpus (same style as the prefix random-parity test)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from datatest_spark.operators.dedup import ngram_containment_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, ngram=1, threshold=0.6).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        m = min(len(sets[a]), len(sets[b]))
+        c = round(len(sets[a] & sets[b]) / m, 6) if m else 0.0
+        if c >= 0.6:
+            want[(a, b)] = c
+    assert got == want and len(want) > 5
