@@ -135,3 +135,72 @@ class TestStatParity:
             check_distinct_count(df, "v", min_count=10_000)
         )
         assert got is not None and got == float(want)
+
+
+def _py_grouped_drift(cur, base, smoothing=0.5):
+    """Literal evaluator of the documented grouped-drift math: per-group
+    Pearson chi-square (baseline rescaled to the group's current total,
+    smoothing pseudo-counts for unseen categories) + Extra/Missing
+    group churn.  NULL groups/categories are ordinary buckets."""
+    cur_c, base_c = Counter(cur), Counter(base)
+    cur_tot, base_tot = Counter(), Counter()
+    for (g, _), n in cur_c.items():
+        cur_tot[g] += n
+    for (g, _), n in base_c.items():
+        base_tot[g] += n
+    out = {}
+    for g in set(cur_tot) | set(base_tot):
+        if g in cur_tot and g in base_tot:
+            vals = {v for (gg, v) in cur_c if gg == g} | {
+                v for (gg, v) in base_c if gg == g
+            }
+            chi2 = 0.0
+            for v in vals:
+                obs = cur_c.get((g, v), 0)
+                exp = base_c.get((g, v), smoothing) * cur_tot[g] / base_tot[g]
+                chi2 += (obs - exp) ** 2 / exp
+            out[g] = ("deviation", chi2)
+        elif g in cur_tot:
+            out[g] = ("extra", float(cur_tot[g]))
+        else:
+            out[g] = ("missing", float(base_tot[g]))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestGroupedDriftParity:
+    @given(cur=_pairs, base=_pairs)
+    @_SETTINGS
+    def test_grouped_drift_parity(self, spark, cur, base):
+        from datatest_spark.operators.stats import check_grouped_drift
+
+        schema = "g string, v string"
+        cur_df = (
+            spark.createDataFrame(cur, schema)
+            if cur
+            else spark.createDataFrame([], schema)
+        )
+        base_df = (
+            spark.createDataFrame(base, schema)
+            if base
+            else spark.createDataFrame([], schema)
+        )
+        rows = check_grouped_drift(
+            cur_df, base_df, column="v", group_by="g", threshold=-1.0
+        ).collect()
+        got = {}
+        for r in rows:
+            stat = (
+                r["deviation"]
+                if r["diff_kind"] == "deviation"
+                else float(r["value"])
+            )
+            got[r["key"]] = (r["diff_kind"], stat)
+        want = {
+            (None if g is None else str(g)): kv
+            for g, kv in _py_grouped_drift(cur, base).items()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g][0] == want[g][0], (g, got[g], want[g])
+            assert got[g][1] == pytest.approx(want[g][1], abs=1e-9)
