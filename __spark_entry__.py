@@ -3520,6 +3520,59 @@ FROM j GROUP BY 1
 """
 
 
+def q_grouped_drift_binned(spark, sf_dir):
+    """Numeric mode of check_grouped_drift: per-returnflag chi-square
+    of the l_quantity distribution across the shipdate pivot, on
+    caller-pinned shared edges (10 bins over [0, 50) — the same
+    fixed-edge contract as binned_histogram/PSI).  One Deviation row
+    per flag; the clamp/floor bin rule is replicated literally in the
+    oracle."""
+    from datatest_spark.operators.stats import check_grouped_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    cur = li.filter(F.col("l_shipdate") >= DRIFT_PIVOT)
+    base = li.filter(F.col("l_shipdate") < DRIFT_PIVOT)
+    out = check_grouped_drift(
+        cur, base, column="l_quantity", group_by="l_returnflag",
+        threshold=-1.0, bins=10, lo=0.0, hi=50.0,
+        check_id="grouped_drift_binned",
+    )
+    return out.select(
+        F.col("key").alias("l_returnflag"),
+        F.round("deviation", 4).alias("chi2"),
+    )
+
+
+SQL_GROUPED_DRIFT_BINNED = f"""
+WITH base AS (
+  SELECT l_returnflag AS g,
+         least(greatest(CAST(floor(CAST(l_quantity AS DOUBLE) / 5.0) AS BIGINT), 0), 9) AS v,
+         count(*) AS bc
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00' AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+), cur AS (
+  SELECT l_returnflag AS g,
+         least(greatest(CAST(floor(CAST(l_quantity AS DOUBLE) / 5.0) AS BIGINT), 0), 9) AS v,
+         count(*) AS obs
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00' AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+), ct AS (SELECT g, sum(obs) AS tot FROM cur GROUP BY 1),
+   bt AS (SELECT g, sum(bc) AS tot FROM base GROUP BY 1),
+j AS (
+  SELECT coalesce(cur.g, base.g) AS g,
+         coalesce(cur.obs, 0) AS obs,
+         (coalesce(base.bc, 0.5) * ct.tot) / bt.tot AS exp
+  FROM cur FULL OUTER JOIN base ON cur.g = base.g AND cur.v = base.v
+  JOIN ct ON coalesce(cur.g, base.g) = ct.g
+  JOIN bt ON coalesce(cur.g, base.g) = bt.g
+)
+SELECT g AS l_returnflag, round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2
+FROM j GROUP BY 1
+"""
+
+
 def q_containment_documents(spark, sf_dir):
     """n-gram CONTAINMENT near-dup (dedup.ngram_containment_pairs):
     unigram overlap coefficient |A∩B|/min(|A|,|B|) = 1 — one token set
@@ -3812,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_extprice": q_benford_extprice,
         "outliers_extprice": q_outliers_extprice,
         "grouped_drift_documents": q_grouped_drift_documents,
+        "grouped_drift_binned": q_grouped_drift_binned,
         "containment_documents": q_containment_documents,
         "embedding_quality": q_embedding_quality,
         "embedding_drift_dims": q_embedding_drift_dims,
@@ -3912,6 +3966,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_extprice": SQL_BENFORD_EXTPRICE,
         "outliers_extprice": SQL_OUTLIERS_EXTPRICE,
         "grouped_drift_documents": SQL_GROUPED_DRIFT,
+        "grouped_drift_binned": SQL_GROUPED_DRIFT_BINNED,
         "containment_documents": SQL_CONTAINMENT,
         "embedding_quality": SQL_EMBEDDING_QUALITY,
         "embedding_drift_dims": SQL_EMBEDDING_DRIFT,
