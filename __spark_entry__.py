@@ -473,11 +473,11 @@ def q_jaccard_prefix_pairs(spark, sf_dir):
     only each doc's ⌊(1-t)·n⌋+1 rarest unigrams are posted, candidates
     verified exactly.  Same ground-truth oracle as token_jaccard_pairs —
     a driver-green row proves the candidate rule loses no true pair on
-    real-ish Zipf text.  Runs on a deterministic quarter of the corpus
+    real-ish Zipf text.  Runs on a deterministic tenth of the corpus
     (doc_id % 10 == 0): this is a candidate-rule EXACTNESS proof, not a
     throughput query (token_jaccard_pairs/minhash own that), and the
     fixture's near-dup density makes the verified pair set quadratic in
-    corpus size — the quarter keeps the proof while the bench measures
+    corpus size — the tenth keeps the proof while the bench measures
     the rule, not the pair fan-out."""
     from datatest_spark.operators.dedup import ngram_jaccard_pairs
 

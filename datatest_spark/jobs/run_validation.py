@@ -165,6 +165,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 spark, report, args.history, run_seq=next_seq
             )
             if has_prior:
+                warns = set(result.warn_check_ids)
                 anomalies = [
                     {
                         "key": r["key"],
@@ -173,6 +174,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         "z": (
                             None if r["deviation"] is None
                             else round(r["deviation"], 4)
+                        ),
+                        # keys are "<check_id>/<diff_kind>"; warn-level
+                        # checks are reported but never gate exit codes
+                        "severity": (
+                            "warn"
+                            if r["key"].rsplit("/", 1)[0] in warns
+                            else "error"
                         ),
                     }
                     for r in check_report_anomaly(
@@ -204,7 +212,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 1
     if args.fail_on_regression and trend is not None and trend["worse"]:
         return 2
-    if args.fail_on_anomaly and anomalies:
+    if args.fail_on_anomaly and anomalies and any(
+        a["severity"] != "warn" for a in anomalies
+    ):
         return 3
     return 0
 

@@ -250,25 +250,39 @@ def suggest_spec(
         and isinstance(dt.elementType, (T.FloatType, T.DoubleType))
     ]
     if vec_cols and row_count:
-        from ..operators.embeddings import _norm_col
+        from ..operators.embeddings import _nonfinite_col, _norm_col
 
         aggs = []
         for c in vec_cols:
             v = F.col(c)
-            n6 = F.round(_norm_col(v), 6)
+            # a NULL vector is ALWAYS Missing and a NaN/Inf component is
+            # ALWAYS Invalid under check_embedding (no opt-out knobs), so
+            # a column containing either cannot get a suggestion that
+            # passes on its own snapshot — count both to skip it below.
+            # The norm extrema are likewise guarded: one NaN norm would
+            # otherwise poison min/max (Spark orders NaN largest) and
+            # yield NaN bounds that flag every row (and break JSON).
+            finite = v.isNotNull() & (_nonfinite_col(v) == 0)
+            n6 = F.when(finite, F.round(_norm_col(v), 6))
             aggs += [
                 F.min(F.size(v)).alias(f"{c}__dlo"),
                 F.max(F.size(v)).alias(f"{c}__dhi"),
                 F.min(n6).alias(f"{c}__nlo"),
                 F.max(n6).alias(f"{c}__nhi"),
+                # ~finite covers both NULL vectors and NaN/Inf components
+                F.sum((~finite).cast("long")).alias(f"{c}__bad"),
             ]
         prof = df.agg(*aggs).collect()[0]
         id_col = confirmed_keys[0] if confirmed_keys else df.columns[0]
         for c in vec_cols:
             dlo, dhi = prof[f"{c}__dlo"], prof[f"{c}__dhi"]
             nlo, nhi = prof[f"{c}__nlo"], prof[f"{c}__nhi"]
+            if (prof[f"{c}__bad"] or 0) > 0:
+                continue  # NULL/NaN/Inf rows present — any embedding
+                # check would flag them, violating the pass-on-snapshot
+                # contract; the completeness rule owns NULLs
             if dlo is None or nlo is None:
-                continue  # all-NULL or all-nonfinite column — nothing to pin
+                continue  # all-NULL column — nothing to pin
             sug = {
                 "check": "embedding",
                 "column": c,

@@ -338,38 +338,64 @@ def ngram_jaccard_pairs(
                 .filter(F.col("jaccard") >= F.lit(float(threshold)))
                 .select("id_a", "id_b", "jaccard")
             )
-        sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
-        # Posting-list self-join.  The build (right) side broadcasts when
-        # small, so each probe task streams its postings against the hash
-        # table — join-output fan-out is then distributed by PROBE
-        # partitioning, not by join key, and a hot gram cannot hotspot a
-        # reducer.  The probe side is explicitly spread over the full
-        # parallelism: a one-file source would otherwise put the whole
-        # Σ_gram df² blow-up (and the pair-count agg above it) in one
-        # task.  At scales where the build side exceeds broadcast,
-        # AQE's skew-join splits the sort-merge partitions instead.
-        n_tasks = df.sparkSession.sparkContext.defaultParallelism
-        a = g.select(F.col("_gid").alias("id_a"), "_gram").repartition(n_tasks)
-        inter = (
-            a.join(g.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_i"))
+        counted = _posting_intersections(df, g)
+        sim = F.col("_i").cast("double") / (
+            F.col("_na") + F.col("_nb") - F.col("_i")
         )
-        sim = F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i"))
         return (
-            inter.join(
-                sizes.select(F.col("_gid").alias("id_a"), F.col("_n").alias("_na")),
-                "id_a",
-            )
-            .join(
-                sizes.select(F.col("_gid").alias("id_b"), F.col("_n").alias("_nb")),
-                "id_b",
-            )
-            .withColumn("jaccard", F.round(sim, 6))
+            counted.withColumn("jaccard", F.round(sim, 6))
             .filter(F.col("jaccard") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "jaccard")
         )
+    return _verify_candidates(
+        grams, candidates, _jaccard_udf(), "jaccard", threshold
+    )
+
+
+def _posting_intersections(df: DataFrame, g: DataFrame) -> DataFrame:
+    """(id_a, id_b, _i, _na, _nb) — exact inverted-index intersection
+    COUNTS for every pair sharing ≥1 gram, plus both set sizes; callers
+    apply their own similarity (Jaccard's union denominator, the
+    overlap coefficient's min, Dice, …) on top.
+
+    Posting-list self-join.  The build (right) side broadcasts when
+    small, so each probe task streams its postings against the hash
+    table — join-output fan-out is then distributed by PROBE
+    partitioning, not by join key, and a hot gram cannot hotspot a
+    reducer.  The probe side is explicitly spread over the full
+    parallelism: a one-file source would otherwise put the whole
+    Σ_gram df² blow-up (and the pair-count agg above it) in one
+    task.  At scales where the build side exceeds broadcast,
+    AQE's skew-join splits the sort-merge partitions instead.
+    """
+    sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    a = g.select(F.col("_gid").alias("id_a"), "_gram").repartition(n_tasks)
+    inter = (
+        a.join(g.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return inter.join(
+        sizes.select(F.col("_gid").alias("id_a"), F.col("_n").alias("_na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("_gid").alias("id_b"), F.col("_n").alias("_nb")),
+        "id_b",
+    )
+
+
+def _verify_candidates(
+    grams: DataFrame,
+    candidates: DataFrame,
+    sim_udf,
+    out_name: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact verification of (id_a, id_b) candidates: join both gram
+    arrays on and score each pair in one Arrow crossing (the LSH /
+    prefix verify path — small row counts, per-pair set math)."""
     pairs = (
         candidates.join(
             grams.withColumnRenamed("_grams", "_ga"),
@@ -384,11 +410,11 @@ def ngram_jaccard_pairs(
         )
         .drop("_gid2")
     )
-    sim = _jaccard_udf()(F.col("_ga"), F.col("_gb"))
+    sim = sim_udf(F.col("_ga"), F.col("_gb"))
     return (
-        pairs.withColumn("jaccard", F.round(sim, 6))
-        .filter(F.col("jaccard") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "jaccard")
+        pairs.withColumn(out_name, F.round(sim, 6))
+        .filter(F.col(out_name) >= F.lit(float(threshold)))
+        .select("id_a", "id_b", out_name)
     )
 
 
@@ -478,26 +504,10 @@ def ngram_containment_pairs(
                     .filter(F.col("containment") >= F.lit(float(threshold)))
                     .select("id_a", "id_b", "containment")
                 )
-        sizes = g.groupBy("_gid").agg(F.count(F.lit(1)).alias("_n"))
-        n_tasks = df.sparkSession.sparkContext.defaultParallelism
-        a = g.select(F.col("_gid").alias("id_a"), "_gram").repartition(n_tasks)
-        inter = (
-            a.join(g.select(F.col("_gid").alias("id_b"), "_gram"), "_gram")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_i"))
-        )
+        counted = _posting_intersections(df, g)
         sim = F.col("_i").cast("double") / F.least(F.col("_na"), F.col("_nb"))
         return (
-            inter.join(
-                sizes.select(F.col("_gid").alias("id_a"), F.col("_n").alias("_na")),
-                "id_a",
-            )
-            .join(
-                sizes.select(F.col("_gid").alias("id_b"), F.col("_n").alias("_nb")),
-                "id_b",
-            )
-            .withColumn("containment", F.round(sim, 6))
+            counted.withColumn("containment", F.round(sim, 6))
             .filter(F.col("containment") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "containment")
         )
@@ -505,25 +515,8 @@ def ngram_containment_pairs(
         F.col(id_col).alias("_gid"),
         word_ngrams(F.col(text_col), ngram).alias("_grams"),
     )
-    pairs = (
-        candidates.join(
-            grams.withColumnRenamed("_grams", "_ga"),
-            candidates["id_a"] == grams["_gid"],
-        )
-        .drop("_gid")
-        .join(
-            grams.withColumnRenamed("_grams", "_gb").withColumnRenamed(
-                "_gid", "_gid2"
-            ),
-            F.col("id_b") == F.col("_gid2"),
-        )
-        .drop("_gid2")
-    )
-    sim = _containment_udf()(F.col("_ga"), F.col("_gb"))
-    return (
-        pairs.withColumn("containment", F.round(sim, 6))
-        .filter(F.col("containment") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "containment")
+    return _verify_candidates(
+        grams, candidates, _containment_udf(), "containment", threshold
     )
 
 

@@ -141,7 +141,8 @@ def check_embedding(
     vec = F.col(vec_col)
     dim = F.size(vec)
     nonfinite = _nonfinite_col(vec)
-    norm = F.round(_norm_col(vec), 6)
+    norm_exact = _norm_col(vec)
+    norm = F.round(norm_exact, 6)
 
     is_null = vec.isNull()
     bad_dim = (
@@ -150,7 +151,10 @@ def check_embedding(
         else F.lit(False)
     )
     bad_finite = nonfinite > 0
-    is_zero = (dim > 0) & ~bad_finite & (norm == 0.0)
+    # exact zero only — a tiny-but-nonzero vector is a LOW NORM, not a
+    # zero vector (it falls through to the min_norm deviation below);
+    # matches embedding_profile's is_zero semantics
+    is_zero = (dim > 0) & ~bad_finite & (norm_exact == 0.0)
     low = (
         norm < F.lit(float(min_norm)) if min_norm is not None else F.lit(False)
     )

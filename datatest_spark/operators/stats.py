@@ -412,6 +412,10 @@ def check_grouped_drift(
     caller-supplied shared-edge contract (and clamp/NULL-skip
     semantics) as ``binned_histogram``.
     """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0: {smoothing}")
+    if bins is None and (lo is not None or hi is not None):
+        raise ValueError("lo/hi only apply with bins (numeric binned mode)")
     if bins is not None:
         if bins < 1:
             raise ValueError(f"bins must be >= 1: {bins}")

@@ -240,6 +240,24 @@ class _Validate:
         return check_outliers(df, column, **kw)
 
     @staticmethod
+    def grouped_drift(current, baseline, **kw):
+        from .stats import check_grouped_drift
+
+        return check_grouped_drift(current, baseline, **kw)
+
+    @staticmethod
+    def embedding(df, **kw):
+        from .embeddings import check_embedding
+
+        return check_embedding(df, **kw)
+
+    @staticmethod
+    def embedding_drift(current, baseline, **kw):
+        from .embeddings import check_embedding_drift
+
+        return check_embedding_drift(current, baseline, **kw)
+
+    @staticmethod
     def monotonic(df, value_col, **kw):
         from .consistency import check_monotonic
 

@@ -166,7 +166,19 @@ def compare_reports(previous: dict, current: dict) -> dict:
     (check_id, diff_kind); ``delta`` is current − previous violation
     count.  Rate deltas are included when both reports carry partition
     row counts.
+
+    Severity-aware gating: when the CURRENT report carries per-check
+    ``severity`` fields (suites with warn-level checks), regressed/new
+    entries are annotated with it and ``worse`` — the regression-gate
+    boolean — considers ERROR-severity entries only; a warn-level check
+    getting noisier is visible in the lists but never fails a pipeline
+    (the suite-level contract, applied run-over-run).
     """
+    cur_sev = {
+        c["check_id"]: c.get("severity")
+        for c in current.get("checks", [])
+        if c.get("severity") is not None
+    }
 
     def _index(rep):
         return {(c["check_id"], c["diff_kind"]): c["n"] for c in rep["checks"]}
@@ -179,6 +191,8 @@ def compare_reports(previous: dict, current: dict) -> dict:
             "check_id": k[0], "diff_kind": k[1],
             "previous": p, "current": c, "delta": c - p,
         }
+        if k[0] in cur_sev:
+            entry["severity"] = cur_sev[k[0]]
         if p == 0 and c > 0:
             new.append(entry)
         elif c == 0 and p > 0:
@@ -188,6 +202,9 @@ def compare_reports(previous: dict, current: dict) -> dict:
         elif c < p:
             improved.append(entry)
 
+    def _gates(entries):
+        return any(e.get("severity", "error") != "warn" for e in entries)
+
     out = {
         "previous_run_id": previous.get("run_id"),
         "current_run_id": current.get("run_id"),
@@ -195,7 +212,7 @@ def compare_reports(previous: dict, current: dict) -> dict:
         "improved": improved,
         "new": new,
         "cleared": cleared,
-        "worse": bool(regressed or new),
+        "worse": _gates(regressed) or _gates(new),
     }
     p_part, c_part = previous.get("partitions"), current.get("partitions")
     if p_part and c_part and p_part.get("rows") and c_part.get("rows"):

@@ -151,3 +151,29 @@ def test_profile_is_scan_local(spark):
     df = _vecs(spark, [(1, [1.0, 2.0])])
     plan = embedding_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_tiny_vector_is_low_norm_not_zero(spark):
+    """A tiny-but-nonzero vector must report the min_norm Deviation,
+    not Invalid('zero_vector') — exact-zero semantics, matching
+    embedding_profile."""
+    df = _vecs(spark, [(1, [1e-8, 1e-8]), (2, [0.0, 0.0])])
+    got = {t[1]: t for t in diff_multiset(
+        check_embedding(df, min_norm=0.5, check_id="e")
+    )}
+    assert got["1"][0] == "deviation"
+    assert got["2"] == ("invalid", "2", "zero_vector", None, None)
+
+
+def test_validate_dispatcher_has_embedding_checks(spark):
+    from datatest_spark import validate
+
+    df = _vecs(spark, [(1, [3.0, 4.0]), (2, None)])
+    assert validate.embedding(df, expected_dim=2).count() == 1
+    base = _vecs(spark, [(1, [1.0, 1.0])])
+    assert validate.embedding_drift(df, base, threshold=-1.0).count() == 2
+    gcur = spark.createDataFrame([("g", "a")], "g string, v string")
+    assert (
+        validate.grouped_drift(gcur, gcur, column="v", group_by="g",
+                               threshold=-1.0).count() == 1
+    )

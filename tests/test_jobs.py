@@ -850,3 +850,38 @@ def test_spec_grouped_drift_and_embedding_match_python_api(spark):
     )
     assert sorted(got) == sorted(want)
     assert len(got) >= 4  # g1 drifts, NULL vec, wrong dim, norm 5 > 4
+
+
+def test_warn_severity_never_gates_trend(spark, code_tables, tmp_path, capsys):
+    """A warn-severity check getting noisier run-over-run is listed in
+    the trend but never flips `worse` / exit 2 — the suite-level
+    advisory contract applied to the regression gate."""
+    _, _, code_p, repos_p = code_tables
+    base = {
+        "primary": "code",
+        "partition_col": "partition_id",
+        "tables": {"code": {"path": code_p}},
+    }
+    spec_v1 = dict(base, checks=[
+        {"check": "interval", "column": "content_len", "min": 1, "max": 50,
+         "id": "len_iv"},
+    ])
+    spec_v2 = dict(base, checks=[
+        {"check": "interval", "column": "content_len", "min": 1, "max": 50,
+         "id": "len_iv"},
+        {"check": "regex", "column": "commit", "pattern": "^[0-9a-f]{40}$",
+         "id": "sha_fmt", "severity": "warn"},
+    ])
+    rep1 = str(tmp_path / "warn_run1.json")
+    job_main(["--spec", json.dumps(spec_v1), "--report", rep1])
+    capsys.readouterr()
+
+    # a NEW warn-severity check appears — reported, but NOT worse
+    rc = job_main(["--spec", json.dumps(spec_v2),
+                   "--previous-report", rep1, "--fail-on-regression"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["trend"]["worse"] is False
+    new_ids = {e["check_id"]: e.get("severity") for e in out["trend"]["new"]}
+    assert new_ids.get("sha_fmt") == "warn"
+    assert out["n_warnings"] > 0 and out["passed"] is False  # len_iv errors remain

@@ -172,3 +172,25 @@ def test_suggest_skips_all_null_vector_column(spark):
     )
     spec = suggest_spec(df, table="t")
     assert "suggest_embedding_emb" not in _by_id(spec)
+
+
+def test_suggest_skips_vector_column_with_null_or_nan_rows(spark):
+    """check_embedding has no opt-out for NULL/NaN rows, so a column
+    containing either would fail on its own snapshot — no suggestion;
+    NaN norms must also not poison the bounds into NaN (invalid JSON)."""
+    import json as _json
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vid long, emb array<double>"
+    )
+    spec = suggest_spec(with_null, table="t")
+    assert "suggest_embedding_emb" not in _by_id(spec)
+    _json.dumps(spec)  # must stay JSON-clean
+
+    with_nan = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0])],
+        "vid long, emb array<double>",
+    )
+    spec = suggest_spec(with_nan, table="t")
+    assert "suggest_embedding_emb" not in _by_id(spec)
+    _json.dumps(spec)
