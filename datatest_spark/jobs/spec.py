@@ -79,6 +79,16 @@ Spec shape::
          "baseline": "orders_snapshot", "threshold": 1.0},
         {"check": "benford", "column": "amount", "statistic": "mad",
          "threshold": 0.015},
+        {"check": "grouped_drift", "column": "lang", "group_by": "repo",
+         "baseline": "yesterday", "threshold": 25.0},
+        {"check": "grouped_drift", "column": "latency_ms", "group_by": "dc",
+         "baseline": "yesterday", "bins": 20, "lo": 0, "hi": 1000},
+        {"check": "embedding", "table": "vectors", "column": "embedding",
+         "id_col": "vec_id", "expected_dim": 768,
+         "min_norm": 0.5, "max_norm": 2.0},
+        {"check": "embedding_drift", "table": "vectors",
+         "column": "embedding", "baseline": "vectors_prev",
+         "threshold": 0.05},
         {"check": "outliers", "column": "amount", "method": "mad",
          "k": 3.5, "severity": "warn"}   # warn: reported, never gates
       ],

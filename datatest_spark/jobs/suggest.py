@@ -74,10 +74,15 @@ def suggest_spec(
       profile (within 2× its error bar) and are CONFIRMED with one
       exact ``count_distinct`` pass before being suggested.
 
-    Timestamp/date/complex columns only get the completeness rule —
-    an interval frozen at profile time would fail the first fresh
-    load by design, which is a scheduling decision the caller must
-    make (see ``freshness``'s pinned-instant contract).
+    * ``array<float/double>`` columns with no NULL/NaN/Inf rows: an
+      ``embedding`` check pinning the observed dimension (when fixed)
+      and the round-6 L2-norm range (± ``interval_headroom`` per side),
+      keyed on the confirmed unique key.
+
+    Timestamp/date/other-complex columns get only the completeness
+    rule — an interval frozen at profile time would fail the first
+    fresh load by design, which is a scheduling decision the caller
+    must make (see ``freshness``'s pinned-instant contract).
     """
     if not (0 <= float(interval_headroom)):
         raise ValueError(f"interval_headroom must be >= 0: {interval_headroom}")
