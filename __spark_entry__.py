@@ -3520,6 +3520,47 @@ FROM j GROUP BY 1
 """
 
 
+def q_proportions_returnflag(spark, sf_dir):
+    """Class-balance gate (stats.check_proportions): l_returnflag
+    shares vs a pinned 0.30/0.35/0.30 mix plus a pinned-but-vanished
+    category X — all four deviate at tolerance 0.01 (actual shares are
+    ~1/3 each; X is absent → observed share 0).  Shares are exact count
+    ratios rounded to 6 — identical in both engines."""
+    from datatest_spark.operators.stats import check_proportions
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = check_proportions(
+        li, "l_returnflag",
+        {"A": 0.30, "N": 0.35, "R": 0.30, "X": 0.05},
+        tolerance=0.01, check_id="rf_mix",
+    )
+    return d.select(
+        "diff_kind",
+        F.col("key").alias("category"),
+        F.col("value").cast("double").alias("obs_share"),
+        F.col("expected").cast("double").alias("exp_share"),
+        F.round("deviation", 6).alias("delta"),
+    )
+
+
+SQL_PROPORTIONS = """
+WITH obs AS (
+  SELECT l_returnflag AS category, count(*) AS cnt
+  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+), tot AS (SELECT sum(cnt) AS total FROM obs),
+exp(category, exp_share) AS (
+  VALUES ('A', 0.30::DOUBLE), ('N', 0.35::DOUBLE),
+         ('R', 0.30::DOUBLE), ('X', 0.05::DOUBLE)
+)
+SELECT 'deviation' AS diff_kind, e.category,
+       round(coalesce(obs.cnt, 0) * 1.0 / total, 6) AS obs_share,
+       e.exp_share,
+       round(round(coalesce(obs.cnt, 0) * 1.0 / total, 6) - e.exp_share, 6) AS delta
+FROM exp e LEFT JOIN obs USING (category), tot
+WHERE abs(round(coalesce(obs.cnt, 0) * 1.0 / total, 6) - e.exp_share) > 0.01
+"""
+
+
 def q_grouped_drift_binned(spark, sf_dir):
     """Numeric mode of check_grouped_drift: per-returnflag chi-square
     of the l_quantity distribution across the shipdate pivot, on
@@ -3866,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_extprice": q_outliers_extprice,
         "grouped_drift_documents": q_grouped_drift_documents,
         "grouped_drift_binned": q_grouped_drift_binned,
+        "proportions_returnflag": q_proportions_returnflag,
         "containment_documents": q_containment_documents,
         "embedding_quality": q_embedding_quality,
         "embedding_drift_dims": q_embedding_drift_dims,
@@ -3967,6 +4009,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers_extprice": SQL_OUTLIERS_EXTPRICE,
         "grouped_drift_documents": SQL_GROUPED_DRIFT,
         "grouped_drift_binned": SQL_GROUPED_DRIFT_BINNED,
+        "proportions_returnflag": SQL_PROPORTIONS,
         "containment_documents": SQL_CONTAINMENT,
         "embedding_quality": SQL_EMBEDDING_QUALITY,
         "embedding_drift_dims": SQL_EMBEDDING_DRIFT,

@@ -79,6 +79,8 @@ Spec shape::
          "baseline": "orders_snapshot", "threshold": 1.0},
         {"check": "benford", "column": "amount", "statistic": "mad",
          "threshold": 0.015},
+        {"check": "proportions", "column": "lang",
+         "expected": {"py": 0.6, "go": 0.2, "rs": 0.2}, "tolerance": 0.05},
         {"check": "grouped_drift", "column": "lang", "group_by": "repo",
          "baseline": "yesterday", "threshold": 25.0},
         {"check": "grouped_drift", "column": "latency_ms", "group_by": "dc",
@@ -150,6 +152,7 @@ from ..operators.stats import (
     check_mutual_information,
     check_outliers,
     check_partition_outliers,
+    check_proportions,
     check_psi,
     check_quantile_bounds,
     check_row_count_drift,
@@ -633,6 +636,16 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 t[table], _c, method=_m,
                 k=None if _k is None else float(_k),
                 exact=_e, accuracy=_a, check_id=_i,
+            )
+        )
+    elif kind == "proportions":
+        column = e.pop("column")
+        expected = e.pop("expected")  # {category: share}
+        tolerance = e.pop("tolerance", 0.0)
+        cid = check_id or f"proportions_{column}"
+        builder = lambda t, _c=column, _e=expected, _tol=tolerance, _i=cid: (  # noqa: E731
+            check_proportions(
+                t[table], _c, _e, tolerance=float(_tol), check_id=_i
             )
         )
     elif kind == "grouped_drift":

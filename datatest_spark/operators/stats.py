@@ -531,6 +531,101 @@ def check_grouped_drift(
     return drifted.unionByName(churned)
 
 
+def check_proportions(
+    df: DataFrame,
+    column: str,
+    expected: dict,
+    *,
+    tolerance: float = 0.0,
+    check_id: str = "proportions",
+) -> DataFrame:
+    """Class-balance check: the observed SHARE of each category of
+    ``column`` must sit within ``tolerance`` of the caller's
+    ``expected`` share — the "training mix must stay 60/20/20" gate an
+    LLM-data pipeline runs on labels, languages, and source buckets
+    (Deequ's hasDistribution ask).
+
+    ``expected`` maps category → share in [0, 1] (as the data SHOULD
+    look — shares need not sum to 1 if the caller only pins some
+    categories).  Emits:
+
+    * Deviation(observed − expected share) per pinned category whose
+      absolute share error exceeds ``tolerance`` (including pinned
+      categories that VANISHED — observed share 0);
+    * Extra(category, observed share) per un-pinned observed category
+      whose share exceeds ``tolerance`` (the noise floor: set it to the
+      share of "other" you are willing to absorb).
+
+    NULLs are excluded from both shares and the denominator
+    (``check_completeness`` owns null-rate).  Shares are exact count
+    ratios rounded to 6 decimals — identical at any parallelism and in
+    any ANSI-SQL oracle.
+
+    Scale shape: one groupBy(column) count with map-side partial
+    aggregation (shuffle rows = distinct categories), a 1-row total
+    derived FROM that tiny aggregate, broadcast back — data rows are
+    scanned once and never re-shuffled.
+    """
+    if not expected:
+        raise ValueError("expected must map at least one category to a share")
+    for k, v in expected.items():
+        if not (0.0 <= float(v) <= 1.0):
+            raise ValueError(f"expected share for {k!r} not in [0, 1]: {v}")
+    if not (0.0 <= float(tolerance) <= 1.0):
+        raise ValueError(f"tolerance must be in [0, 1]: {tolerance}")
+    spark = df.sparkSession
+    obs = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = obs.agg(F.sum("cnt").alias("total"))
+    exp_df = spark.createDataFrame(
+        [(str(k), float(v)) for k, v in sorted(expected.items())],
+        "category string, exp_share double",
+    )
+    share = F.round(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("total"), 6
+    )
+    # expected is a LITERAL map, so no full-outer join is ever needed
+    # (Spark cannot broadcast one — it would sort-merge the two sides):
+    # pinned categories = exp LEFT OUTER obs (vanished ones get cnt
+    # NULL → share 0), un-pinned = obs LEFT ANTI exp; every join side
+    # here is a tiny aggregate or the literal map, all broadcast.
+    pinned = (
+        exp_df.join(F.broadcast(obs), "category", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("obs_share", share)
+        .filter(
+            F.abs(F.col("obs_share") - F.col("exp_share"))
+            > F.lit(float(tolerance))
+        )
+    )
+    drifted = make_differences(
+        pinned,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.col("category"),
+        value=F.col("obs_share"),
+        expected=F.col("exp_share"),
+        deviation=F.col("obs_share") - F.col("exp_share"),
+    )
+    unpinned = (
+        obs.join(F.broadcast(exp_df), "category", "left_anti")
+        .crossJoin(F.broadcast(total))
+        .withColumn("obs_share", share)
+        .filter(F.col("obs_share") > F.lit(float(tolerance)))
+    )
+    extras = make_differences(
+        unpinned,
+        check_id=check_id,
+        kind=KIND_EXTRA,
+        key=F.col("category"),
+        value=F.col("obs_share"),
+    )
+    return drifted.unionByName(extras)
+
+
 def check_stats_bounds(
     current_stats: DataFrame,
     *,

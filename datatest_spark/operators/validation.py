@@ -240,6 +240,12 @@ class _Validate:
         return check_outliers(df, column, **kw)
 
     @staticmethod
+    def proportions(df, column, expected, **kw):
+        from .stats import check_proportions
+
+        return check_proportions(df, column, expected, **kw)
+
+    @staticmethod
     def grouped_drift(current, baseline, **kw):
         from .stats import check_grouped_drift
 

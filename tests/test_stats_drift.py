@@ -793,3 +793,77 @@ def test_grouped_drift_binned_numeric(spark):
 
     with pytest.raises(ValueError, match="lo < hi"):
         check_grouped_drift(cur, base, column="v", group_by="g", bins=5)
+
+
+# ---------------------------------------------------------------------------
+# proportions (class balance)
+# ---------------------------------------------------------------------------
+
+
+def test_proportions_fires_and_passes(spark):
+    from datatest_spark.operators.stats import check_proportions
+
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 25 + [("c",)] * 10 + [(None,)] * 5,
+        "v string",
+    )
+    # NULLs excluded: shares over 95 rows → a .631579, b .263158, c .105263
+    ok = check_proportions(
+        df, "v",
+        {"a": 0.631579, "b": 0.263158, "c": 0.105263},
+        tolerance=0.001,
+    )
+    assert ok.count() == 0
+    d = {
+        (r["diff_kind"], r["key"]): r
+        for r in check_proportions(
+            df, "v", {"a": 0.5, "b": 0.25, "z": 0.1}, tolerance=0.02,
+            check_id="mix",
+        ).collect()
+    }
+    # a off by .13 → deviation; b off by .013 → inside tolerance;
+    # z pinned but vanished → deviation -0.1; c un-pinned at .105 > tol → extra
+    assert ("deviation", "a") in d
+    assert d[("deviation", "a")]["deviation"] == pytest.approx(0.131579)
+    assert ("deviation", "b") not in d
+    assert d[("deviation", "z")]["value"] == "0.0"
+    assert d[("extra", "c")]["value"] == "0.105263"
+    assert len(d) == 3
+
+
+def test_proportions_validation_and_spec(spark):
+    from datatest_spark.jobs import compile_suite
+    from datatest_spark.operators.stats import check_proportions
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="at least one"):
+        check_proportions(df, "v", {})
+    with pytest.raises(ValueError, match="share"):
+        check_proportions(df, "v", {"a": 1.5})
+    with pytest.raises(ValueError, match="tolerance"):
+        check_proportions(df, "v", {"a": 0.5}, tolerance=2.0)
+
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "checks": [
+                {"check": "proportions", "column": "v",
+                 "expected": {"a": 1.0}, "tolerance": 0.0, "id": "p"},
+            ],
+        }
+    )
+    got = suite.build_differences(
+        {"t": df.withColumn("partition_id", F.lit("p0"))}
+    )
+    assert got.count() == 0
+
+
+def test_proportions_rows_never_reshuffle(spark):
+    """Data rows feed one map-side-partial groupBy; the total and the
+    expected map broadcast back — no sort-merge join of the rows."""
+    from datatest_spark.operators.stats import check_proportions
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    d = check_proportions(li, "l_returnflag", {"A": 0.3}, tolerance=0.01)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
