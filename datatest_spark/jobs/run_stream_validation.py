@@ -1,0 +1,189 @@
+"""spark-submit entrypoint: run a declarative validation spec over a
+STREAMING source (Structured Streaming micro-batches).
+
+The streaming counterpart of ``run_validation.py`` — same spec format,
+same compiled suite, same difference rows and deterministic sink, but
+the primary table arrives as an unbounded file stream and the suite
+runs once per micro-batch via ``foreachBatch`` (each micro-batch is a
+bounded DataFrame, so EVERY batch check — set/unique/referential/
+drift — is legal per batch; SURVEY.md §2.5 streaming extension)::
+
+    spark-submit --py-files datatest_spark.zip \
+        datatest_spark/jobs/run_stream_validation.py \
+        --spec spec.json --sink /out/violations --checkpoint /out/ckpt
+
+The spec gains one section (everything else — ``checks``, ``tables``
+static sides, ``acceptance``, ``severity`` — is unchanged)::
+
+    "stream": {
+        "format": "parquet",            # parquet | json | csv | text
+        "path": "/landing/code_files",  # directory watched for files
+        "schema": "repo string, path string, content string, ...",
+        "options": {"maxFilesPerTrigger": "4"}   # micro-batch sizing
+    }
+
+Per micro-batch one JSON line is printed::
+
+    {"batch_id": N, "passed": bool, "n_violations": V, "n_warnings": W,
+     "n_partitions_checked": P, "rows": R}
+
+and on drain (``availableNow``, the default trigger) a final summary
+line with cumulative counts.  Exit code: 0, or 1 with ``--strict``
+when any batch had error-severity violations.
+
+Semantics at scale:
+
+* **Exactly-once accounting** — ``--checkpoint`` is the Structured
+  Streaming WAL: on restart, fully-committed batches are never
+  re-offered, and a replayed half-finished batch rewrites the SAME
+  ``batch_id=<id>`` sink directory (the canonical sink writes with
+  ``mode("overwrite")``), so the violation artifact is idempotent
+  under at-least-once ``foreachBatch`` replay.
+* **Byte-identical violations** — within a batch the standard
+  canonical-sort single-file writer runs, so a replayed batch produces
+  a byte-identical ``batch_id=<id>`` file regardless of parallelism
+  (the north-rule identity, held per micro-batch; a global artifact is
+  the concatenation in batch order).
+* **Static sides are loaded ONCE** (broadcast-able lazy batch reads);
+  referential/drift checks inside a batch join against them exactly as
+  in the batch engine.
+* **Continuous mode** — ``--processing-time "30 seconds"`` switches the
+  trigger; pair with ``--timeout`` to bound the run (CI) or omit for a
+  long-running job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional, Sequence
+
+from .run_validation import _session
+from .spec import compile_suite, load_spec, load_tables
+
+
+def build_stream(spark, spec: dict):
+    """readStream from the spec's ``stream`` section (file source)."""
+    cfg = spec.get("stream")
+    if not cfg:
+        raise ValueError("spec has no 'stream' section")
+    fmt = cfg.get("format", "parquet")
+    if "schema" not in cfg:
+        # file streams cannot infer schemas without an extra listing
+        # pass; demand one so the plan is stable across restarts
+        raise ValueError("stream.schema (DDL string) is required")
+    reader = spark.readStream.format(fmt).schema(cfg["schema"])
+    for k, v in (cfg.get("options") or {}).items():
+        reader = reader.option(k, str(v))
+    if "path" not in cfg:
+        raise ValueError("stream.path is required")
+    return reader.load(cfg["path"])
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        description="datatest_spark streaming validation job"
+    )
+    ap.add_argument("--spec", required=True, help="spec file path or inline JSON")
+    ap.add_argument("--sink", default=None,
+                    help="violation sink root; each micro-batch writes "
+                         "its canonical file under batch_id=<id>/")
+    ap.add_argument("--checkpoint", required=True,
+                    help="Structured Streaming checkpoint dir (restart "
+                         "resume; required — accidental reprocessing "
+                         "of a 100 TB landing zone is never the "
+                         "right default)")
+    ap.add_argument("--processing-time", default=None,
+                    help="continuous trigger interval (e.g. '30 "
+                         "seconds'); default is availableNow (drain "
+                         "pending files, then stop)")
+    ap.add_argument("--timeout", type=float, default=None,
+                    help="awaitTermination bound in seconds (bounds "
+                         "continuous runs; availableNow stops on its "
+                         "own)")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 when any batch had error-severity "
+                         "violations")
+    args = ap.parse_args(argv)
+
+    spec = load_spec(args.spec)
+    primary = spec["primary"]
+    spark = _session()
+    suite = compile_suite(spec)
+    static = load_tables(spark, spec) if spec.get("tables") else {}
+    sdf = build_stream(spark, spec)
+
+    totals = {"batches": 0, "violations": 0, "warnings": 0, "rows": 0,
+              "failed_batches": 0}
+
+    def _process(batch_df, batch_id: int) -> None:
+        rows = batch_df.count()
+        sink = (
+            os.path.join(args.sink, f"batch_id={batch_id}")
+            if args.sink
+            else None
+        )
+        result = suite.run(
+            {primary: batch_df, **static},
+            primary=primary,
+            run_id=f"batch_{batch_id}",
+            sink_path=sink,
+            single_file=True,
+        )
+        totals["batches"] += 1
+        totals["violations"] += result.n_violations
+        totals["warnings"] += result.n_warnings
+        totals["rows"] += rows
+        if not result.passed:
+            totals["failed_batches"] += 1
+        print(
+            json.dumps(
+                {
+                    "batch_id": batch_id,
+                    "passed": result.passed,
+                    "n_violations": result.n_violations,
+                    "n_warnings": result.n_warnings,
+                    "n_partitions_checked": result.n_partitions_checked,
+                    "rows": rows,
+                }
+            ),
+            flush=True,
+        )
+
+    writer = (
+        sdf.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.processing_time:
+        writer = writer.trigger(processingTime=args.processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    try:
+        if args.timeout is not None:
+            query.awaitTermination(args.timeout)
+            query.stop()
+            query.awaitTermination()
+        else:
+            query.awaitTermination()
+    finally:
+        if query.isActive:  # pragma: no cover - defensive stop
+            query.stop()
+
+    summary = {
+        "mode": "stream",
+        "passed": totals["failed_batches"] == 0,
+        "n_batches": totals["batches"],
+        "n_violations": totals["violations"],
+        "n_warnings": totals["warnings"],
+        "rows": totals["rows"],
+    }
+    print(json.dumps(summary), flush=True)
+    return 1 if (args.strict and totals["failed_batches"]) else 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Streaming spec entrypoint: drain a file-stream landing zone through
+the compiled suite per micro-batch, resume from the checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datatest_spark.jobs.run_stream_validation import build_stream
+from datatest_spark.jobs.run_stream_validation import main as stream_main
+
+SCHEMA_DDL = "repo string, path string, content_len int, partition_id int"
+
+
+def _write_file(dirpath: str, name: str, rows: list[tuple]) -> None:
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "repo": pa.array(cols[0], pa.string()),
+            "path": pa.array(cols[1], pa.string()),
+            "content_len": pa.array(cols[2], pa.int32()),
+            "partition_id": pa.array(cols[3], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(dirpath, name))
+
+
+def _spec(indir: str) -> str:
+    return json.dumps(
+        {
+            "primary": "code",
+            "partition_col": "partition_id",
+            "stream": {
+                "format": "parquet",
+                "path": indir,
+                "schema": SCHEMA_DDL,
+                "options": {"maxFilesPerTrigger": 1},
+            },
+            "checks": [
+                {"check": "interval", "column": "content_len", "min": 1}
+            ],
+        }
+    )
+
+
+def _summary(capsys) -> tuple[list[dict], dict]:
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    batches = [l for l in lines if "batch_id" in l]
+    finals = [l for l in lines if l.get("mode") == "stream"]
+    assert len(finals) == 1
+    return batches, finals[0]
+
+
+def test_stream_job_drain_resume_and_sink(spark, tmp_path, capsys):
+    indir = str(tmp_path / "landing")
+    os.makedirs(indir)
+    _write_file(indir, "f1.parquet",
+                [("r1", "a.py", 10, 0), ("r1", "b.py", 0, 0)])  # 1 violation
+    _write_file(indir, "f2.parquet", [("r2", "c.go", 5, 1)])   # clean
+    sink = str(tmp_path / "viol")
+    ckpt = str(tmp_path / "ckpt")
+    argv = ["--spec", _spec(indir), "--sink", sink,
+            "--checkpoint", ckpt, "--strict"]
+
+    rc = stream_main(argv)
+    batches, summary = _summary(capsys)
+    assert rc == 1  # strict + one error-severity violation
+    assert summary["n_batches"] == 2  # maxFilesPerTrigger=1 → 1 file/batch
+    assert summary["n_violations"] == 1
+    assert summary["rows"] == 3
+    assert not summary["passed"]
+    assert sum(b["n_violations"] for b in batches) == 1
+    # every batch wrote its own canonical artifact under batch_id=<id>
+    sunk = sorted(d for d in os.listdir(sink) if d.startswith("batch_id="))
+    assert len(sunk) == 2
+
+    # resume: same checkpoint, no new files → nothing reprocessed
+    rc = stream_main(argv)
+    _, summary = _summary(capsys)
+    assert rc == 0
+    assert summary["n_batches"] == 0
+    assert summary["rows"] == 0
+
+    # a newly landed file is picked up alone (committed batches skipped)
+    _write_file(indir, "f3.parquet", [("r3", "d.rs", -2, 2)])  # 1 violation
+    rc = stream_main(argv)
+    batches, summary = _summary(capsys)
+    assert rc == 1
+    assert summary["n_batches"] == 1
+    assert summary["rows"] == 1
+    assert summary["n_violations"] == 1
+
+
+def test_stream_spec_validation_errors(spark, tmp_path):
+    with pytest.raises(ValueError, match="no 'stream' section"):
+        build_stream(spark, {"primary": "x"})
+    with pytest.raises(ValueError, match="schema"):
+        build_stream(spark, {"stream": {"path": "/x"}})
+    with pytest.raises(ValueError, match="path"):
+        build_stream(spark, {"stream": {"schema": "a int"}})
