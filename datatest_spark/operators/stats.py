@@ -584,8 +584,14 @@ def check_proportions(
         [(str(k), float(v)) for k, v in sorted(expected.items())],
         "category string, exp_share double",
     )
+    # an EMPTY (or all-NULL) table has total = sum() = NULL; a pinned
+    # category's observed share is then 0 (it vanished with the data),
+    # not NULL (which would silently pass the filter below)
     share = F.round(
-        F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("total"), 6
+        F.when(F.coalesce(F.col("total"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("total")
+        ),
+        6,
     )
     # expected is a LITERAL map, so no full-outer join is ever needed
     # (Spark cannot broadcast one — it would sort-merge the two sides):

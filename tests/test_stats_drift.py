@@ -867,3 +867,23 @@ def test_proportions_rows_never_reshuffle(spark):
     d = check_proportions(li, "l_returnflag", {"A": 0.3}, tolerance=0.01)
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_proportions_empty_table_reports_vanished_pins(spark):
+    from datatest_spark.operators.stats import check_proportions
+
+    # empty table and all-NULL table: total = sum() = NULL, but pinned
+    # categories must still fire with observed share 0 — not silently
+    # pass through a NULL share
+    for rows in ([], [(None,), (None,)]):
+        df = spark.createDataFrame(rows, "v string")
+        d = {
+            (r["diff_kind"], r["key"]): r
+            for r in check_proportions(
+                df, "v", {"a": 0.6, "b": 0.1}, tolerance=0.05
+            ).collect()
+        }
+        assert ("deviation", "a") in d and ("deviation", "b") in d
+        assert d[("deviation", "a")]["value"] == "0.0"
+        assert d[("deviation", "a")]["deviation"] == pytest.approx(-0.6)
+        assert len(d) == 2
