@@ -3813,6 +3813,87 @@ WHERE d.vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id != cluster_id)
 """
 
 
+def q_suggest_referential(spark, sf_dir):
+    """Cross-table inclusion-dependency DISCOVERY
+    (jobs.suggest.suggest_referential, exact mode): over
+    region/nation/customer/orders, rediscover the schema's foreign
+    keys from data alone — confirmed-unique parent columns, typed
+    child columns, exact min/max pruning, one fused union+groupBy
+    containment job for every surviving pair.  Expected at any SF:
+    n_regionkey→r_regionkey, c_nationkey→n_nationkey,
+    o_custkey→c_custkey (plus whatever accidental containments the
+    data truly has — the oracle computes the identical relation over
+    the identical typed-pair universe, so accidents match too)."""
+    from datatest_spark.jobs.suggest import suggest_referential
+
+    tables = {
+        name: _t(spark, sf_dir, name)
+        for name in ("region", "nation", "customer", "orders")
+    }
+    sugg = suggest_referential(tables, exact=True)
+    schema = (
+        "child_table string, child_column string, "
+        "parent_table string, parent_column string"
+    )
+    rows = [
+        (s["table"], s["keys"][0], s["parent"], s["parent_keys"][0])
+        for s in sugg
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+#: static column→type map of the four profiled tables (fixed across
+#: SFs — the generator's schema); the oracle enumerates the SAME
+#: typed-pair universe suggest_referential sees.  Pruning on the Spark
+#: side (exact min/max windows) never changes the answer, so the
+#: oracle skips it and tests containment directly.
+_SUGGEST_REF_SCHEMAS = {
+    "region": {"r_regionkey": "i32", "r_name": "str"},
+    "nation": {"n_nationkey": "i32", "n_name": "str", "n_regionkey": "i32"},
+    "customer": {
+        "c_custkey": "i64",
+        "c_name": "str",
+        "c_nationkey": "i32",
+        "c_acctbal": "f64",
+        "c_mktsegment": "str",
+    },
+    "orders": {
+        "o_orderkey": "i64",
+        "o_custkey": "i64",
+        "o_orderstatus": "str",
+        "o_totalprice": "f64",
+        "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    },
+}
+
+
+def _suggest_referential_sql() -> str:
+    arms = []
+    for ct, ccols in _SUGGEST_REF_SCHEMAS.items():
+        for cc, ctype in ccols.items():
+            for pt, pcols in _SUGGEST_REF_SCHEMAS.items():
+                if pt == ct:
+                    continue
+                for pk, ptype in pcols.items():
+                    if ptype != ctype:
+                        continue
+                    arms.append(
+                        f"SELECT '{ct}' AS child_table, '{cc}' AS child_column, "
+                        f"'{pt}' AS parent_table, '{pk}' AS parent_column "
+                        f"WHERE (SELECT count(*) FROM {pt}) > 0 "
+                        f"AND (SELECT count(*) FROM {pt} WHERE {pk} IS NULL) = 0 "
+                        f"AND (SELECT count(DISTINCT {pk}) FROM {pt}) = (SELECT count(*) FROM {pt}) "
+                        f"AND (SELECT count(*) FROM {ct} WHERE {cc} IS NOT NULL) > 0 "
+                        f"AND NOT EXISTS (SELECT 1 FROM {ct} WHERE {cc} IS NOT NULL "
+                        f"AND {cc} NOT IN (SELECT {pk} FROM {pt}))"
+                    )
+    return "\nUNION ALL\n".join(arms)
+
+
+SQL_SUGGEST_REFERENTIAL = _suggest_referential_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_discount": q_interval_discount,
@@ -3912,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality": q_embedding_quality,
         "embedding_drift_dims": q_embedding_drift_dims,
         "dedup_near_embeddings": q_dedup_near_embeddings,
+        "suggest_referential_tpch": q_suggest_referential,
     }
 
 
@@ -4014,4 +4096,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quality": SQL_EMBEDDING_QUALITY,
         "embedding_drift_dims": SQL_EMBEDDING_DRIFT,
         "dedup_near_embeddings": SQL_DEDUP_NEAR_EMBEDDINGS,
+        "suggest_referential_tpch": SQL_SUGGEST_REFERENTIAL,
     }

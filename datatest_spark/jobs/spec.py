@@ -278,11 +278,13 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         parent_keys = e.pop("parent_keys")
         strategy = e.pop("strategy", "anti")
         broadcast_parent = e.pop("broadcast_parent", True)
+        skip_null_keys = e.pop("skip_null_keys", False)
         cid = check_id or f"referential_{parent}"
-        builder = lambda t, _k=keys, _p=parent, _pk=parent_keys, _s=strategy, _b=broadcast_parent, _i=cid: (  # noqa: E731
+        builder = lambda t, _k=keys, _p=parent, _pk=parent_keys, _s=strategy, _b=broadcast_parent, _n=skip_null_keys, _i=cid: (  # noqa: E731
             check_referential(
                 t[table], _k, t[_p], _pk, strategy=_s,
-                broadcast_parent=_b, check_id=_i, partition_id=_pid(t),
+                broadcast_parent=_b, skip_null_keys=_n,
+                check_id=_i, partition_id=_pid(t),
             )
         )
     elif kind == "schema":

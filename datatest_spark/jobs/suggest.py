@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.stats import column_stats, histograms
+from ..plans.predicate import is_numeric_dtype
 
 #: a string column with at most this many distinct values (observed,
 #: approx) is treated as categorical and gets a ``subset`` suggestion
@@ -112,7 +113,11 @@ def suggest_spec(
                 1.0, null_ratio + float(max_null_headroom)
             )
             completeness_map[name] = round(ceiling, 6)
-        if _is_numeric(dt) and non_null:
+        # interval only on NULL-free columns: check_interval flags NULL
+        # as Invalid (reference semantics), so a nullable column's
+        # suggestion would fire on its own snapshot — the completeness
+        # ceiling owns the NULLs instead
+        if _is_numeric(dt) and non_null and nulls == 0:
             lo, hi = float(r["min_val"]), float(r["max_val"])
             pad = float(interval_headroom) * (hi - lo)
             checks.append(
@@ -332,6 +337,244 @@ def suggest_spec(
     return spec
 
 
+def suggest_referential(
+    tables: "dict[str, DataFrame]",
+    *,
+    exact: bool = False,
+    max_pairs: int = 200,
+) -> list[dict]:
+    """Cross-table inclusion-dependency discovery: propose
+    ``referential`` checks by finding (child column → parent key)
+    pairs where EVERY non-NULL child value exists in a confirmed-
+    unique parent column of another table — the foreign keys the
+    warehouse forgot to write down (Deequ's ``isContainedIn`` ask,
+    discovered instead of declared).
+
+    Three phases, each one scan-shaped:
+
+    1. **Profile**: one fused ``column_stats`` pass per table (exact
+       null counts and min/max, approx distinct).
+    2. **Parent keys**: atomic no-NULL columns whose distinct count
+       equals the row count.  Default mode prefilters candidates with
+       the approx sketch (≥ 0.9 × rows) before ONE exact
+       ``count_distinct`` aggregate per table over just the
+       candidates — the 10^12-row path.  ``exact=True`` skips the
+       sketch prefilter and exact-counts every eligible column
+       (small-scale / oracle mode; k fused ``count_distinct``s force
+       an Expand, fine on profile-sized tables).
+    3. **Containment**: candidate (child, parent) pairs keep exact
+       dtype equality across DIFFERENT tables, a non-empty child, and
+       the exact min/max window test (full containment implies the
+       child's [min, max] sits inside the parent's — numerics compare
+       as numbers, everything else as Spark's own lexicographic
+       min/max strings — so the prune never changes the answer).
+       Survivors are confirmed in ONE job for ALL pairs: each table
+       contributes its referenced columns to a long (table, column,
+       value) relation (scan-local explode), two broadcast joins
+       against the tiny pair map tag child/parent sides, and a single
+       hash aggregate on (pair, value) — map-side partial collapses
+       duplicate values before the shuffle — finds any child value
+       with no parent occurrence.  No per-pair jobs, no driver-side
+       data rows; only pair ids come back.
+
+    More than ``max_pairs`` surviving pairs raises (rather than
+    silently truncating coverage) — raise the knob or pass fewer
+    tables.
+
+    Returns ``referential`` check dicts (sorted, ready for a spec's
+    ``checks`` list) with ``table``/``keys``/``parent``/
+    ``parent_keys`` set and provenance in ``comment``.
+    """
+    from functools import reduce
+
+    stat: dict[str, dict] = {}
+    for name, df in tables.items():
+        stat[name] = {
+            r["column_name"]: r
+            for r in column_stats(df, table_name=name).collect()
+        }
+
+    parent_keys: dict[str, set] = {}
+    for name, df in tables.items():
+        rows = stat[name]
+        if not rows:
+            continue
+        rc = next(iter(rows.values()))["row_count"]
+        if not rc:
+            continue
+        cands = [
+            c
+            for c, r in rows.items()
+            if isinstance(df.schema[c].dataType, T.AtomicType)
+            and r["null_count"] == 0
+            and (exact or r["n_distinct"] >= rc * 0.90)
+        ]
+        if not cands:
+            continue
+        got = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in cands]
+        ).collect()[0]
+        keys = {c for c in cands if got[c] == rc}
+        if keys:
+            parent_keys[name] = keys
+
+    def _rng_ok(child, parent, numeric: bool) -> bool:
+        clo, chi = child["min_val"], child["max_val"]
+        plo, phi = parent["min_val"], parent["max_val"]
+        if clo is None or plo is None:
+            return False
+        if numeric:
+            return float(plo) <= float(clo) and float(chi) <= float(phi)
+        return plo <= clo and chi <= phi
+
+    pairs: list[tuple] = []
+    for ct, cdf in tables.items():
+        for cc in cdf.columns:
+            r = stat[ct].get(cc)
+            cdt = cdf.schema[cc].dataType
+            if r is None or not isinstance(cdt, T.AtomicType):
+                continue
+            if r["row_count"] - r["null_count"] == 0:
+                continue
+            for pt, pks in parent_keys.items():
+                if pt == ct:
+                    continue
+                for pk in sorted(pks):
+                    if tables[pt].schema[pk].dataType != cdt:
+                        continue
+                    if _rng_ok(r, stat[pt][pk], is_numeric_dtype(cdt)):
+                        pairs.append((ct, cc, pt, pk))
+    pairs.sort()
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"{len(pairs)} candidate pairs survive pruning (> max_pairs="
+            f"{max_pairs}); raise max_pairs or profile fewer tables"
+        )
+    if not pairs:
+        return []
+
+    spark = next(iter(tables.values())).sparkSession
+    pairs_df = spark.createDataFrame(
+        [(i, *p) for i, p in enumerate(pairs)],
+        "pair int, ct string, cc string, pt string, pk string",
+    )
+    child_cols: dict[str, set] = {}
+    parent_cols: dict[str, set] = {}
+    for ct, cc, pt, pk in pairs:
+        child_cols.setdefault(ct, set()).add(cc)
+        parent_cols.setdefault(pt, set()).add(pk)
+    rels = []
+    for name, df in tables.items():
+        cols = sorted(
+            child_cols.get(name, set()) | parent_cols.get(name, set())
+        )
+        if not cols:
+            continue
+        rels.append(
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select(F.lit(name).alias("t"), "s.c", "s.v")
+            .filter(F.col("v").isNotNull())
+        )
+    rel = reduce(lambda a, b: a.unionByName(b), rels)
+    child = rel.join(
+        F.broadcast(pairs_df),
+        (rel["t"] == pairs_df["ct"]) & (rel["c"] == pairs_df["cc"]),
+    ).select("pair", "v", F.lit(1).alias("side"))
+    parent = rel.join(
+        F.broadcast(pairs_df),
+        (rel["t"] == pairs_df["pt"]) & (rel["c"] == pairs_df["pk"]),
+    ).select("pair", "v", F.lit(2).alias("side"))
+    bad = {
+        r["pair"]
+        for r in child.unionByName(parent)
+        .groupBy("pair", "v")
+        .agg(
+            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("has_c"),
+            F.max(F.when(F.col("side") == 2, 1).otherwise(0)).alias("has_p"),
+        )
+        .filter("has_c = 1 AND has_p = 0")
+        .select("pair")
+        .distinct()
+        .collect()
+    }
+
+    out = []
+    for i, (ct, cc, pt, pk) in enumerate(pairs):
+        if i in bad:
+            continue
+        prc = stat[pt][pk]["row_count"]
+        sug = {
+            "check": "referential",
+            "table": ct,
+            "keys": [cc],
+            "parent": pt,
+            "parent_keys": [pk],
+            "id": f"suggest_referential_{ct}_{cc}",
+            "comment": (
+                f"every non-NULL {ct}.{cc} found in {pt}.{pk} "
+                f"(unique over {prc} parent rows)"
+            ),
+        }
+        if stat[ct][cc]["null_count"]:
+            # nullable FK: emit ANSI MATCH SIMPLE semantics so the
+            # check passes on the profiled snapshot (NULL = no parent)
+            sug["skip_null_keys"] = True
+        out.append(sug)
+    return out
+
+
+def suggest_warehouse_spec(
+    tables: "dict[str, DataFrame]",
+    *,
+    primary: Optional[str] = None,
+    partition_col: Optional[str] = None,
+    referential: bool = True,
+    **suggest_kwargs,
+) -> dict:
+    """Multi-table suggestion: one ``suggest_spec`` profile per table
+    (check ids prefixed with the table name, each check tagged with its
+    ``table``) plus the cross-table ``suggest_referential`` pass —
+    profile a whole warehouse once, get one runnable spec back.
+    ``tables`` maps spec table names to DataFrames; the caller (or the
+    CLI) still fills ``spec["tables"]`` with the sources.
+    """
+    if not tables:
+        raise ValueError("tables must name at least one DataFrame")
+    names = list(tables)
+    prim = primary if primary is not None else names[0]
+    if prim not in tables:
+        raise ValueError(f"primary {prim!r} not in tables")
+    checks: list[dict] = []
+    for name, df in tables.items():
+        sub = suggest_spec(
+            df, table=name, partition_col=None, **suggest_kwargs
+        )
+        for c in sub["checks"]:
+            c = dict(c)
+            c["table"] = name
+            if "id" in c:
+                c["id"] = c["id"].replace("suggest_", f"suggest_{name}_", 1)
+            checks.append(c)
+    if referential:
+        checks.extend(suggest_referential(tables))
+    spec: dict = {"primary": prim, "checks": checks}
+    if partition_col:
+        spec["partition_col"] = partition_col
+    return spec
+
+
 def main(argv=None) -> int:
     """``python -m datatest_spark.jobs.suggest --path /data/t --out spec.json``
     — profile a parquet table (or catalog table via ``--table-ref``) and
@@ -349,6 +592,15 @@ def main(argv=None) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--path", help="parquet directory/file to profile")
     src.add_argument("--table-ref", help="catalog table to profile")
+    src.add_argument(
+        "--warehouse",
+        nargs="+",
+        metavar="NAME=PATH",
+        help=(
+            "profile several parquet tables at once (NAME=PATH pairs); "
+            "per-table rules plus cross-table referential discovery"
+        ),
+    )
     ap.add_argument("--table", default="table",
                     help="logical table name used in the emitted spec")
     ap.add_argument("--partition-col", default=None)
@@ -361,25 +613,41 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     spark = _session()
-    df = (
-        spark.read.parquet(args.path)
-        if args.path
-        else spark.read.table(args.table_ref)
-    )
-    spec = suggest_spec(
-        df,
-        table=args.table,
-        partition_col=args.partition_col,
-        max_set_cardinality=args.max_set_cardinality,
-        interval_headroom=args.interval_headroom,
-        distinct_headroom=args.distinct_headroom,
-    )
-    # point run_validation at the same source without hand-editing
-    spec["tables"] = {
-        args.table: (
-            {"path": args.path} if args.path else {"table": args.table_ref}
+    if args.warehouse:
+        sources = {}
+        for item in args.warehouse:
+            name, sep, path = item.partition("=")
+            if not sep or not name or not path:
+                ap.error(f"--warehouse entries must be NAME=PATH: {item!r}")
+            sources[name] = path
+        spec = suggest_warehouse_spec(
+            {n: spark.read.parquet(p) for n, p in sources.items()},
+            partition_col=args.partition_col,
+            max_set_cardinality=args.max_set_cardinality,
+            interval_headroom=args.interval_headroom,
+            distinct_headroom=args.distinct_headroom,
         )
-    }
+        spec["tables"] = {n: {"path": p} for n, p in sources.items()}
+    else:
+        df = (
+            spark.read.parquet(args.path)
+            if args.path
+            else spark.read.table(args.table_ref)
+        )
+        spec = suggest_spec(
+            df,
+            table=args.table,
+            partition_col=args.partition_col,
+            max_set_cardinality=args.max_set_cardinality,
+            interval_headroom=args.interval_headroom,
+            distinct_headroom=args.distinct_headroom,
+        )
+        # point run_validation at the same source without hand-editing
+        spec["tables"] = {
+            args.table: (
+                {"path": args.path} if args.path else {"table": args.table_ref}
+            )
+        }
     text = json.dumps(spec, indent=2)
     if args.out:
         with open(args.out, "w") as fh:

@@ -50,16 +50,31 @@ def check_referential(
     broadcast_parent: bool = True,
     salt_buckets: Optional[int] = None,
     strategy: str = "anti",
+    skip_null_keys: bool = False,
     provenance: Optional[dict] = None,
     partition_id: Optional[Column] = None,
 ) -> DataFrame:
-    """Missing(fk) for every child row whose FK is absent from parent."""
+    """Missing(fk) for every child row whose FK is absent from parent.
+
+    Default NULL semantics are value-strict (``eqNullSafe``): a NULL
+    child key must find a NULL parent key or it is Missing.
+    ``skip_null_keys=True`` switches to ANSI FK semantics (MATCH
+    SIMPLE): a child row with any NULL key column is exempt from the
+    check — nullable foreign keys mean "no parent", not "bad row".
+    The NULL-rate itself is ``check_completeness``'s job.
+    """
     ck = _cols(child_keys)
     pk = _cols(parent_keys)
     if len(ck) != len(pk):
         raise ValueError("child/parent key arity mismatch")
     if strategy not in ("anti", "keys"):
         raise ValueError(f"unknown strategy {strategy!r}: use 'anti' or 'keys'")
+    if skip_null_keys:
+        notnull = None
+        for c in ck:
+            nn = F.col(c).isNotNull()
+            notnull = nn if notnull is None else notnull & nn
+        child = child.filter(notnull)
 
     pkeys = parent.select(*[F.col(p).alias(f"_pk_{i}") for i, p in enumerate(pk)]).distinct()
 

@@ -120,3 +120,22 @@ def test_broadcast_plan_shape(spark):
     d = check_referential(child, "repo", parent, "repo", broadcast_parent=True)
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_skip_null_keys_ansi_fk_semantics(spark):
+    from datatest_spark.operators.referential import check_referential
+
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    child = spark.createDataFrame(
+        [(1, "ok"), (None, "null fk"), (9, "orphan")], "fk int, tag string"
+    )
+    # strict default: NULL fk has no NULL parent -> Missing (2 rows)
+    strict = check_referential(child, ["fk"], parent, ["k"])
+    assert strict.count() == 2
+    # ANSI MATCH SIMPLE: NULL fk exempt -> only the true orphan
+    for strategy in ("anti", "keys"):
+        d = check_referential(
+            child, ["fk"], parent, ["k"],
+            skip_null_keys=True, strategy=strategy,
+        ).collect()
+        assert len(d) == 1 and d[0]["value"] == "9"

@@ -194,3 +194,84 @@ def test_suggest_skips_vector_column_with_null_or_nan_rows(spark):
     spec = suggest_spec(with_nan, table="t")
     assert "suggest_embedding_emb" not in _by_id(spec)
     _json.dumps(spec)
+
+
+class TestReferentialSuggestion:
+    @pytest.fixture(scope="class")
+    def warehouse(self, spark):
+        regions = spark.createDataFrame(
+            [(0, "AMERICA"), (1, "ASIA"), (2, "EUROPE")],
+            "regionkey int, rname string",
+        )
+        nations = spark.createDataFrame(
+            # fk → regions.regionkey, one NULL fk (must be ignored),
+            # decoy int column NOT contained in any key
+            [(10, "BR", 0, 7), (11, "JP", 1, 9), (12, "DE", 2, 99),
+             (13, "FR", None, 7)],
+            "nationkey int, nname string, regionkey int, decoy int",
+        )
+        return {"regions": regions, "nations": nations}
+
+    def test_discovers_fk_and_skips_decoy(self, warehouse):
+        from datatest_spark.jobs.suggest import suggest_referential
+
+        for mode in (False, True):
+            sugg = suggest_referential(warehouse, exact=mode)
+            got = {
+                (s["table"], s["keys"][0], s["parent"], s["parent_keys"][0])
+                for s in sugg
+            }
+            # regionkey fk found despite its NULL row; decoy (7,9,99)
+            # fails containment in every key; nationkey ⊄ regionkey by
+            # the exact min/max prune; regions.regionkey ⊆
+            # nations.nationkey fails min/max too (0 < 10)
+            assert ("nations", "regionkey", "regions", "regionkey") in got
+            assert all(t[1] != "decoy" for t in got)
+            for s in sugg:
+                assert s["check"] == "referential"
+                assert s["id"].startswith("suggest_referential_")
+
+    def test_non_unique_parent_never_suggested(self, spark):
+        from datatest_spark.jobs.suggest import suggest_referential
+
+        parent = spark.createDataFrame(
+            [(1,), (1,), (2,)], "k int"
+        )
+        child = spark.createDataFrame([(1,), (2,)], "fk int")
+        sugg = suggest_referential({"p": parent, "c": child})
+        # non-unique p.k can never be a PARENT key; the reverse
+        # direction (p.k ⊆ unique c.fk) is a legitimate discovery
+        assert all(s["parent"] != "p" for s in sugg)
+        assert {(s["table"], s["parent"]) for s in sugg} == {("p", "c")}
+
+    def test_empty_child_column_suggests_nothing(self, spark):
+        from datatest_spark.jobs.suggest import suggest_referential
+
+        parent = spark.createDataFrame([(1,), (2,)], "k int")
+        child = spark.createDataFrame(
+            [(None,), (None,)], "fk int"
+        )
+        sugg = suggest_referential({"p": parent, "c": child})
+        assert all(s["keys"] != ["fk"] for s in sugg)
+
+    def test_pair_cap_raises(self, warehouse):
+        from datatest_spark.jobs.suggest import suggest_referential
+
+        with pytest.raises(ValueError, match="max_pairs"):
+            suggest_referential(warehouse, max_pairs=0)
+
+    def test_warehouse_spec_compiles_and_passes_on_snapshot(
+        self, spark, warehouse
+    ):
+        from datatest_spark.jobs.suggest import suggest_warehouse_spec
+        from datatest_spark.jobs import compile_suite
+
+        spec = suggest_warehouse_spec(warehouse, primary="nations")
+        json.dumps(spec)  # JSON-serializable end to end
+        ids = [c["id"] for c in spec["checks"]]
+        assert len(ids) == len(set(ids))  # table-prefixed, no collisions
+        assert any(c["check"] == "referential" for c in spec["checks"])
+        assert all("table" in c for c in spec["checks"])
+        suite = compile_suite(spec)
+        report = suite.run(warehouse, primary="nations")
+        assert report.n_violations == 0
