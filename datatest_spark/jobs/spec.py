@@ -45,6 +45,8 @@ Spec shape::
          "group_by": "user_id"},
         {"check": "contiguous", "column": "offset", "group_by": "shard"},
         {"check": "schema_drift", "baseline": "/data/baseline"},
+        {"check": "schema_compat", "baseline": "/data/baseline",
+         "mode": "backward"},
         {"check": "interval_overlap", "start": "valid_from",
          "end": "valid_to", "group_by": "entity_id"},
         {"check": "cardinality", "keys": ["okey"], "min_count": 1,
@@ -156,6 +158,7 @@ from ..operators.stats import (
     check_psi,
     check_quantile_bounds,
     check_row_count_drift,
+    check_schema_compat,
     check_schema_drift,
     check_timeseries_anomaly,
     check_uniqueness,
@@ -390,6 +393,13 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         cid = check_id or "schema_drift"
         builder = lambda t, _b=baseline, _s=strict, _i=cid: (  # noqa: E731
             check_schema_drift(t[table], _b, strict=_s, check_id=_i)
+        )
+    elif kind == "schema_compat":
+        baseline = e.pop("baseline")  # path written by write_schema_snapshot
+        mode = e.pop("mode", "backward")
+        cid = check_id or f"schema_compat_{mode}"
+        builder = lambda t, _b=baseline, _m=mode, _i=cid: (  # noqa: E731
+            check_schema_compat(t[table], _b, mode=_m, check_id=_i)
         )
     elif kind == "contiguous":
         column = e.pop("column")

@@ -209,9 +209,13 @@ def read_snapshot(spark, path: str):
 def schema_snapshot(df: DataFrame) -> dict:
     """Freeze the DataFrame's column → Spark-type-string mapping (the
     schema analogue of the stats baseline: "what the table looked like
-    when it was last known good")."""
+    when it was last known good").  Also records per-column
+    nullability (used by ``check_schema_compat``'s add/remove rules);
+    snapshots written before that key existed read back as all-
+    nullable — the permissive default."""
     return {
-        "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "nullable": {f.name: bool(f.nullable) for f in df.schema.fields},
     }
 
 
@@ -258,6 +262,121 @@ def check_schema_drift(
         snapshot = read_schema_snapshot(df.sparkSession, snapshot)
     return check_schema(
         df, snapshot["columns"], strict=strict, check_id=check_id
+    )
+
+
+#: integral widening chain + safe float promotions: a value of the KEY
+#: type is exactly representable in every type of its VALUE set.
+#: bigint → double is deliberately absent (longs above 2^53 lose
+#: precision), as is any integral → float (float's 24-bit mantissa).
+_WIDENS_TO = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "bigint": set(),
+    "float": {"double"},
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _type_widens(old: str, new: str) -> bool:
+    """True when every value of Spark type-string ``old`` is exactly
+    representable in ``new`` (same type, the integral/float widening
+    chain, or decimal growth in both integer digits and scale)."""
+    if old == new:
+        return True
+    if new in _WIDENS_TO.get(old, ()):
+        return True
+    mo, mn = _DECIMAL_RE.match(old), _DECIMAL_RE.match(new)
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return (pn - sn) >= (po - so) and sn >= so
+    return False
+
+
+def check_schema_compat(
+    df: DataFrame,
+    snapshot,
+    *,
+    mode: str = "backward",
+    check_id: str = "schema_compat",
+) -> DataFrame:
+    """Schema-EVOLUTION gate: is the current schema a compatible
+    successor of the snapshot, under the standard registry semantics
+    (Confluent/Avro vocabulary, applied to table schemas)?
+
+    ``check_schema_drift`` answers "did the schema change at all";
+    this answers "is the change SAFE to ship":
+
+    * ``mode="backward"`` — a reader of the NEW schema can consume
+      data written under the OLD one.  Dropped columns are fine (the
+      new reader ignores them); an ADDED column must be nullable in
+      the new schema (old data has no values for it → it must read as
+      NULL) or it is Extra; a type change must WIDEN
+      (``_type_widens(old, new)``) or it is Invalid(new, old).
+    * ``mode="forward"`` — a reader still on the OLD schema can
+      consume data written under the NEW one.  Added columns are fine
+      (the old reader ignores them); a REMOVED column must have been
+      nullable in the snapshot or it is Missing; a type change must
+      NARROW-or-match (``_type_widens(new, old)``) or it is Invalid.
+    * ``mode="full"`` — both directions: adds/removes judged by both
+      rules, types must match exactly.
+
+    Driver-side metadata only — a literal difference DataFrame, no
+    Spark job; composes with suites/severity like every check.
+    ``snapshot`` is a ``schema_snapshot()`` dict or a baseline path
+    from ``write_schema_snapshot``; pre-nullability snapshots are
+    treated as all-nullable (permissive).
+    """
+    from ..plans.differences import DIFF_SCHEMA
+
+    if mode not in ("backward", "forward", "full"):
+        raise ValueError(
+            f"mode must be backward/forward/full: {mode!r}"
+        )
+    if isinstance(snapshot, str):
+        snapshot = read_schema_snapshot(df.sparkSession, snapshot)
+    old_cols: dict = snapshot["columns"]
+    old_null: dict = snapshot.get(
+        "nullable", {c: True for c in old_cols}
+    )
+    new_cols = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    new_null = {f.name: bool(f.nullable) for f in df.schema.fields}
+
+    backward = mode in ("backward", "full")
+    forward = mode in ("forward", "full")
+    rows: list[tuple] = []
+    for col, nt in new_cols.items():
+        if col not in old_cols:
+            if backward and not new_null[col]:
+                rows.append(
+                    (KIND_EXTRA, col, nt, "added non-nullable column")
+                )
+            continue
+        ot = old_cols[col]
+        ok = (
+            ot == nt
+            if mode == "full"
+            else _type_widens(ot, nt) if backward else _type_widens(nt, ot)
+        )
+        if not ok:
+            rows.append((KIND_INVALID, col, nt, ot))
+    if forward:
+        for col, ot in old_cols.items():
+            if col not in new_cols and not old_null.get(col, True):
+                rows.append(
+                    (KIND_MISSING, col, None, f"non-nullable {ot} removed")
+                )
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (check_id, kind, col, value, exp, None, None, None, None, None)
+            for kind, col, value, exp in rows
+        ],
+        DIFF_SCHEMA,
     )
 
 

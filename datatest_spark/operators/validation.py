@@ -118,6 +118,12 @@ class _Validate:
 
         return check_schema_drift(df, snapshot, **kw)
 
+    @staticmethod
+    def schema_compat(df, snapshot, **kw):
+        from .stats import check_schema_compat
+
+        return check_schema_compat(df, snapshot, **kw)
+
     # cross-row / cross-table consistency (consistency module)
     @staticmethod
     def functional_dependency(df, determinants, dependents, **kw):

@@ -885,3 +885,47 @@ def test_warn_severity_never_gates_trend(spark, code_tables, tmp_path, capsys):
     new_ids = {e["check_id"]: e.get("severity") for e in out["trend"]["new"]}
     assert new_ids.get("sha_fmt") == "warn"
     assert out["n_warnings"] > 0 and out["passed"] is False  # len_iv errors remain
+
+
+def test_spec_schema_compat_matches_python_api(spark, tmp_path):
+    from datatest_spark.operators.stats import (
+        check_schema_compat,
+        write_schema_snapshot,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x", 1.5)], "id int, name string, score float"
+    )
+    path = str(tmp_path / "compat_base")
+    write_schema_snapshot(old, path)
+    # id widened (backward-safe, forward-breaking), name dropped
+    cur = spark.createDataFrame(
+        [(1, 2.0)], "id bigint, score float"
+    ).withColumn("partition_id", F.lit(0))
+
+    suite = compile_suite(
+        {
+            "primary": "t",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "schema_compat", "baseline": path,
+                 "mode": "backward", "id": "compat_b"},
+                {"check": "schema_compat", "baseline": path,
+                 "mode": "forward", "id": "compat_f"},
+            ],
+        }
+    )
+    got = diff_multiset(suite.build_differences({"t": cur}))
+    want = (
+        diff_multiset(check_schema_compat(
+            cur, path, mode="backward", check_id="compat_b"))
+        + diff_multiset(check_schema_compat(
+            cur, path, mode="forward", check_id="compat_f"))
+    )
+    assert sorted(got) == sorted(want)
+    kinds = {(k, key) for (k, key, *_) in got}
+    # forward flags the widened id; backward flags the suite's own
+    # non-nullable partition_id literal as an unsafe addition (old
+    # data has no value for it) — honest MATCH semantics
+    assert ("invalid", "id") in kinds
+    assert ("extra", "partition_id") in kinds

@@ -550,3 +550,85 @@ def test_quantile_bounds(spark):
     assert check_quantile_bounds(all_null, "v", 0.5, min_value=1.0).count() == 0
     with _pytest.raises(ValueError, match=r"q must lie"):
         check_quantile_bounds(df, "v", 1.5, min_value=1.0)
+
+
+def test_schema_compat_modes(spark):
+    from pyspark.sql import types as T
+
+    from datatest_spark.operators.stats import (
+        check_schema_compat,
+        schema_snapshot,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.5)], "id int, name string, score float"
+    )
+    snap = schema_snapshot(old)
+
+    # widened id (int->bigint), widened score (float->double),
+    # dropped name (nullable), added nullable note
+    new = spark.createDataFrame(
+        [(1, 1.5, "n")], "id bigint, score double, note string"
+    )
+    # backward: new reader consumes old data -- all safe
+    assert check_schema_compat(new, snap, mode="backward").count() == 0
+    # forward: old reader consumes new data -- widened types break it
+    fwd = {
+        (r["diff_kind"], r["key"]): (r["value"], r["expected"])
+        for r in check_schema_compat(new, snap, mode="forward").collect()
+    }
+    assert fwd[("invalid", "id")] == ("bigint", "int")
+    assert fwd[("invalid", "score")] == ("double", "float")
+    assert len(fwd) == 2
+    # full: type changes of any direction are breaking
+    assert check_schema_compat(new, snap, mode="full").count() == 2
+
+    # narrowing breaks backward, passes forward
+    narrow = spark.createDataFrame([(1,)], "id smallint")
+    # (old id is int; smallint narrows)
+    snap_i = schema_snapshot(spark.createDataFrame([(1,)], "id int"))
+    assert check_schema_compat(narrow, snap_i, mode="forward").count() == 0
+    bwd = check_schema_compat(narrow, snap_i, mode="backward").collect()
+    assert [(r["diff_kind"], r["key"]) for r in bwd] == [("invalid", "id")]
+
+    # bigint -> double is NOT a widening (2^53 precision loss)
+    snap_l = schema_snapshot(spark.createDataFrame([(1,)], "id bigint"))
+    dbl = spark.createDataFrame([(1.0,)], "id double")
+    assert check_schema_compat(dbl, snap_l, mode="backward").count() == 1
+
+    # decimal growth widens; scale loss does not
+    r = spark.range(1)
+    snap_d = schema_snapshot(
+        r.select(r["id"].cast(T.DecimalType(10, 2)).alias("amt"))
+    )
+    grown = r.select(r["id"].cast(T.DecimalType(12, 3)).alias("amt"))
+    shrunk = r.select(r["id"].cast(T.DecimalType(12, 1)).alias("amt"))
+    assert check_schema_compat(grown, snap_d, mode="backward").count() == 0
+    assert check_schema_compat(shrunk, snap_d, mode="backward").count() == 1
+
+    # non-nullable added column breaks backward; removed non-nullable
+    # column breaks forward
+    base = spark.createDataFrame([(1,)], "id int")
+    req_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("req", T.StringType(), False),
+        ]
+    )
+    with_req = spark.createDataFrame([(1, "x")], req_schema)
+    b = check_schema_compat(with_req, schema_snapshot(base), mode="backward")
+    assert [(r["diff_kind"], r["key"]) for r in b.collect()] == [
+        ("extra", "req")
+    ]
+    f = check_schema_compat(base, schema_snapshot(with_req), mode="forward")
+    assert [(r["diff_kind"], r["key"]) for r in f.collect()] == [
+        ("missing", "req")
+    ]
+
+    # pre-nullability snapshot (old format) is all-nullable: permissive
+    legacy = {"columns": {"id": "int", "gone": "string"}}
+    assert check_schema_compat(base, legacy, mode="forward").count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        check_schema_compat(base, legacy, mode="sideways")
