@@ -106,10 +106,32 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 when any batch had error-severity "
                          "violations")
+    ap.add_argument("--route", default=None,
+                    help="quarantine-route every micro-batch through "
+                         "the spec's route.rules (one extra scan of "
+                         "the bounded batch): clean rows to "
+                         "<path>/batch_id=<id>/_routed=clean, "
+                         "violating rows (+failed_checks) to "
+                         "…/_routed=quarantined — per-batch dirs, so "
+                         "a replayed batch overwrites its own output "
+                         "(idempotent like the violation sink).  "
+                         "Pass '-' to use the spec's route.path")
     args = ap.parse_args(argv)
 
     spec = load_spec(args.spec)
     primary = spec["primary"]
+    route_rules_json = None
+    route_root = None
+    if args.route:
+        route_spec = spec.get("route") or {}
+        route_rules_json = route_spec.get("rules")
+        if not route_rules_json:
+            ap.error("--route needs a route.rules block in the spec")
+        route_root = (
+            route_spec.get("path") if args.route == "-" else args.route
+        )
+        if not route_root:
+            ap.error("--route - needs route.path in the spec")
     spark = _session()
     suite = compile_suite(spec)
     static = load_tables(spark, spec) if spec.get("tables") else {}
@@ -138,19 +160,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         totals["rows"] += rows
         if not result.passed:
             totals["failed_batches"] += 1
-        print(
-            json.dumps(
-                {
-                    "batch_id": batch_id,
-                    "passed": result.passed,
-                    "n_violations": result.n_violations,
-                    "n_warnings": result.n_warnings,
-                    "n_partitions_checked": result.n_partitions_checked,
-                    "rows": rows,
-                }
-            ),
-            flush=True,
-        )
+        line = {
+            "batch_id": batch_id,
+            "passed": result.passed,
+            "n_violations": result.n_violations,
+            "n_warnings": result.n_warnings,
+            "n_partitions_checked": result.n_partitions_checked,
+            "rows": rows,
+        }
+        if route_rules_json:
+            from ..operators.quarantine import rules_from_spec, write_routed
+
+            line["routed"] = write_routed(
+                batch_df,
+                rules_from_spec(batch_df, route_rules_json),
+                os.path.join(route_root, f"batch_id={batch_id}"),
+            )
+        print(json.dumps(line), flush=True)
 
     writer = (
         sdf.writeStream.foreachBatch(_process)

@@ -106,3 +106,39 @@ def test_stream_spec_validation_errors(spark, tmp_path):
         build_stream(spark, {"stream": {"path": "/x"}})
     with pytest.raises(ValueError, match="path"):
         build_stream(spark, {"stream": {"schema": "a int"}})
+
+
+def test_stream_route_quarantines_per_batch(spark, tmp_path, capsys):
+    indir = str(tmp_path / "landing")
+    os.makedirs(indir)
+    _write_file(indir, "a.parquet", [("r1", "f1", 10, 0), ("r1", "f2", 0, 0)])
+    _write_file(indir, "b.parquet", [("r2", "f3", -5, 1), ("r2", "f4", 3, 1)])
+    spec = json.loads(_spec(indir))
+    spec["route"] = {
+        "rules": [
+            {"rule": "len_pos", "kind": "expr", "sql": "content_len >= 1"}
+        ]
+    }
+    route_dir = str(tmp_path / "routed")
+    rc = stream_main(
+        [
+            "--spec", json.dumps(spec),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--route", route_dir,
+        ]
+    )
+    assert rc == 0
+    batches, summary = _summary(capsys)
+    assert summary["n_batches"] == 2
+    assert all("routed" in b for b in batches)
+    # each batch routed into its own idempotent dir: 2 clean, 2 bad
+    clean = spark.read.parquet(
+        *[b["routed"]["clean"] for b in batches]
+    )
+    bad = spark.read.parquet(
+        *[b["routed"]["quarantined"] for b in batches]
+    )
+    assert clean.count() == 2 and bad.count() == 2
+    assert set(
+        r["failed_checks"][0] for r in bad.select("failed_checks").collect()
+    ) == {"len_pos"}
