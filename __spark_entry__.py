@@ -3869,6 +3869,10 @@ _SUGGEST_REF_SCHEMAS = {
 
 
 def _suggest_referential_sql() -> str:
+    # integral widths form ONE family (engine rule: an int child keyed
+    # on a bigint parent is still a foreign key); other types must
+    # match exactly
+    fam = lambda t: "int" if t in ("i32", "i64") else t  # noqa: E731
     arms = []
     for ct, ccols in _SUGGEST_REF_SCHEMAS.items():
         for cc, ctype in ccols.items():
@@ -3876,7 +3880,7 @@ def _suggest_referential_sql() -> str:
                 if pt == ct:
                     continue
                 for pk, ptype in pcols.items():
-                    if ptype != ctype:
+                    if fam(ptype) != fam(ctype):
                         continue
                     arms.append(
                         f"SELECT '{ct}' AS child_table, '{cc}' AS child_column, "

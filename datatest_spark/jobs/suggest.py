@@ -427,6 +427,17 @@ def suggest_referential(
             return float(plo) <= float(clo) and float(chi) <= float(phi)
         return plo <= clo and chi <= phi
 
+    _INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def _same_family(a: T.DataType, b: T.DataType) -> bool:
+        # exact type match, or both integral (a real warehouse's int
+        # child ↔ bigint parent key IS a foreign key; every integral
+        # casts to the same canonical digit string, so the containment
+        # join compares them losslessly)
+        if a == b:
+            return True
+        return isinstance(a, _INTEGRALS) and isinstance(b, _INTEGRALS)
+
     pairs: list[tuple] = []
     for ct, cdf in tables.items():
         for cc in cdf.columns:
@@ -440,7 +451,7 @@ def suggest_referential(
                 if pt == ct:
                     continue
                 for pk in sorted(pks):
-                    if tables[pt].schema[pk].dataType != cdt:
+                    if not _same_family(tables[pt].schema[pk].dataType, cdt):
                         continue
                     if _rng_ok(r, stat[pt][pk], is_numeric_dtype(cdt)):
                         pairs.append((ct, cc, pt, pk))
