@@ -86,6 +86,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--fail-on-anomaly", action="store_true",
                     help="exit 3 when --history flags an anomalous "
                          "per-check violation count")
+    ap.add_argument("--examples", type=int, default=0, metavar="N",
+                    help="collect the first N violation rows of every "
+                         "(check, kind) series (canonical order — "
+                         "deterministic at any parallelism) into the "
+                         "output line; bounded driver collect")
     ap.add_argument("--route", default=None,
                     help="quarantine-route the primary table through "
                          "the spec's route.rules in ONE extra scan: "
@@ -191,6 +196,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     ).collect()
                 ]
                 out["anomalies"] = anomalies
+    if args.examples:
+        from ..plans.differences import canonical_sort
+        from ..report import exemplar_differences
+
+        out["examples"] = [
+            {
+                k: r[k]
+                for k in (
+                    "check_id", "diff_kind", "key", "value",
+                    "expected", "deviation",
+                )
+            }
+            for r in canonical_sort(
+                exemplar_differences(
+                    result.differences, per_check=args.examples
+                )
+            ).collect()
+        ]
     if args.route:
         route_spec = spec.get("route") or {}
         rules_json = route_spec.get("rules")

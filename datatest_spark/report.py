@@ -56,6 +56,41 @@ def summarize_differences(diffs: DataFrame) -> DataFrame:
     )
 
 
+def exemplar_differences(
+    diffs: DataFrame, *, per_check: int = 5
+) -> DataFrame:
+    """The first ``per_check`` violation rows of every (check_id,
+    diff_kind) series in canonical order — "show me a few example bad
+    rows per check" without shipping the (possibly huge) full
+    difference relation anywhere.
+
+    Deterministic: rows are ranked by the same ``CANONICAL_ORDER`` the
+    byte-identical sinks sort by, so the exemplars are identical at any
+    parallelism.  One window partitioned by (check_id, diff_kind) — a
+    hash exchange on the diff relation, never a single-partition
+    gather; output is ≤ per_check × series rows, safe to collect or
+    embed in a report.
+    """
+    from pyspark.sql.window import Window
+
+    from .plans.differences import CANONICAL_ORDER
+
+    if int(per_check) < 1:
+        raise ValueError(f"per_check must be >= 1: {per_check}")
+    w = Window.partitionBy("check_id", "diff_kind").orderBy(
+        *[
+            F.col(c).asc_nulls_first()
+            for c in CANONICAL_ORDER
+            if c not in ("check_id", "diff_kind")
+        ]
+    )
+    return (
+        diffs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(per_check))
+        .drop("_rn")
+    )
+
+
 def report_dict(
     summary_rows,
     verdict_rows=None,

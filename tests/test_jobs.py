@@ -929,3 +929,29 @@ def test_spec_schema_compat_matches_python_api(spark, tmp_path):
     # data has no value for it) — honest MATCH semantics
     assert ("invalid", "id") in kinds
     assert ("extra", "partition_id") in kinds
+
+
+def test_cli_examples_collects_bounded_exemplars(code_tables, capsys):
+    _, _, code_p, repos_p = code_tables
+    spec = {
+        "primary": "code",
+        "partition_col": "partition_id",
+        "tables": {"code": {"path": code_p}, "repos": {"path": repos_p}},
+        "checks": SPEC_CHECKS,
+    }
+    rc = job_main(["--spec", json.dumps(spec), "--examples", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    ex = out["examples"]
+    assert ex and all(
+        set(e) == {"check_id", "diff_kind", "key", "value",
+                   "expected", "deviation"}
+        for e in ex
+    )
+    from collections import Counter
+
+    per_series = Counter((e["check_id"], e["diff_kind"]) for e in ex)
+    assert all(n <= 2 for n in per_series.values())
+    # canonical order within the collected list
+    keys = [(e["check_id"], e["diff_kind"]) for e in ex]
+    assert keys == sorted(keys)

@@ -231,3 +231,29 @@ def test_report_carries_severity(spark):
     assert rep["n_warnings"] == 1
     assert rep["n_violations"] == 2  # all severities (historical meaning)
     assert "cat_ok (warn)" in report_markdown(rep)
+
+
+def test_exemplar_differences_deterministic_topk(spark):
+    from datatest_spark.report import exemplar_differences
+    from datatest_spark import validate
+
+    df = spark.createDataFrame(
+        [(i, "X" if i % 2 else "A") for i in range(40)], "id long, flag string"
+    )
+    diffs = validate.set(df, "flag", {"A"}, check_id="flag_set")
+    ex = exemplar_differences(diffs, per_check=3)
+    rows = ex.collect()
+    # extra 'X' occurs 20 times -> capped at 3; missing kinds unaffected
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["diff_kind"], []).append(r)
+    assert all(len(v) <= 3 for v in by_kind.values())
+    # repartition the diff relation: exemplars identical (canonical rank)
+    again = sorted(
+        map(tuple, exemplar_differences(diffs.repartition(7), per_check=3).collect())
+    )
+    assert again == sorted(map(tuple, rows))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="per_check"):
+        exemplar_differences(diffs, per_check=0)
