@@ -49,6 +49,7 @@ def suggest_spec(
     interval_headroom: float = 0.0,
     distinct_headroom: float = 0.5,
     max_null_headroom: float = 0.05,
+    mix_headroom: Optional[float] = 0.05,
 ) -> dict:
     """Profile ``df`` and return a ready-to-run validation spec.
 
@@ -66,7 +67,11 @@ def suggest_spec(
       agg, keys censused in one small shuffle per such column.
     * other string columns with ≤ ``max_set_cardinality`` distinct
       values: a ``subset`` of the observed value set (NULL excluded —
-      the completeness ceiling owns NULLs).
+      the completeness ceiling owns NULLs), plus — unless
+      ``mix_headroom=None`` — a ``proportions`` gate pinning the
+      observed class MIX at ±``mix_headroom`` absolute share (the
+      "training mix must stay ~60/20/20" change-detector; both rules
+      read the same histogram census).
     * other higher-cardinality string columns: ``distinct_count``
       bounds at ±``distinct_headroom`` × the observed count (``approx``
       mode — a domain-stability gate, not an exact census).
@@ -309,15 +314,19 @@ def suggest_spec(
             sug["max_norm"] = float(nhi) + pad
             checks.append(sug)
 
-    # observed value sets for the categorical columns, ONE shuffle
+    # observed value sets + class mix for the categorical columns,
+    # ONE shuffle (both rules read the same histogram census)
     if set_candidates:
         hist = histograms(df, set_candidates, table_name=table).collect()
-        by_col: dict[str, list[str]] = {}
+        by_col: dict[str, list] = {}
         for row in hist:
             if row["value"] is not None:
-                by_col.setdefault(row["column_name"], []).append(row["value"])
+                by_col.setdefault(row["column_name"], []).append(
+                    (row["value"], row["cnt"])
+                )
         for c in set_candidates:
-            values = sorted(by_col.get(c, []))
+            vcs = sorted(by_col.get(c, []))
+            values = [v for v, _ in vcs]
             # approx distinct may undercount; re-check against the
             # true observed census before promising a closed domain
             if values and len(values) <= max_set_cardinality:
@@ -330,6 +339,28 @@ def suggest_spec(
                         "comment": f"{len(values)} observed values",
                     }
                 )
+                if mix_headroom is not None:
+                    # the observed class MIX as a proportions gate —
+                    # "the training mix must stay ~60/20/20"; shares
+                    # use check_proportions' own rounding, so the
+                    # suggestion passes on its snapshot exactly and
+                    # fires when a share moves > mix_headroom (new
+                    # categories above the headroom fire as Extra)
+                    tot = sum(n for _, n in vcs)
+                    checks.append(
+                        {
+                            "check": "proportions",
+                            "column": c,
+                            "expected": {
+                                v: round(n / tot, 6) for v, n in vcs
+                            },
+                            "tolerance": float(mix_headroom),
+                            "id": f"suggest_proportions_{c}",
+                            "comment": (
+                                f"observed mix over {tot} non-NULL rows"
+                            ),
+                        }
+                    )
 
     spec: dict = {"primary": table, "checks": checks}
     if partition_col:

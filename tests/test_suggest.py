@@ -275,3 +275,28 @@ class TestReferentialSuggestion:
         suite = compile_suite(spec)
         report = suite.run(warehouse, primary="nations")
         assert report.n_violations == 0
+
+
+def test_suggest_mix_proportions(spark, profiled):
+    spec = suggest_spec(profiled, table="t", max_set_cardinality=5)
+    byid = _by_id(spec)
+    mix = byid["suggest_proportions_category"]
+    assert mix["check"] == "proportions"
+    # 100 rows cycling red/green/blue -> 34/33/33
+    assert mix["expected"] == {"red": 0.34, "green": 0.33, "blue": 0.33}
+    assert mix["tolerance"] == 0.05
+    # passes on its own snapshot; fires when the mix shifts
+    suite = compile_suite({"primary": "t", "checks": [mix]})
+    assert suite.run({"t": profiled}, primary="t").n_violations == 0
+    shifted = profiled.filter("category <> 'blue'")
+    assert (
+        compile_suite({"primary": "t", "checks": [mix]})
+        .run({"t": shifted}, primary="t")
+        .n_violations
+        > 0
+    )
+    # opt-out
+    no_mix = suggest_spec(
+        profiled, table="t", max_set_cardinality=5, mix_headroom=None
+    )
+    assert "suggest_proportions_category" not in _by_id(no_mix)
