@@ -412,6 +412,13 @@ def suggest_referential(
     silently truncating coverage) — raise the knob or pass fewer
     tables.
 
+    Boundary: single-column pairs only.  Composite foreign keys are
+    not discovered — the candidate space is the power set of column
+    combinations per table pair, and every real composite FK's
+    individual columns are still discovered as single-column
+    containments (a strictly weaker but true suggestion); declare the
+    composite form by hand in the spec when it matters.
+
     Returns ``referential`` check dicts (sorted, ready for a spec's
     ``checks`` list) with ``table``/``keys``/``parent``/
     ``parent_keys`` set and provenance in ``comment``.
