@@ -139,6 +139,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     totals = {"batches": 0, "violations": 0, "warnings": 0, "rows": 0,
               "failed_batches": 0}
+    seen_batch_ids: set = set()
 
     def _process(batch_df, batch_id: int) -> None:
         rows = batch_df.count()
@@ -147,19 +148,31 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if args.sink
             else None
         )
+        # The micro-batch IS the primary table: it must win over any
+        # same-named static entry in the spec's ``tables`` section
+        # (suggest/batch-emitted specs routinely list the primary there
+        # with its batch path — letting the static read shadow the
+        # stream would silently validate one frozen snapshot per batch).
         result = suite.run(
-            {primary: batch_df, **static},
+            {**static, primary: batch_df},
             primary=primary,
             run_id=f"batch_{batch_id}",
             sink_path=sink,
             single_file=True,
         )
-        totals["batches"] += 1
-        totals["violations"] += result.n_violations
-        totals["warnings"] += result.n_warnings
-        totals["rows"] += rows
-        if not result.passed:
-            totals["failed_batches"] += 1
+        # foreachBatch is at-least-once: a replayed batch rewrites its
+        # idempotent ``batch_id=<id>`` sink but must not re-increment
+        # the per-run counters (ids are added only after a completed
+        # run, so a half-finished attempt that threw is not "seen").
+        replayed = batch_id in seen_batch_ids
+        if not replayed:
+            seen_batch_ids.add(batch_id)
+            totals["batches"] += 1
+            totals["violations"] += result.n_violations
+            totals["warnings"] += result.n_warnings
+            totals["rows"] += rows
+            if not result.passed:
+                totals["failed_batches"] += 1
         line = {
             "batch_id": batch_id,
             "passed": result.passed,
@@ -168,6 +181,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             "n_partitions_checked": result.n_partitions_checked,
             "rows": rows,
         }
+        if replayed:
+            line["replayed"] = True
         if route_rules_json:
             from ..operators.quarantine import rules_from_spec, write_routed
 

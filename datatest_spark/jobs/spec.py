@@ -640,7 +640,7 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         column = e.pop("column")
         method = e.pop("method", "mad")
         k = e.pop("k", None)
-        exact = bool(e.pop("exact", True))
+        exact = bool(e.pop("exact", False))
         accuracy = int(e.pop("accuracy", 10_000))
         cid = check_id or f"outliers_{column}"
         builder = lambda t, _c=column, _m=method, _k=k, _e=exact, _a=accuracy, _i=cid: (  # noqa: E731

@@ -373,6 +373,7 @@ def suggest_referential(
     *,
     exact: bool = False,
     max_pairs: int = 200,
+    composite: bool = False,
 ) -> list[dict]:
     """Cross-table inclusion-dependency discovery: propose
     ``referential`` checks by finding (child column → parent key)
@@ -412,12 +413,29 @@ def suggest_referential(
     silently truncating coverage) — raise the knob or pass fewer
     tables.
 
-    Boundary: single-column pairs only.  Composite foreign keys are
-    not discovered — the candidate space is the power set of column
-    combinations per table pair, and every real composite FK's
-    individual columns are still discovered as single-column
-    containments (a strictly weaker but true suggestion); declare the
-    composite form by hand in the spec when it matters.
+    ``composite=True`` extends discovery to 2-column composite keys —
+    the (tenant_id, entity_id) FKs real warehouses key on.  Parent
+    candidates are ordered-name pairs of no-NULL atomic columns where
+    NEITHER column is itself a confirmed single-column key (a pair
+    containing a unique column is trivially unique and redundant);
+    joint uniqueness is confirmed with ONE fused ``count_distinct``
+    aggregate per table (sketch mode prefilters first on the product
+    of the per-column sketches and then one fused
+    ``approx_count_distinct(struct)`` pass; ``exact=True`` confirms
+    every eligible pair directly — small-scale / oracle mode).  Child
+    candidates are ordered pairs of distinct columns family-matched
+    per position, pruned by the same exact min/max window per position
+    (applied only when the sibling column has no NULLs, where the
+    prune is provably sound under MATCH SIMPLE tuple semantics).
+    Confirmation rides the SAME single fused containment job: a
+    composite pair contributes ``to_json(struct(...))``-encoded tuple
+    values (rows with any NULL component are exempt — ANSI MATCH
+    SIMPLE) under a ``\\x1f``-joined column label, and the (pair,
+    value) aggregate is unchanged.  Composite is opt-in because the
+    candidate space is quadratic per table; single-column results are
+    identical either way.  Width is fixed at 2: wider composites
+    explode combinatorially and are declared by hand when they
+    matter.
 
     Returns ``referential`` check dicts (sorted, ready for a spec's
     ``checks`` list) with ``table``/``keys``/``parent``/
@@ -456,6 +474,67 @@ def suggest_referential(
         if keys:
             parent_keys[name] = keys
 
+    # ---- composite (2-column) parent keys -----------------------------
+    # ordered-name pairs of no-NULL atomic columns, neither itself a
+    # confirmed single key; joint uniqueness confirmed in ONE fused
+    # count_distinct aggregate per table (sketch mode prefilters on the
+    # per-column-sketch product, then one fused approx struct pass)
+    _SEP = "\x1f"
+    composite_parent_keys: dict[str, list] = {}
+    if composite:
+        for name, df in tables.items():
+            rows = stat[name]
+            if not rows:
+                continue
+            rc = next(iter(rows.values()))["row_count"]
+            if not rc:
+                continue
+            if any(_SEP in c for c in df.columns):
+                raise ValueError(
+                    "composite discovery reserves U+001F in column names"
+                )
+            singles = parent_keys.get(name, set())
+            elig = sorted(
+                c
+                for c, r in rows.items()
+                if isinstance(df.schema[c].dataType, T.AtomicType)
+                and r["null_count"] == 0
+                and c not in singles
+            )
+            cand = [
+                (a, b)
+                for i, a in enumerate(elig)
+                for b in elig[i + 1:]
+                # necessary condition distinct(a,b) <= distinct(a)*distinct(b)
+                # applied with slack for the two compounding sketch errors;
+                # exact mode (oracle parity) skips every prefilter
+                if exact
+                or rows[a]["n_distinct"] * rows[b]["n_distinct"] >= rc * 0.81
+            ]
+            if cand and not exact:
+                approx = df.agg(
+                    *[
+                        F.approx_count_distinct(F.struct(a, b)).alias(f"_{i}")
+                        for i, (a, b) in enumerate(cand)
+                    ]
+                ).collect()[0]
+                cand = [
+                    p
+                    for i, p in enumerate(cand)
+                    if approx[f"_{i}"] >= rc * 0.90
+                ]
+            if not cand:
+                continue
+            got = df.agg(
+                *[
+                    F.count_distinct(F.col(a), F.col(b)).alias(f"_{i}")
+                    for i, (a, b) in enumerate(cand)
+                ]
+            ).collect()[0]
+            keys = [p for i, p in enumerate(cand) if got[f"_{i}"] == rc]
+            if keys:
+                composite_parent_keys[name] = keys
+
     def _rng_ok(child, parent, numeric: bool) -> bool:
         clo, chi = child["min_val"], child["max_val"]
         plo, phi = parent["min_val"], parent["max_val"]
@@ -493,6 +572,53 @@ def suggest_referential(
                         continue
                     if _rng_ok(r, stat[pt][pk], is_numeric_dtype(cdt)):
                         pairs.append((ct, cc, pt, pk))
+    if composite and composite_parent_keys:
+        for ct, cdf in tables.items():
+            ccols = [
+                c
+                for c in cdf.columns
+                if isinstance(cdf.schema[c].dataType, T.AtomicType)
+                and stat[ct].get(c) is not None
+            ]
+            for pt, pkpairs in composite_parent_keys.items():
+                if pt == ct:
+                    continue
+                for pk1, pk2 in pkpairs:
+                    pdt1 = tables[pt].schema[pk1].dataType
+                    pdt2 = tables[pt].schema[pk2].dataType
+                    for cc1 in ccols:
+                        cdt1 = cdf.schema[cc1].dataType
+                        if not _same_family(pdt1, cdt1):
+                            continue
+                        for cc2 in ccols:
+                            if cc2 == cc1:
+                                continue
+                            cdt2 = cdf.schema[cc2].dataType
+                            if not _same_family(pdt2, cdt2):
+                                continue
+                            r1, r2 = stat[ct][cc1], stat[ct][cc2]
+                            rc = r1["row_count"]
+                            # provably zero complete tuples -> vacuous
+                            if (
+                                r1["null_count"] == rc
+                                or r2["null_count"] == rc
+                            ):
+                                continue
+                            # positionwise exact min/max prune — sound
+                            # only when the SIBLING column has no NULLs
+                            # (a MATCH SIMPLE-exempt row may own the
+                            # column extreme otherwise)
+                            if r2["null_count"] == 0 and not _rng_ok(
+                                r1, stat[pt][pk1], is_numeric_dtype(cdt1)
+                            ):
+                                continue
+                            if r1["null_count"] == 0 and not _rng_ok(
+                                r2, stat[pt][pk2], is_numeric_dtype(cdt2)
+                            ):
+                                continue
+                            pairs.append(
+                                (ct, cc1 + _SEP + cc2, pt, pk1 + _SEP + pk2)
+                            )
     pairs.sort()
     if len(pairs) > max_pairs:
         raise ValueError(
@@ -512,6 +638,36 @@ def suggest_referential(
     for ct, cc, pt, pk in pairs:
         child_cols.setdefault(ct, set()).add(cc)
         parent_cols.setdefault(pt, set()).add(pk)
+    def _canon_str(df: DataFrame, c: str):
+        # containment must compare NUMERIC equality for fractional
+        # types (what check_referential and SQL use): -0.0 == 0.0 but
+        # they cast to the distinct strings '-0.0'/'0.0', so normalize
+        # signed zeros before the string encoding (NULL stays NULL —
+        # the comparison is NULL-propagating either way)
+        col, dt = F.col(c), df.schema[c].dataType
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            col = F.when(col == 0, F.lit(0).cast(dt)).otherwise(col)
+        return col.cast("string")
+
+    def _value_expr(df: DataFrame, label: str):
+        # single column: its canonical string.  Composite label
+        # "a\x1fb": an unambiguous to_json(struct) tuple encoding,
+        # NULL whenever any component is NULL (ANSI MATCH SIMPLE —
+        # incomplete tuples are exempt, and the NOT NULL filter below
+        # drops them)
+        if _SEP not in label:
+            return _canon_str(df, label)
+        a, b = label.split(_SEP)
+        return F.when(
+            F.col(a).isNotNull() & F.col(b).isNotNull(),
+            F.to_json(
+                F.struct(
+                    _canon_str(df, a).alias("a"),
+                    _canon_str(df, b).alias("b"),
+                )
+            ),
+        )
+
     rels = []
     for name, df in tables.items():
         cols = sorted(
@@ -526,7 +682,7 @@ def suggest_referential(
                         *[
                             F.struct(
                                 F.lit(c).alias("c"),
-                                F.col(c).cast("string").alias("v"),
+                                _value_expr(df, c).alias("v"),
                             )
                             for c in cols
                         ]
@@ -545,38 +701,59 @@ def suggest_referential(
         F.broadcast(pairs_df),
         (rel["t"] == pairs_df["pt"]) & (rel["c"] == pairs_df["pk"]),
     ).select("pair", "v", F.lit(2).alias("side"))
-    bad = {
-        r["pair"]
-        for r in child.unionByName(parent)
+    flags = (
+        child.unionByName(parent)
         .groupBy("pair", "v")
         .agg(
             F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("has_c"),
             F.max(F.when(F.col("side") == 2, 1).otherwise(0)).alias("has_p"),
         )
-        .filter("has_c = 1 AND has_p = 0")
-        .select("pair")
-        .distinct()
+        .groupBy("pair")
+        .agg(
+            F.max("has_c").alias("any_c"),
+            F.max(
+                F.when(
+                    (F.col("has_c") == 1) & (F.col("has_p") == 0), 1
+                ).otherwise(0)
+            ).alias("any_bad"),
+        )
         .collect()
-    }
+    )
+    bad = {r["pair"] for r in flags if r["any_bad"]}
+    # pairs with at least one (complete) child value — the EXACT
+    # non-vacuity gate (composite candidates only know per-column null
+    # counts up front, so joint emptiness is decided here, in the same
+    # job; single-column candidates are pre-filtered non-empty and are
+    # always present)
+    present = {r["pair"] for r in flags if r["any_c"]}
 
     out = []
     for i, (ct, cc, pt, pk) in enumerate(pairs):
-        if i in bad:
+        if i in bad or i not in present:
             continue
-        prc = stat[pt][pk]["row_count"]
+        ccs, pks = cc.split(_SEP), pk.split(_SEP)
+        prc = stat[pt][pks[0]]["row_count"]
+        if len(ccs) == 1:
+            comment = (
+                f"every non-NULL {ct}.{cc} found in {pt}.{pk} "
+                f"(unique over {prc} parent rows)"
+            )
+        else:
+            comment = (
+                f"every complete {ct}.({', '.join(ccs)}) tuple found in "
+                f"{pt}.({', '.join(pks)}) (composite-unique over {prc} "
+                f"parent rows)"
+            )
         sug = {
             "check": "referential",
             "table": ct,
-            "keys": [cc],
+            "keys": ccs,
             "parent": pt,
-            "parent_keys": [pk],
-            "id": f"suggest_referential_{ct}_{cc}",
-            "comment": (
-                f"every non-NULL {ct}.{cc} found in {pt}.{pk} "
-                f"(unique over {prc} parent rows)"
-            ),
+            "parent_keys": pks,
+            "id": f"suggest_referential_{ct}_{'_'.join(ccs)}",
+            "comment": comment,
         }
-        if stat[ct][cc]["null_count"]:
+        if any(stat[ct][c]["null_count"] for c in ccs):
             # nullable FK: emit ANSI MATCH SIMPLE semantics so the
             # check passes on the profiled snapshot (NULL = no parent)
             sug["skip_null_keys"] = True
@@ -590,6 +767,7 @@ def suggest_warehouse_spec(
     primary: Optional[str] = None,
     partition_col: Optional[str] = None,
     referential: bool = True,
+    composite: bool = False,
     **suggest_kwargs,
 ) -> dict:
     """Multi-table suggestion: one ``suggest_spec`` profile per table
@@ -617,7 +795,7 @@ def suggest_warehouse_spec(
                 c["id"] = c["id"].replace("suggest_", f"suggest_{name}_", 1)
             checks.append(c)
     if referential:
-        checks.extend(suggest_referential(tables))
+        checks.extend(suggest_referential(tables, composite=composite))
     spec: dict = {"primary": prim, "checks": checks}
     if partition_col:
         spec["partition_col"] = partition_col

@@ -268,10 +268,11 @@ def check_schema_drift(
 #: integral widening chain + safe float promotions: a value of the KEY
 #: type is exactly representable in every type of its VALUE set.
 #: bigint → double is deliberately absent (longs above 2^53 lose
-#: precision), as is any integral → float (float's 24-bit mantissa).
+#: precision), as are int/bigint → float — but tinyint/smallint → float
+#: IS safe: 8/16-bit integers fit exactly in float's 24-bit mantissa.
 _WIDENS_TO = {
-    "tinyint": {"smallint", "int", "bigint", "double"},
-    "smallint": {"int", "bigint", "double"},
+    "tinyint": {"smallint", "int", "bigint", "float", "double"},
+    "smallint": {"int", "bigint", "float", "double"},
     "int": {"bigint", "double"},
     "bigint": set(),
     "float": {"double"},
@@ -2285,7 +2286,7 @@ def check_outliers(
     *,
     method: str = "mad",
     k: Optional[float] = None,
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10_000,
     check_id: str = "outliers",
 ) -> DataFrame:
@@ -2303,9 +2304,15 @@ def check_outliers(
     - ``"zscore"`` (k=3.0): classic |v − mean| / stddev_samp > k.
     - ``"iqr"`` (k=1.5): Tukey fences v < Q1 − k·IQR or v > Q3 + k·IQR.
 
-    ``exact=True`` uses interpolated ``percentile`` (oracle-parity
-    path); ``exact=False`` swaps in the ``percentile_approx`` sketch —
-    the constant-memory 10^12-row path.  NULLs are skipped.
+    ``exact=False`` (the DEFAULT) estimates the fence statistics with
+    the ``percentile_approx`` sketch — constant executor memory, the
+    10^12-row path, matching every sibling sketch default
+    (``check_quantile_bounds``, ``suggest_referential``).
+    ``exact=True`` swaps in interpolated ``percentile`` (oracle-parity
+    / small-table mode — it buffers the column per group, so it is
+    memory-UNBOUNDED at scale; opt in deliberately).  The zscore
+    method has no quantile and is exact either way.  NULLs are
+    skipped.
 
     Scale shape: the center/scale statistics are one (mad: two)
     map-side-partial scalar aggregates over the pruned column; the

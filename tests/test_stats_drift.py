@@ -679,6 +679,27 @@ def test_outliers_rows_never_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_outliers_default_is_sketch_path(spark):
+    """The DEFAULT fence estimator must be the constant-memory
+    ``percentile_approx`` sketch (the 10^12-row path, like every
+    sibling sketch default); ``exact=True`` opts into interpolated
+    ``percentile``, which buffers the column and is small-table-only."""
+    from datatest_spark.operators.stats import check_outliers
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    default_plan = (
+        check_outliers(df, "v", method="mad")
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "percentile_approx" in default_plan
+    exact_plan = (
+        check_outliers(df, "v", method="iqr", exact=True)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "percentile(" in exact_plan
+    assert "percentile_approx" not in exact_plan
+
+
 # ---------------------------------------------------------------------------
 # grouped drift
 # ---------------------------------------------------------------------------

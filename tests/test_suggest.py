@@ -260,6 +260,63 @@ class TestReferentialSuggestion:
         with pytest.raises(ValueError, match="max_pairs"):
             suggest_referential(warehouse, max_pairs=0)
 
+    def test_composite_fk_discovered(self, spark):
+        """A planted 2-column FK — child (g, n) ⊆ parent (grp, num),
+        where NEITHER parent column is unique alone — is discovered
+        only with composite=True, in both sketch and exact modes; the
+        decoy pair (g, bad) contains a tuple absent from the parent."""
+        from datatest_spark.jobs.suggest import suggest_referential
+
+        parent = spark.createDataFrame(
+            [(g, n) for g in (1, 2, 3) for n in (1, 2)],
+            "grp int, num int",
+        )
+        child = spark.createDataFrame(
+            # (g, n) complete tuples all exist in parent (one row has a
+            # NULL n -> MATCH SIMPLE exempt); (g, bad) has (1, 9)
+            [(1, 1, 1), (2, 2, 2), (3, 1, 9), (1, None, 1)],
+            "g int, n int, bad int",
+        )
+        wh = {"parent": parent, "child": child}
+        for mode in (False, True):
+            sugg = suggest_referential(wh, exact=mode, composite=True)
+            comp = {
+                (s["table"], tuple(s["keys"]), s["parent"],
+                 tuple(s["parent_keys"]))
+                for s in sugg
+                if len(s["keys"]) == 2
+            }
+            assert (
+                "child", ("g", "n"), "parent", ("grp", "num")
+            ) in comp
+            assert all(k != ("g", "bad") for (_, k, _, _) in comp)
+            # nullable component -> ANSI MATCH SIMPLE emitted
+            planted = next(
+                s for s in sugg
+                if s["keys"] == ["g", "n"] and s["parent"] == "parent"
+            )
+            assert planted.get("skip_null_keys") is True
+            # single-column results identical with composite off
+            singles_on = [s for s in sugg if len(s["keys"]) == 1]
+            singles_off = suggest_referential(
+                wh, exact=mode, composite=False
+            )
+            assert singles_on == singles_off
+
+    def test_composite_skips_keys_containing_a_unique_column(self, spark):
+        from datatest_spark.jobs.suggest import suggest_referential
+
+        # u is unique alone -> every pair containing u is redundant and
+        # must NOT become a composite parent key
+        parent = spark.createDataFrame(
+            [(1, 5), (2, 5), (3, 7)], "u int, v int"
+        )
+        child = spark.createDataFrame([(1, 5), (3, 7)], "a int, b int")
+        sugg = suggest_referential(
+            {"parent": parent, "child": child}, exact=True, composite=True
+        )
+        assert all(len(s["parent_keys"]) == 1 for s in sugg)
+
     def test_warehouse_spec_compiles_and_passes_on_snapshot(
         self, spark, warehouse
     ):
