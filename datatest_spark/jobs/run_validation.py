@@ -91,6 +91,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "(check, kind) series (canonical order — "
                          "deterministic at any parallelism) into the "
                          "output line; bounded driver collect")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fingerprint-aware ledger resume: re-validate "
+                         "completed partitions whose CONTENT changed "
+                         "since they were validated (metadata-only "
+                         "file-listing fingerprint per partition; "
+                         "needs --ledger, a spec partition_col, and a "
+                         "path-backed primary table)")
     ap.add_argument("--route", default=None,
                     help="quarantine-route the primary table through "
                          "the spec's route.rules in ONE extra scan: "
@@ -111,6 +118,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     tables = load_tables(spark, spec)
     ledger = Ledger(spark, args.ledger) if args.ledger else None
 
+    fingerprints = None
+    if args.incremental:
+        if ledger is None:
+            ap.error("--incremental needs --ledger")
+        src = (spec.get("tables") or {}).get(spec["primary"]) or {}
+        path = src.get("path") if isinstance(src, dict) else None
+        if not path:
+            ap.error(
+                "--incremental needs a path-backed primary table "
+                "in the spec's tables section"
+            )
+        from ..plans.ledger import partition_fingerprints
+
+        fingerprints = partition_fingerprints(path, suite.partition_col)
+
     result = suite.run(
         tables,
         primary=spec["primary"],
@@ -119,6 +141,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         sink_path=args.sink,
         single_file=not args.multi_part,
         share_scan=args.share_scan,
+        fingerprints=fingerprints,
     )
     verdicts = [
         {

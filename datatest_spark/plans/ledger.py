@@ -19,12 +19,23 @@ The ledger is an append-only parquet table:
   violation rows (sum of per-row xxhash64 over the canonical struct), so
   a resumed run can prove it reproduced identical output without
   re-sorting anything.
+* ``fingerprint`` — optional metadata-only CONTENT fingerprint of the
+  partition at validation time (sha256 of the file listing:
+  path/size/mtime per file, no data read).  With
+  ``filter_pending(..., fingerprints=...)`` a completed partition is
+  skipped only while its fingerprint still matches — the INCREMENTAL
+  operating mode: a daily load that rewrites 1% of the partitions
+  re-validates exactly that 1%, everything else resumes for free.
+  Ledger rows written before this column existed read as NULL and are
+  conservatively re-validated (once) under incremental mode.
 
-No wall-clock enters the hashed output (determinism requirement).
+No wall-clock enters the hashed output (determinism requirement; the
+fingerprint is resume METADATA, never part of violation output).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Optional
 
@@ -41,8 +52,46 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("n_violations", T.LongType(), True),
         T.StructField("lineage_hash", T.StringType(), True),
         T.StructField("engine_version", T.StringType(), True),
+        T.StructField("fingerprint", T.StringType(), True),
     ]
 )
+
+
+def partition_fingerprints(path: str, partition_col: str) -> dict:
+    """Metadata-only content fingerprint per hive partition directory:
+    sha256 over the sorted (relative path, size, mtime_ns) file
+    listing under each ``<path>/<partition_col>=<value>/`` directory.
+    NO data is read — one filesystem listing, the same cost class as
+    ``_exists``.  On a real deployment this swaps for one catalog /
+    Iceberg-manifest listing (manifests already carry file path+size;
+    the snapshot id is an even stronger fingerprint) — the documented
+    integration point in ``sources/catalog.py``.
+
+    NULL partitions (hive default dirs) are not fingerprinted: a NULL
+    partition_id is never treated as completed anyway (see
+    ``completed_ids``)."""
+    out: dict = {}
+    prefix = f"{partition_col}="
+    if not os.path.isdir(path):
+        return out
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not (entry.startswith(prefix) and os.path.isdir(full)):
+            continue
+        value = entry[len(prefix):]
+        h = hashlib.sha256()
+        for root, dirs, files in os.walk(full):
+            dirs.sort()
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):  # commit markers / CRCs
+                    continue
+                st = os.stat(os.path.join(root, fn))
+                rel = os.path.relpath(os.path.join(root, fn), full)
+                h.update(
+                    f"{rel}\x00{st.st_size}\x00{st.st_mtime_ns}\x01".encode()
+                )
+        out[value] = h.hexdigest()
+    return out
 
 
 def lineage_hash_col() -> F.Column:
@@ -85,19 +134,46 @@ class Ledger:
     #: falls back from the literal isin predicate to the anti-join
     ISIN_MAX = 100_000
 
-    def completed_ids(self) -> list:
+    def completed_ids(self, fingerprints: Optional[dict] = None) -> list:
         """The completed partition values (the ledger is per-PARTITION —
         bounded by partition count, not data size).  A NULL partition_id
         is dropped: no equality form (isin OR anti-join) can match NULL,
-        so a null-keyed partition is never treated as completed."""
+        so a null-keyed partition is never treated as completed.
+
+        With ``fingerprints`` (current {partition_id: fingerprint} from
+        ``partition_fingerprints``), a partition counts as completed
+        only if some ok ledger row recorded the SAME fingerprint —
+        changed or never-fingerprinted partitions re-queue."""
+        if fingerprints is None:
+            return sorted(
+                r["partition_id"]
+                for r in self.completed().collect()
+                if r["partition_id"] is not None
+            )
+        rows = (
+            self.read()
+            .filter(F.col("status") == "ok")
+            .select("partition_id", "fingerprint")
+            .distinct()
+            .collect()
+        )
         return sorted(
-            r["partition_id"]
-            for r in self.completed().collect()
-            if r["partition_id"] is not None
+            {
+                r["partition_id"]
+                for r in rows
+                if r["partition_id"] is not None
+                and r["fingerprint"] is not None
+                and fingerprints.get(r["partition_id"]) == r["fingerprint"]
+            }
         )
 
     def filter_pending(
-        self, df: DataFrame, partition_col: str = "partition_id", *, mode: str = "auto"
+        self,
+        df: DataFrame,
+        partition_col: str = "partition_id",
+        *,
+        mode: str = "auto",
+        fingerprints: Optional[dict] = None,
     ) -> DataFrame:
         """Drop already-validated partitions BEFORE any check runs.
 
@@ -112,11 +188,19 @@ class Ledger:
         collect; correct on non-partition-aligned columns too, but only
         prunes at runtime, not statically).  ``auto`` uses isin while
         the completed set stays under ``ISIN_MAX``.
+
+        ``fingerprints`` switches to INCREMENTAL resume: a completed
+        partition is skipped only while the ledger's recorded
+        fingerprint equals the current one, so a rewritten partition
+        re-validates (the daily-load mode — validate the 1% that
+        changed, prune the 99% that did not).  The fingerprint match
+        is computed driver-side (the dict is driver-side by nature,
+        one entry per partition), so both modes work from it.
         """
         if mode not in ("auto", "isin", "anti"):
             raise ValueError(f"unknown filter_pending mode {mode!r}")
         if mode in ("auto", "isin"):
-            done = self.completed_ids()
+            done = self.completed_ids(fingerprints)
             if mode == "isin" or len(done) <= self.ISIN_MAX:
                 if not done:
                     return df
@@ -124,15 +208,43 @@ class Ledger:
                 # (matches the anti-join's null semantics)
                 c = F.col(partition_col)
                 return df.filter(c.isNull() | ~c.isin(done))
-        done_df = self.completed().withColumnRenamed("partition_id", "_done_pid")
+        if fingerprints is None:
+            done_df = self.completed().withColumnRenamed(
+                "partition_id", "_done_pid"
+            )
+        else:
+            done_df = self.spark.createDataFrame(
+                [(d,) for d in self.completed_ids(fingerprints)],
+                "_done_pid string",
+            )
         return df.join(
             F.broadcast(done_df),
             F.col(partition_col) == F.col("_done_pid"),
             "left_anti",
         )
 
-    def record(self, entries: DataFrame) -> None:
-        """Append verdict rows (must match LEDGER_SCHEMA columns)."""
+    def record(
+        self, entries: DataFrame, fingerprints: Optional[dict] = None
+    ) -> None:
+        """Append verdict rows (LEDGER_SCHEMA columns; missing nullable
+        columns — e.g. ``fingerprint`` from a pre-incremental caller —
+        are filled with NULL).  ``fingerprints`` tags each row with the
+        partition's current content fingerprint so the next incremental
+        run can skip it while unchanged (synthetic '__global__' /
+        '__null__' verdict rows get no fingerprint and never
+        fingerprint-skip)."""
+        if fingerprints:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in fingerprints.items() for x in kv]
+            )
+            entries = entries.withColumn(
+                "fingerprint", mapping[F.col("partition_id")]
+            )
+        for field in LEDGER_SCHEMA.fields:
+            if field.name not in entries.columns:
+                entries = entries.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
         entries.select(*[f.name for f in LEDGER_SCHEMA.fields]).write.mode(
             "append"
         ).parquet(self.path)

@@ -145,6 +145,7 @@ class ValidationSuite:
         stats_store=None,
         stats_columns: Optional[list] = None,
         share_scan: bool = False,
+        fingerprints: Optional[dict] = None,
     ) -> SuiteResult:
         """``share_scan=True`` materializes the (ledger-pruned) primary
         table into the block cache before any check plan runs, so the N
@@ -155,11 +156,19 @@ class ValidationSuite:
         wide columns you don't validate away FIRST (caching a raw
         100 TB content column is the anti-pattern; caching the pruned
         check columns is the win).  The cache is dropped before run()
-        returns."""
+        returns.
+
+        ``fingerprints`` ({partition_id: content fingerprint}, from
+        ``plans.ledger.partition_fingerprints``) switches ledger resume
+        to INCREMENTAL mode: completed partitions whose content changed
+        since they were validated re-queue, and this run's verdict rows
+        are recorded with the current fingerprints."""
         run_id = run_id or uuid.uuid4().hex[:12]
         main = tables[primary]
         if ledger is not None:
-            main = ledger.filter_pending(main, self.partition_col)
+            main = ledger.filter_pending(
+                main, self.partition_col, fingerprints=fingerprints
+            )
         if share_scan:
             # eager count(): the ONE full read of the source populates
             # the cache BEFORE the union job — branches materializing
@@ -179,6 +188,7 @@ class ValidationSuite:
                 raise_on_failure=raise_on_failure,
                 stats_store=stats_store,
                 stats_columns=stats_columns,
+                fingerprints=fingerprints,
             )
         finally:
             if share_scan:
@@ -197,6 +207,7 @@ class ValidationSuite:
         raise_on_failure: bool,
         stats_store,
         stats_columns,
+        fingerprints: Optional[dict] = None,
     ) -> SuiteResult:
         diffs = self.build_differences(tables)
 
@@ -290,7 +301,10 @@ class ValidationSuite:
         n_viol = sum(r["n_violations"] for r in verdicts_rows)
         if ledger is not None:
             ledger.record(
-                verdicts.sparkSession.createDataFrame(verdicts_rows, verdicts.schema)
+                verdicts.sparkSession.createDataFrame(
+                    verdicts_rows, verdicts.schema
+                ),
+                fingerprints=fingerprints,
             )
 
         # stat sketches are recorded AFTER the verdicts and only for

@@ -161,6 +161,49 @@ def test_cli_job_runs_and_resumes(spark, code_tables, tmp_path, capsys):
     assert rc4 == 0 and out4["n_partitions_checked"] == 0
 
 
+def test_cli_incremental_revalidates_changed_partition(
+    spark, tmp_path, capsys
+):
+    """--incremental: a validated partition whose files were rewritten
+    re-queues on the next run; unchanged partitions stay skipped."""
+    data_path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(p, 5) for p in range(3) for _ in range(20)],
+        "partition_id int, v long",
+    ).write.partitionBy("partition_id").parquet(data_path)
+    spec = {
+        "primary": "tbl",
+        "partition_col": "partition_id",
+        "tables": {"tbl": {"path": data_path}},
+        "checks": [
+            {"check": "interval", "column": "v", "min": 0, "max": 100},
+        ],
+    }
+    ledger = str(tmp_path / "ledger")
+    args = ["--spec", json.dumps(spec), "--ledger", ledger, "--incremental"]
+
+    rc = job_main(args)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_partitions_checked"] == 3
+
+    rc2 = job_main(args)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and out2["n_partitions_checked"] == 0
+
+    # rewrite one partition (still clean) -> exactly it re-validates
+    spark.createDataFrame([(7,)] * 20, "v long").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(data_path + "/partition_id=1")
+    rc3 = job_main(args)
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc3 == 0 and out3["n_partitions_checked"] == 1
+    assert [v["partition_id"] for v in out3["verdicts"]] == ["1"]
+
+    # --incremental without --ledger is an argparse error
+    with pytest.raises(SystemExit):
+        job_main(["--spec", json.dumps(spec), "--incremental"])
+
+
 def test_load_spec_inline_and_file(tmp_path):
     d = {"primary": "t", "tables": {}, "checks": []}
     assert load_spec(json.dumps(d)) == d

@@ -99,6 +99,36 @@ def test_stream_job_drain_resume_and_sink(spark, tmp_path, capsys):
     assert summary["n_violations"] == 1
 
 
+def test_stream_primary_wins_over_static_table_entry(
+    spark, tmp_path, capsys
+):
+    """A spec whose ``tables`` section lists the PRIMARY itself —
+    standard in batch/suggest-emitted specs reused for streaming — must
+    still validate the micro-batch, not the static snapshot: the batch
+    DataFrame wins the merge.  (Regression: the static read used to
+    shadow the stream, silently validating one frozen snapshot per
+    batch.)"""
+    indir = str(tmp_path / "landing")
+    os.makedirs(indir)
+    _write_file(indir, "f1.parquet", [("r1", "a.py", 0, 0)])  # 1 violation
+    static_dir = str(tmp_path / "static")
+    os.makedirs(static_dir)
+    # a CLEAN static snapshot registered under the primary's name
+    _write_file(static_dir, "s.parquet", [("r9", "ok.py", 10, 0)])
+    spec = json.loads(_spec(indir))
+    spec["tables"] = {"code": {"path": static_dir}}
+    rc = stream_main(
+        [
+            "--spec", json.dumps(spec),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--strict",
+        ]
+    )
+    batches, summary = _summary(capsys)
+    assert rc == 1
+    assert summary["n_violations"] == 1 and summary["rows"] == 1
+
+
 def test_stream_spec_validation_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="no 'stream' section"):
         build_stream(spark, {"primary": "x"})

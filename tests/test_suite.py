@@ -237,6 +237,129 @@ def test_ledger_resume_partial(spark, tmp_path):
         )
 
 
+def test_ledger_incremental_revalidates_changed_partition(spark, tmp_path):
+    """Incremental (fingerprint-aware) resume — the daily-load mode:
+    after a fully validated run, rewriting ONE partition's files
+    re-queues exactly that partition, and the incremental run's
+    violation sink is byte-identical to a from-scratch run over the
+    mutated table."""
+    from datatest_spark.operators.requirements import check_interval
+    from datatest_spark.plans.ledger import partition_fingerprints
+    from datatest_spark.suite import violations_sha256
+
+    data_path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(p, 10 + i % 5) for p in range(4) for i in range(50)],
+        "partition_id int, v long",
+    ).write.partitionBy("partition_id").parquet(data_path)
+
+    suite = ValidationSuite(
+        [
+            Check(
+                "v_interval",
+                lambda t: check_interval(
+                    t["tbl"], "v", 0, 100, check_id="v_interval",
+                    partition_id=F.col("partition_id"),
+                ),
+            )
+        ],
+        partition_col="partition_id",
+    )
+    ledger = Ledger(spark, str(tmp_path / "ledger_inc"))
+
+    fps = partition_fingerprints(data_path, "partition_id")
+    assert sorted(fps) == ["0", "1", "2", "3"]
+    r1 = suite.run(
+        {"tbl": spark.read.parquet(data_path)}, primary="tbl",
+        ledger=ledger, run_id="r1", fingerprints=fps,
+    )
+    assert r1.n_partitions_checked == 4 and r1.passed
+
+    # unchanged content -> full skip
+    r2 = suite.run(
+        {"tbl": spark.read.parquet(data_path)}, primary="tbl",
+        ledger=ledger, run_id="r2",
+        fingerprints=partition_fingerprints(data_path, "partition_id"),
+    )
+    assert r2.n_partitions_checked == 0
+
+    # rewrite partition 2: 5 of its 50 rows now break the interval
+    spark.createDataFrame(
+        [(10 + i,) if i % 10 else (999,) for i in range(50)], "v long"
+    ).repartition(1).write.mode("overwrite").parquet(
+        data_path + "/partition_id=2"
+    )
+    fps3 = partition_fingerprints(data_path, "partition_id")
+    assert fps3["2"] != fps["2"]
+    assert all(fps3[k] == fps[k] for k in ("0", "1", "3"))
+
+    sink_inc = str(tmp_path / "sink_inc")
+    r3 = suite.run(
+        {"tbl": spark.read.parquet(data_path)}, primary="tbl",
+        ledger=ledger, run_id="r3", fingerprints=fps3,
+        sink_path=sink_inc,
+    )
+    assert r3.n_partitions_checked == 1
+    v3 = r3.verdicts.collect()
+    assert [r["partition_id"] for r in v3] == ["2"]
+    assert v3[0]["status"] == "failed" and v3[0]["n_violations"] == 5
+
+    # from-scratch run over the mutated table: byte-identical sink
+    # (partitions 0/1/3 are clean, so all violations come from 2)
+    sink_full = str(tmp_path / "sink_full")
+    suite.run(
+        {"tbl": spark.read.parquet(data_path)}, primary="tbl",
+        run_id="scratch", sink_path=sink_full,
+    )
+    assert violations_sha256(spark, sink_inc) == violations_sha256(
+        spark, sink_full
+    )
+
+    # a failed partition never completes: it re-queues until fixed
+    r4 = suite.run(
+        {"tbl": spark.read.parquet(data_path)}, primary="tbl",
+        ledger=ledger, run_id="r4", fingerprints=fps3,
+    )
+    assert r4.n_partitions_checked == 1
+
+
+def test_ledger_incremental_legacy_rows_revalidate_once(spark, tmp_path):
+    """Ledger rows written BEFORE the fingerprint column existed read
+    as NULL fingerprint: under incremental mode they conservatively
+    re-validate (once), then skip on the refreshed rows; plain
+    (non-incremental) resume still honors them as completed."""
+    from datatest_spark.plans.ledger import partition_fingerprints
+
+    data_path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(p, 1) for p in range(2) for _ in range(10)],
+        "partition_id int, v long",
+    ).write.partitionBy("partition_id").parquet(data_path)
+
+    ledger = Ledger(spark, str(tmp_path / "ledger_legacy"))
+    # legacy record: no fingerprint column at all
+    ledger.record(
+        spark.createDataFrame(
+            [("old", "0", "ok", 10, 0, None, "0.1.0"),
+             ("old", "1", "ok", 10, 0, None, "0.1.0")],
+            "run_id string, partition_id string, status string, "
+            "n_rows long, n_violations long, lineage_hash string, "
+            "engine_version string",
+        )
+    )
+    df = spark.read.parquet(data_path)
+    # plain resume: both completed
+    assert ledger.filter_pending(df, "partition_id").count() == 0
+    # incremental: NULL-fingerprint rows are not trusted -> both pending
+    fps = partition_fingerprints(data_path, "partition_id")
+    assert ledger.filter_pending(
+        df, "partition_id", fingerprints=fps
+    ).count() == 20
+    assert ledger.filter_pending(
+        df, "partition_id", mode="anti", fingerprints=fps
+    ).count() == 20
+
+
 def test_suite_records_stat_sketches_with_ledger_resume(spark, tmp_path):
     """stats_store= rides the suite run: sketches cover exactly the
     partitions the run validates; a resumed run sketches only pending
