@@ -991,6 +991,12 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     return edges.mapInPandas(op, schema="s long, d long")
 
 
+#: diagnostics from the most recent duplicate_clusters call in this
+#: process (round counts) — observability for profiling/tuning only,
+#: never part of the result contract
+_LAST_RUN: dict = {}
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     *,
@@ -1144,6 +1150,8 @@ def duplicate_clusters(
         )
 
     converged = False
+    _LAST_RUN.clear()
+    _LAST_RUN.update({"propagation_rounds": 0, "star_rounds": 0})
     try:
         # init = round one fused: label(v) = min(v, min neighbor) in the
         # same agg that discovers the node set (one fewer join round)
@@ -1170,6 +1178,7 @@ def duplicate_clusters(
                 F.sum(F.col("label").cast("decimal(38,0)"))
             ).collect()[0][0]
             labels = new_labels
+            _LAST_RUN["propagation_rounds"] += 1
             if new_sum == prev_sum:
                 converged = True
                 break
@@ -1206,6 +1215,7 @@ def duplicate_clusters(
         )
         prev_sig = None
         for _ in range(max_iter):
+            _LAST_RUN["star_rounds"] += 1
             e = _fresh(_small_star(_large_star(e)))
             # convergence scalar: at the star fixpoint every edge points
             # at its component min, so sum(d) over distinct edges is

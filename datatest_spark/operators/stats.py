@@ -995,12 +995,18 @@ def partition_stat_sketches(
             aggs.append(F.max(col).cast("double").alias(f"_mx_{c}"))
             # mergeable quantile state (DataSketches KLL — PAPERS.md)
             aggs.append(F.kll_sketch_agg_double(col.cast("double")).alias(f"_k_{c}"))
+            # numeric min/max live in *_num; the string pair is never
+            # read for this family (merge renders from the numeric
+            # side), so don't pay two per-row string casts + string
+            # min/max aggs for it
+            aggs.append(F.lit(None).cast("string").alias(f"_mns_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_mxs_{c}"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"_mn_{c}"))
             aggs.append(F.lit(None).cast("double").alias(f"_mx_{c}"))
             aggs.append(F.lit(None).cast("binary").alias(f"_k_{c}"))
-        aggs.append(F.min(col.cast("string")).alias(f"_mns_{c}"))
-        aggs.append(F.max(col.cast("string")).alias(f"_mxs_{c}"))
+            aggs.append(F.min(col.cast("string")).alias(f"_mns_{c}"))
+            aggs.append(F.max(col.cast("string")).alias(f"_mxs_{c}"))
         aggs.append(F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"_h_{c}"))
 
     # NULL partitions get a stable sentinel id: they must be storable /
