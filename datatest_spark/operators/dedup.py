@@ -182,7 +182,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.6,
     candidates: Optional[DataFrame] = None,
-    strategy: str = "posting_list",
+    strategy: str = "heuristic",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
 
@@ -193,7 +193,20 @@ def ngram_jaccard_pairs(
     ``strategy`` picks the candidate-free physical plan (exact either
     way):
 
-    * ``"posting_list"`` (default) — the full inverted-index counting
+    * ``"heuristic"`` (default) — pick between the two pure-lazy plans
+      below from the call's own parameters, running zero jobs:
+      ``prefix`` when ``ngram <= 2 and threshold >= 0.7``, else
+      ``posting_list``.  Rationale: the posting-list join's Σ_gram df²
+      term explodes exactly when posting lists are HOT, and unigrams /
+      bigrams on natural text are the hot regime (a 50 k-doc corpus has
+      ~50 k-long unigram lists for common words); the prefix filter
+      kills that term but pays a df-ranking shuffle plus gram-array
+      shipping per candidate, which only amortizes when the threshold
+      keeps prefixes short.  Measured at the crossover (5 k docs,
+      local[32], interleaved): unigram t=0.8 prefix 13.6 s vs
+      posting_list 48 s; trigram t=0.7 posting_list 2.2 s vs prefix
+      6 s — the two named strategies each win their regime by ~3×.
+    * ``"posting_list"`` — the full inverted-index counting
       join; PURE lazy builder, constructing the DataFrame runs zero
       jobs.  Cost is Σ_gram df² over ALL posting lists.
     * ``"prefix"`` — prefix-filtered inverted index (the all-pairs
@@ -217,9 +230,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), ngram).alias("_grams")
     )
     if candidates is None:
-        if strategy not in ("posting_list", "prefix", "bitset", "auto"):
+        if strategy not in ("heuristic", "posting_list", "prefix", "bitset", "auto"):
             raise ValueError(
-                "strategy must be 'posting_list', 'prefix', 'bitset' or 'auto'"
+                "strategy must be 'heuristic', 'posting_list', 'prefix', "
+                "'bitset' or 'auto'"
+            )
+        if strategy == "heuristic":
+            strategy = (
+                "prefix" if (ngram <= 2 and threshold >= 0.7) else "posting_list"
             )
         # Inverted-index intersection COUNTING: explode to (id, gram)
         # postings, self-join on the gram, count shared grams per pair,

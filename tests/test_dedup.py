@@ -213,6 +213,28 @@ def test_ngram_jaccard_strategies_agree(spark, docs):
         assert got == want, strat
 
 
+def test_ngram_jaccard_heuristic_resolution(spark, docs):
+    """The lazy 'heuristic' default resolves to prefix in the hot-vocab
+    regime (ngram<=2, t>=0.7) and posting_list otherwise — asserted on
+    the optimized plan: only the prefix plan carries the row_number df
+    ranking (a Window), the posting-list plan has none."""
+
+    def has_window(df):
+        return "Window" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    before = _n_jobs(spark)
+    hot = ngram_jaccard_pairs(docs, ngram=1, threshold=0.8)
+    cold = ngram_jaccard_pairs(docs, ngram=3, threshold=0.5)
+    assert _n_jobs(spark) == before  # still a pure plan builder
+    assert has_window(hot) and not has_window(cold)
+    assert has_window(
+        ngram_jaccard_pairs(docs, ngram=1, threshold=0.8, strategy="prefix")
+    )
+    assert not has_window(
+        ngram_jaccard_pairs(docs, ngram=1, threshold=0.8, strategy="posting_list")
+    )
+
+
 def test_ngram_jaccard_prefix_is_lazy_and_exact(spark):
     """strategy='prefix' is a pure plan builder (zero probe jobs) and its
     prefix-filtered candidate set loses NO true pair vs the full
