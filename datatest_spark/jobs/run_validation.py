@@ -98,6 +98,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "file-listing fingerprint per partition; "
                          "needs --ledger, a spec partition_col, and a "
                          "path-backed primary table)")
+    ap.add_argument("--observe", action="store_true",
+                    help="collect per-check violation counts as a "
+                         "side-effect of the run's own job (Spark "
+                         "Observation — zero extra scans, unlike "
+                         "--report's summary agg) into the output "
+                         "line's check_counts field")
     ap.add_argument("--route", default=None,
                     help="quarantine-route the primary table through "
                          "the spec's route.rules in ONE extra scan: "
@@ -142,6 +148,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         single_file=not args.multi_part,
         share_scan=args.share_scan,
         fingerprints=fingerprints,
+        observe_checks=args.observe,
     )
     verdicts = [
         {
@@ -161,6 +168,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "n_partitions_checked": result.n_partitions_checked,
         "verdicts": verdicts,
     }
+    if result.check_counts is not None:
+        out["check_counts"] = result.check_counts
     trend = None
     anomalies = None
     if args.report or args.previous_report or args.history:

@@ -74,6 +74,10 @@ class SuiteResult:
     warn_check_ids: tuple = ()  # check_ids running at warn severity
     stats: Optional[DataFrame] = None  # merged table stats when a
     # StatSketchStore was passed to run() (lazy)
+    check_counts: Optional[dict] = None  # per-check violation counts
+    # observed during the run's own job when observe_checks=True —
+    # zero extra scans (rows whose check_id matches no registered
+    # check land under "__other__")
 
     @property
     def passed(self) -> bool:
@@ -146,8 +150,20 @@ class ValidationSuite:
         stats_columns: Optional[list] = None,
         share_scan: bool = False,
         fingerprints: Optional[dict] = None,
+        observe_checks: bool = False,
     ) -> SuiteResult:
-        """``share_scan=True`` materializes the (ledger-pruned) primary
+        """``observe_checks=True`` attaches a Spark ``Observation`` to
+        the post-acceptance difference plan: per-check violation counts
+        are collected as a side-effect of the run's OWN first action
+        (the sink write, or the verdict aggregation) — zero additional
+        scans, unlike ``result.report()`` whose summary re-executes the
+        diff plan.  At 100 TB this is the difference between "which
+        check fired, for free" and a second full pass.  Exposed as
+        ``SuiteResult.check_counts`` ({check name: count}, with rows
+        whose ``check_id`` matches no registered check under
+        ``"__other__"``).
+
+        ``share_scan=True`` materializes the (ledger-pruned) primary
         table into the block cache before any check plan runs, so the N
         check branches of the unioned difference job all read the
         in-memory copy — the source is scanned ONCE instead of once per
@@ -189,6 +205,7 @@ class ValidationSuite:
                 stats_store=stats_store,
                 stats_columns=stats_columns,
                 fingerprints=fingerprints,
+                observe_checks=observe_checks,
             )
         finally:
             if share_scan:
@@ -208,8 +225,33 @@ class ValidationSuite:
         stats_store,
         stats_columns,
         fingerprints: Optional[dict] = None,
+        observe_checks: bool = False,
     ) -> SuiteResult:
         diffs = self.build_differences(tables)
+
+        # named Observation on the final diff plan: per-check counts
+        # accumulate inside whichever action materializes it first (the
+        # sink write or the verdict agg below) — a free side-channel,
+        # never a job of its own.  Aliases are positional (_dts_c{i})
+        # so arbitrary check names can't collide with column rules.
+        obs = None
+        if observe_checks:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"dts_checks_{run_id}")
+            metrics = [
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("_dts_total")
+            ]
+            for i, c in enumerate(self.checks):
+                metrics.append(
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("check_id") == c.name, 1).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).alias(f"_dts_c{i}")
+                )
+            diffs = diffs.observe(obs, *metrics)
 
         # per-partition verdicts: rows checked vs violations found.
         # (two aggregations over tiny/pruned relations — the diff agg
@@ -292,13 +334,18 @@ class ValidationSuite:
             )
         )
 
-        if sink_path:
-            write_violations(diffs, sink_path, single_file=single_file)
-            # reuse sink output for the verdict counts? verdicts are tiny;
-            # recomputation is one extra pass over pruned columns only.
-
+        # verdicts FIRST, sink second: the verdict aggregation is a hash
+        # agg that evaluates the diff plan exactly once, so it is the
+        # action an Observation can trust; the sink's global sort draws
+        # range boundaries from a SAMPLING pass that evaluates the child
+        # a second time inside the same job, which would double every
+        # observed count.  (Verdicts are tiny; the sink is one extra
+        # pass over pruned columns either way.)
         verdicts_rows = verdicts.collect()
         n_viol = sum(r["n_violations"] for r in verdicts_rows)
+
+        if sink_path:
+            write_violations(diffs, sink_path, single_file=single_file)
         if ledger is not None:
             ledger.record(
                 verdicts.sparkSession.createDataFrame(
@@ -328,6 +375,36 @@ class ValidationSuite:
                 only_ids=ok_ids,
             )
 
+        check_counts = None
+        if obs is not None:
+            # the verdict collect above always executed the observed
+            # plan, so this get never blocks
+            names = ["_dts_total"] + [
+                f"_dts_c{i}" for i in range(len(self.checks))
+            ]
+            try:
+                got = obs.get
+            except Exception:
+                # AQE empty-relation propagation: when the observed diff
+                # relation is provably empty at runtime, Spark replaces
+                # the subtree and the JVM metrics row comes back
+                # schema-less — pyspark's toPyRow rejects it.  Read the
+                # row positionally instead; a ZERO-FIELD row can only
+                # mean the propagation fired, i.e. the relation was
+                # empty, so every count is its empty-input value (0).
+                jrow = obs._jo.getRow()
+                if jrow.size() == 0:
+                    got = {n: 0 for n in names}
+                else:
+                    got = {n: jrow.get(i) for i, n in enumerate(names)}
+            check_counts = {
+                c.name: int(got[f"_dts_c{i}"])
+                for i, c in enumerate(self.checks)
+            }
+            other = int(got["_dts_total"]) - sum(check_counts.values())
+            if other:
+                check_counts["__other__"] = other
+
         result = SuiteResult(
             run_id=run_id,
             differences=diffs,
@@ -337,6 +414,7 @@ class ValidationSuite:
             warn_check_ids=tuple(warn_ids),
             n_partitions_checked=len(verdicts_rows),
             stats=merged_stats,
+            check_counts=check_counts,
         )
         if raise_on_failure and n_viol:
             # raise on ERROR-severity survivors only (warn rows stay in

@@ -998,3 +998,27 @@ def test_cli_examples_collects_bounded_exemplars(code_tables, capsys):
     # canonical order within the collected list
     keys = [(e["check_id"], e["diff_kind"]) for e in ex]
     assert keys == sorted(keys)
+
+
+def test_cli_observe_check_counts(code_tables, tmp_path, capsys):
+    """--observe surfaces per-check violation counts in the output line,
+    collected by the run's own job (Observation side-channel), and they
+    reconcile with the verdict totals — sink on, so the counts must ride
+    the single-evaluation verdict agg, not the sink's sampling sort."""
+    _, _, code_p, repos_p = code_tables
+    spec = {
+        "primary": "code",
+        "partition_col": "partition_id",
+        "tables": {"code": {"path": code_p}, "repos": {"path": repos_p}},
+        "checks": SPEC_CHECKS,
+    }
+    rc = job_main(["--spec", json.dumps(spec), "--observe",
+                   "--sink", str(tmp_path / "sink")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    counts = out["check_counts"]
+    # the spec compiler guarantees emitted check_id == check name, so
+    # every row is attributed — one entry per spec check, no __other__
+    assert len(counts) == len(SPEC_CHECKS) and "__other__" not in counts
+    assert sum(counts.values()) == out["n_violations"] + out["n_warnings"]
+    assert all(v >= 0 for v in counts.values())

@@ -562,3 +562,52 @@ def test_spec_severity_roundtrip(spark):
     )
     res = suite.run({"t": df}, primary="t")
     assert res.passed and res.n_warnings == 1
+
+
+def _n_jobs(spark) -> int:
+    """Total jobs this application has run (AppStatusStore)."""
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_observe_checks_counts_without_extra_jobs(spark):
+    """observe_checks=True collects per-check violation counts that
+    match the report's summary aggregation — at the SAME job count as
+    an unobserved run (the Observation rides the run's own actions,
+    never a job of its own)."""
+    suite = _suite()
+    tables = _tables(spark, "dirty")
+    base_before = _n_jobs(spark)
+    res_plain = suite.run(tables, primary="code")
+    plain_jobs = _n_jobs(spark) - base_before
+    assert res_plain.check_counts is None
+
+    before = _n_jobs(spark)
+    res = suite.run(tables, primary="code", observe_checks=True)
+    assert _n_jobs(spark) - before == plain_jobs
+    want = {
+        r["check_id"]: r["n"]
+        for r in res.differences.groupBy("check_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v for k, v in res.check_counts.items() if v} == want
+    assert "__other__" not in res.check_counts
+    assert set(res.check_counts) == {c.name for c in suite.checks}
+    assert sum(res.check_counts.values()) == res.n_violations + res.n_warnings
+
+
+def test_observe_checks_clean_run_and_sink(spark, tmp_path):
+    """Clean run: every observed count is zero.  With a sink the
+    observation rides the sink write (the first action over the diff
+    plan) and still reports the same counts."""
+    suite = _suite()
+    res = suite.run(_tables(spark, "clean"), primary="code", observe_checks=True)
+    assert res.check_counts == {c.name: 0 for c in suite.checks}
+
+    res2 = suite.run(
+        _tables(spark, "dirty"),
+        primary="code",
+        observe_checks=True,
+        sink_path=str(tmp_path / "sink"),
+    )
+    assert sum(res2.check_counts.values()) == res2.n_violations
