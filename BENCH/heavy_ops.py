@@ -79,6 +79,18 @@ def op_minhash(spark, path: str):
     return minhash_dedup_pairs(d, ngram=3, threshold=0.7)
 
 
+def op_jaccard_dense(spark, path: str):
+    # the pair GENERATION component of op_clusters, alone: the fixture's
+    # unigram-0.8 graph is pathologically dense (~3M true pairs per 5k-doc
+    # copy, avg degree ~1.5k), so exact verification of the output IS the
+    # workload — this row lets the ladder attribute dup_clusters' cost
+    # (clusters' own constant = the difference between the two rows)
+    from datatest_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(path)
+    return ngram_jaccard_pairs(d, ngram=1, threshold=0.8)
+
+
 def op_clusters(spark, path: str):
     from datatest_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
 
@@ -98,7 +110,12 @@ def op_decontam(spark, path: str):
     return contamination_pairs(corpus, ev, ngram=3, min_frac=0.0)
 
 
-OPS = {"minhash_lsh": op_minhash, "dup_clusters": op_clusters, "decontam": op_decontam}
+OPS = {
+    "minhash_lsh": op_minhash,
+    "jaccard_dense": op_jaccard_dense,
+    "dup_clusters": op_clusters,
+    "decontam": op_decontam,
+}
 
 
 def main() -> None:
