@@ -106,6 +106,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 when any batch had error-severity "
                          "violations")
+    ap.add_argument("--observe", action="store_true",
+                    help="per-check violation counts in every batch "
+                         "line (check_counts), collected by the "
+                         "batch's own verdict job via a Spark "
+                         "Observation — zero extra scans of the batch")
     ap.add_argument("--route", default=None,
                     help="quarantine-route every micro-batch through "
                          "the spec's route.rules (one extra scan of "
@@ -159,6 +164,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             run_id=f"batch_{batch_id}",
             sink_path=sink,
             single_file=True,
+            observe_checks=args.observe,
         )
         # foreachBatch is at-least-once: a replayed batch rewrites its
         # idempotent ``batch_id=<id>`` sink but must not re-increment
@@ -183,6 +189,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         }
         if replayed:
             line["replayed"] = True
+        if result.check_counts is not None:
+            line["check_counts"] = result.check_counts
         if route_rules_json:
             from ..operators.quarantine import rules_from_spec, write_routed
 

@@ -238,7 +238,10 @@ class ValidationSuite:
         if observe_checks:
             from pyspark.sql import Observation
 
-            obs = Observation(f"dts_checks_{run_id}")
+            # fresh random name, never the run_id: replayed streaming
+            # batches reuse their run_id, and JVM observation listeners
+            # key on the name
+            obs = Observation(f"dts_checks_{uuid.uuid4().hex[:12]}")
             metrics = [
                 F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("_dts_total")
             ]

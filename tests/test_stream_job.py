@@ -172,3 +172,21 @@ def test_stream_route_quarantines_per_batch(spark, tmp_path, capsys):
     assert set(
         r["failed_checks"][0] for r in bad.select("failed_checks").collect()
     ) == {"len_pos"}
+
+
+def test_stream_observe_per_batch_counts(spark, tmp_path, capsys):
+    """--observe: every batch line carries check_counts collected by the
+    batch's own verdict job (fresh Observation per batch — names never
+    collide across batches/replays)."""
+    indir = str(tmp_path / "landing")
+    os.makedirs(indir)
+    _write_file(indir, "f1.parquet",
+                [("r1", "a.py", 10, 0), ("r1", "b.py", 0, 0)])  # 1 violation
+    _write_file(indir, "f2.parquet", [("r2", "c.go", 5, 1)])   # clean
+    rc = stream_main(["--spec", _spec(indir), "--observe",
+                      "--checkpoint", str(tmp_path / "ckpt")])
+    batches, summary = _summary(capsys)
+    assert rc == 0 and summary["n_batches"] == 2
+    counts = [b["check_counts"] for b in batches]
+    assert all(set(c) == {"interval_content_len"} for c in counts)
+    assert sorted(c["interval_content_len"] for c in counts) == [0, 1]
