@@ -166,6 +166,13 @@ def main() -> None:
         "(the salted fixture guarantees it); any other ratio means the",
         "operator leaked cross-copy pairs and the exponent is meaningless.",
         "",
+        "Attribution: `jaccard_dense` is `dup_clusters`' pair-generation",
+        "component alone — the fixture's unigram-0.8 graph is pathologically",
+        "dense (~3M TRUE pairs per 5k-doc copy, avg degree ~1.5k), so exact",
+        "verification of the output IS the workload; the clustering-own",
+        "constant is the difference between the two rows (~0 after the",
+        "partition-local union-find pre-contraction: 1 propagation round).",
+        "",
         f"Raw timings (s): "
         + "; ".join(
             f"{name} 1x={['%.2f' % t for t in times[name][1]]} "
