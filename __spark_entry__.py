@@ -2548,6 +2548,56 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+def q_repeated_spans_documents(spark, sf_dir):
+    """Winnowed cross-document repeated spans (Schleimer et al.
+    winnowing; the exact-substring repetition signal of Lee et al.
+    span dedup): 5-token windows, winnow 4, reported when the exact
+    span text occurs in >= 2 distinct docs.  Selection is min
+    (md5(span), pos) per winnowing window — md5 is identical in both
+    engines, so the oracle replays the SAME selection and the value
+    compare covers the full fingerprint/group/join pipeline."""
+    from datatest_spark.operators.dedup import repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_spans(d, span_tokens=5, winnow=4, min_docs=2)
+
+
+SQL_REPEATED_SPANS_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n, t,
+         unnest(range(0, len(t) - 4)) AS pos
+  FROM toks WHERE len(t) >= 8
+), enc AS (
+  SELECT doc_id, n, pos,
+         array_to_string(t[pos+1:pos+5], ' ') AS span,
+         md5(array_to_string(t[pos+1:pos+5], ' '))
+           || '|' || format('{:010d}', pos) AS k
+  FROM grams
+), wins AS (
+  SELECT doc_id, pos, n,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM enc
+), sel AS (
+  SELECT DISTINCT doc_id, sel FROM wins WHERE pos <= n - 8
+), occ AS (
+  SELECT p.doc_id, CAST(substr(p.sel, 34) AS INTEGER) AS pos, e.span
+  FROM sel p JOIN enc e
+    ON e.doc_id = p.doc_id AND e.pos = CAST(substr(p.sel, 34) AS INTEGER)
+), qual AS (
+  SELECT span, count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occurrences
+  FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT o.span, o.doc_id, o.pos, q.n_docs, q.n_occurrences
+FROM occ o JOIN qual q ON o.span = q.span
+"""
+
+
 def q_table_diff_orders(spark, sf_dir):
     """datacompy-style two-table reconciliation ("compare this load
     against yesterday's"): actual vs a deterministically perturbed
@@ -4041,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04.json: the driver's correctness board certifies the
     # first 50 entries, so never-certified queries go first.
     return {
+        "repeated_spans_documents": q_repeated_spans_documents,
         "suggest_referential_composite": q_suggest_referential_composite,
         "acceptance_instance_nation": q_acceptance_instance_nation,
         "acceptance_list_quantity": q_acceptance_list_quantity,
@@ -4205,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_documents": SQL_C4_DOCUMENTS,
         "repetition_documents": SQL_REPETITION_DOCUMENTS,
         "dedup_lines_documents": SQL_DEDUP_LINES_DOCUMENTS,
+        "repeated_spans_documents": SQL_REPEATED_SPANS_DOCUMENTS,
         "dedup_near_documents": SQL_DEDUP_NEAR,
         "rowcount_drift_events": SQL_ROWCOUNT_DRIFT,
         "freshness_events": SQL_FRESHNESS_EVENTS,

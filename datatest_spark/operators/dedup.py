@@ -539,6 +539,116 @@ def ngram_containment_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowed repeated spans (cross-document substring repetition)
+# ---------------------------------------------------------------------------
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    winnow: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated SPANS: winnowed ``span_tokens``-token
+    windows whose exact text appears in ≥ ``min_docs`` distinct docs —
+    the boilerplate/license-header/template-prose signal exact-substring
+    training-data dedup targets (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"), at span granularity.  Line
+    dedup (``dedup_lines``) only sees repetition that respects line
+    boundaries; this sees any long shared run of tokens.
+
+    Fingerprint selection is winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every w-token window, then in each run of
+    ``winnow`` consecutive window hashes keep the (hash, pos)-minimum.
+    GUARANTEE: two docs sharing a verbatim token run of length ≥
+    ``span_tokens + winnow - 1`` select at least one identical
+    fingerprint (selection depends only on content), while only
+    ~2/(winnow+1) of all windows survive — the sampling that makes the
+    span groupBy tractable.  Selected spans are grouped by their exact
+    TEXT (md5 orders the selection; identity never rides the hash), so
+    reported repeats are certain, never hash-collision artifacts.
+
+    Output: one row per selected occurrence of a qualifying span —
+    ``(span, doc_id, pos, n_docs, n_occurrences)`` with ``pos`` the
+    0-based token offset.  Docs shorter than ``span_tokens + winnow - 1``
+    tokens contribute nothing (no full winnowing window exists);
+    within-doc repetition is ``repetition_stats``' domain (``min_docs``
+    counts distinct docs).
+
+    Scale shape: tokenization, hashing, and winnowing are ONE
+    scan-local projection (the sliding minimum is an elementwise
+    ``least`` across ``winnow`` shifted array copies — codegen'd, no
+    per-index interpreted slicing, no exchange); the only data shuffle
+    is the groupBy on surviving fingerprints (~2/(winnow+1) of the
+    corpus' windows), map-side partial; the qualifying-span set joins
+    back broadcast-small in the common case.  No UDF anywhere.
+    """
+    w, win, k = int(span_tokens), int(winnow), int(min_docs)
+    if w < 1 or win < 1 or k < 1:
+        raise ValueError(
+            f"span_tokens, winnow and min_docs must be >= 1: "
+            f"{span_tokens}, {winnow}, {min_docs}"
+        )
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    n_grams = n - F.lit(w - 1)  # windows at pos 0..n-w
+    n_starts = n_grams - F.lit(win - 1)  # full winnowing windows only
+    # w-token window per position via the shifted-zip trick (O(tokens·w)
+    # codegen'd work; see word_ngrams for why per-index slicing loses)
+    shifted = [
+        toks if i == 0 else F.slice(toks, i + 1, F.greatest(n_grams, F.lit(0)))
+        for i in range(w)
+    ]
+    spans = F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, F.greatest(n_grams, F.lit(1))),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(w)]),
+    )
+    base = df.filter(n_starts >= 1).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            spans,
+            lambda s, i: F.struct(
+                F.md5(s).alias("h"), i.alias("pos"), s.alias("span")
+            ),
+        ).alias("_enc"),
+    )
+    # winnowing: fingerprint of window start j = least (h, pos, span)
+    # over the next `win` encoded entries — struct ordering is (h, pos)
+    # since pos is unique per doc; equal-length shifted slices, so
+    # arrays_zip never pads (every window is FULL by the n_starts gate)
+    n_s = F.size(F.col("_enc")) - F.lit(win - 1)
+    sel_shifted = [
+        F.slice(F.col("_enc"), j + 1, n_s) for j in range(win)
+    ]
+    if win == 1:
+        fps = F.col("_enc")
+    else:
+        fps = F.transform(
+            F.arrays_zip(*sel_shifted),
+            lambda z: F.least(*[z[str(j)] for j in range(win)]),
+        )
+    sel = base.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("_f")
+    ).select(
+        "doc_id", F.col("_f.pos").alias("pos"), F.col("_f.span").alias("span")
+    )
+    qual = (
+        sel.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= k)
+    )
+    return sel.join(qual, "span").select(
+        "span", "doc_id", "pos", "n_docs", "n_occurrences"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -593,3 +593,71 @@ def test_containment_random_parity_vs_bruteforce(spark):
         if c >= 0.6:
             want[(a, b)] = c
     assert got == want and len(want) > 5
+
+
+def _winnow_literal(text, w, W):
+    """Literal winnowing reference (Schleimer et al.): selected
+    (pos, span) fingerprints of one doc, or [] when no full window."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+    spans = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+    enc = [(hashlib.md5(s.encode()).hexdigest(), i, s) for i, s in enumerate(spans)]
+    if len(enc) < W:
+        return []
+    sel = {min(enc[j:j + W]) for j in range(len(enc) - W + 1)}
+    return sorted((p, s) for _h, p, s in sel)
+
+
+def test_repeated_spans_matches_literal_winnowing(spark):
+    """Operator output == the literal per-doc winnowing reference,
+    grouped/filtered in python — including the guarantee that a shared
+    run of >= w+W-1 tokens across two docs is reported."""
+    from datatest_spark.operators.dedup import repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again ok"
+    docs = [
+        (0, f"alpha beta {shared} gamma delta epsilon"),
+        (1, f"one two three four five six {shared} seven eight"),
+        (2, "unrelated words entirely disjoint from anything else here now"),
+        (3, "short doc"),  # < w+W-1 tokens: contributes nothing
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w, W = 5, 4
+    got = {
+        (r["span"], r["doc_id"], r["pos"], r["n_docs"], r["n_occurrences"])
+        for r in repeated_spans(
+            df, span_tokens=w, winnow=W, min_docs=2
+        ).collect()
+    }
+    # literal reference: winnow each doc, group by span text
+    per_doc = {i: _winnow_literal(t or "", w, W) for i, t in docs}
+    occs = [
+        (s, i, p) for i, fps in per_doc.items() for (p, s) in fps
+    ]
+    from collections import defaultdict
+
+    by_span = defaultdict(list)
+    for s, i, p in occs:
+        by_span[s].append((i, p))
+    want = {
+        (s, i, p, len({i2 for i2, _ in v}), len(v))
+        for s, v in by_span.items()
+        if len({i2 for i2, _ in v}) >= 2
+        for i, p in v
+    }
+    assert got == want and got  # non-empty: the planted run was found
+    # the shared 12-token run (>= w+W-1 = 8) is guaranteed reported
+    assert any(s in shared for s, *_ in got)
+
+
+def test_repeated_spans_validates_args(spark):
+    from datatest_spark.operators.dedup import repeated_spans
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        repeated_spans(df, span_tokens=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        repeated_spans(df, winnow=0)
