@@ -2598,6 +2598,57 @@ FROM occ o JOIN qual q ON o.span = q.span
 """
 
 
+def q_repeated_span_pairs_documents(spark, sf_dir):
+    """Exact-substring candidate pairs (Lee et al. pair generation):
+    docs sharing >= 1 winnowed span text, span frequency capped at 64
+    docs.  Same winnowing selection as repeated_spans_documents, so the
+    oracle replays the identical fingerprint choice and the value
+    compare covers selection + frequency cap + pair join + count."""
+    from datatest_spark.operators.dedup import repeated_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_span_pairs(
+        d, span_tokens=5, winnow=4, min_shared=1, max_docs_per_span=64
+    )
+
+
+SQL_REPEATED_SPAN_PAIRS_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n, t,
+         unnest(range(0, len(t) - 4)) AS pos
+  FROM toks WHERE len(t) >= 8
+), enc AS (
+  SELECT doc_id, n, pos,
+         array_to_string(t[pos+1:pos+5], ' ') AS span,
+         md5(array_to_string(t[pos+1:pos+5], ' '))
+           || '|' || format('{:010d}', pos) AS k
+  FROM grams
+), wins AS (
+  SELECT doc_id, pos, n,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM enc
+), sel AS (
+  SELECT DISTINCT doc_id, sel FROM wins WHERE pos <= n - 8
+), ds AS (
+  SELECT DISTINCT p.doc_id, e.span
+  FROM sel p JOIN enc e
+    ON e.doc_id = p.doc_id AND e.pos = CAST(substr(p.sel, 34) AS INTEGER)
+), fr AS (
+  SELECT span FROM ds GROUP BY span HAVING count(*) BETWEEN 2 AND 64
+), s AS (
+  SELECT ds.doc_id, ds.span FROM ds JOIN fr USING (span)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_spans
+FROM s a JOIN s b ON a.span = b.span AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_table_diff_orders(spark, sf_dir):
     """datacompy-style two-table reconciliation ("compare this load
     against yesterday's"): actual vs a deterministically perturbed
@@ -4092,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries, so never-certified queries go first.
     return {
         "repeated_spans_documents": q_repeated_spans_documents,
+        "repeated_span_pairs_documents": q_repeated_span_pairs_documents,
         "suggest_referential_composite": q_suggest_referential_composite,
         "acceptance_instance_nation": q_acceptance_instance_nation,
         "acceptance_list_quantity": q_acceptance_list_quantity,
@@ -4257,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": SQL_REPETITION_DOCUMENTS,
         "dedup_lines_documents": SQL_DEDUP_LINES_DOCUMENTS,
         "repeated_spans_documents": SQL_REPEATED_SPANS_DOCUMENTS,
+        "repeated_span_pairs_documents": SQL_REPEATED_SPAN_PAIRS_DOCUMENTS,
         "dedup_near_documents": SQL_DEDUP_NEAR,
         "rowcount_drift_events": SQL_ROWCOUNT_DRIFT,
         "freshness_events": SQL_FRESHNESS_EVENTS,

@@ -592,6 +592,28 @@ def repeated_spans(
             f"span_tokens, winnow and min_docs must be >= 1: "
             f"{span_tokens}, {winnow}, {min_docs}"
         )
+    sel = _winnowed_occurrences(df, id_col, text_col, w, win)
+    qual = (
+        sel.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= k)
+    )
+    return sel.join(qual, "span").select(
+        "span", "doc_id", "pos", "n_docs", "n_occurrences"
+    )
+
+
+def _winnowed_occurrences(
+    df: DataFrame, id_col: str, text_col: str, w: int, win: int
+) -> DataFrame:
+    """Winnowed fingerprint occurrences of every doc: one row per
+    SELECTED w-token window — ``(doc_id, pos, span)``.  Selection is
+    the (md5, pos)-minimum of each run of ``win`` consecutive windows
+    (see ``repeated_spans`` for the guarantee); everything below is one
+    scan-local codegen'd projection + an explode, no shuffle."""
     toks = tokens(normalize_text(F.col(text_col)))
     n = F.size(toks)
     n_grams = n - F.lit(w - 1)  # windows at pos 0..n-w
@@ -630,21 +652,79 @@ def repeated_spans(
             F.arrays_zip(*sel_shifted),
             lambda z: F.least(*[z[str(j)] for j in range(win)]),
         )
-    sel = base.select(
+    return base.select(
         "doc_id", F.explode(F.array_distinct(fps)).alias("_f")
     ).select(
         "doc_id", F.col("_f.pos").alias("pos"), F.col("_f.span").alias("span")
     )
-    qual = (
-        sel.groupBy("span")
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    winnow: int = 8,
+    min_shared: int = 1,
+    max_docs_per_span: int = 64,
+) -> DataFrame:
+    """Candidate near-duplicate PAIRS from shared winnowed spans — the
+    pair-generation step of exact-substring dedup (Lee et al.): two
+    docs pair when they share ≥ ``min_shared`` distinct selected span
+    texts.  By the winnowing guarantee (see ``repeated_spans``), any
+    two docs sharing a verbatim run of ≥ ``span_tokens + winnow - 1``
+    tokens share at least one selected fingerprint, so with
+    ``min_shared=1`` every such pair is emitted — unlike MinHash this
+    path has no probabilistic misses for long exact overlaps, and
+    unlike Jaccard it fires on a long shared run inside otherwise
+    disjoint docs.  Composes with ``dedup_near(pairs=...)``.
+
+    ``max_docs_per_span`` caps the span-frequency fan-out: a span
+    occurring in d docs yields d(d-1)/2 pairs, so ubiquitous
+    boilerplate (in >cap docs) is EXCLUDED from pairing — the standard
+    posting-cap trade-off (same as LSH bucket caps): such spans carry
+    no pairing information ("everything matches everything") and are
+    exactly what ``repeated_spans`` itself reports for removal.
+
+    Output: ``(id_a, id_b, n_shared_spans)`` with ``id_a < id_b``;
+    ``n_shared_spans`` counts distinct shared selected span texts.
+
+    Scale shape: selection is scan-local (no shuffle); the (doc, span)
+    distinct + span-frequency filter shuffle compact fingerprint rows
+    (~2/(winnow+1) of windows); the self-join hash-partitions the
+    qualifying relation ONCE by span (ReuseExchange dedupes the two
+    identical sides), and per-span fan-out is bounded by the cap, so no
+    task can hotspot.  No UDF anywhere.
+    """
+    w, win = int(span_tokens), int(winnow)
+    ms, cap = int(min_shared), int(max_docs_per_span)
+    if w < 1 or win < 1 or ms < 1 or cap < 2:
+        raise ValueError(
+            f"span_tokens/winnow/min_shared must be >= 1 and "
+            f"max_docs_per_span >= 2: {span_tokens}, {winnow}, "
+            f"{min_shared}, {max_docs_per_span}"
         )
-        .filter(F.col("n_docs") >= k)
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    sel = (
+        _winnowed_occurrences(df, id_col, text_col, w, win)
+        .select("doc_id", "span")
+        .distinct()
     )
-    return sel.join(qual, "span").select(
-        "span", "doc_id", "pos", "n_docs", "n_occurrences"
+    freq = sel.groupBy("span").agg(F.count(F.lit(1)).alias("_nd"))
+    ok = freq.filter(
+        (F.col("_nd") >= 2) & (F.col("_nd") <= cap)
+    ).select("span")
+    # one explicit hash exchange by the join key, reused by both sides
+    # of the self-join (same pattern as the prefix-postings join above)
+    s = sel.join(ok, "span").repartition(n_tasks, "span")
+    return (
+        s.select("span", F.col("doc_id").alias("id_a"))
+        .join(s.select("span", F.col("doc_id").alias("id_b")), "span")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= ms)
     )
 
 

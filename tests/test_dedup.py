@@ -661,3 +661,90 @@ def test_repeated_spans_validates_args(spark):
         repeated_spans(df, span_tokens=0)
     with pytest.raises(ValueError, match="must be >= 1"):
         repeated_spans(df, winnow=0)
+
+
+def test_repeated_span_pairs_matches_literal_winnowing(spark):
+    """Pair output == the literal winnowing reference paired in python,
+    including the frequency cap and the long-shared-run guarantee."""
+    from datatest_spark.operators.dedup import repeated_span_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again ok"
+    boiler = "standard header licensed under the apache license version two zero"
+    docs = [
+        (0, f"alpha beta {shared} gamma delta epsilon"),
+        (1, f"one two three four five six {shared} seven eight"),
+        (2, f"{boiler} body text that differs entirely here for doc two"),
+        (3, f"{boiler} another body wholly unlike the previous document text"),
+        (4, f"{boiler} third unrelated tail of words continuing onward still"),
+        (5, "short doc"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w, W = 5, 4
+
+    def pairs_ref(cap):
+        from collections import defaultdict
+
+        span_docs = defaultdict(set)
+        for i, t in docs:
+            for _p, s in _winnow_literal(t or "", w, W):
+                span_docs[s].add(i)
+        counts = defaultdict(int)
+        for s, ds in span_docs.items():
+            if 2 <= len(ds) <= cap:
+                for a in ds:
+                    for b in ds:
+                        if a < b:
+                            counts[(a, b)] += 1
+        return {(a, b, n) for (a, b), n in counts.items()}
+
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared_spans"])
+        for r in repeated_span_pairs(
+            df, span_tokens=w, winnow=W, min_shared=1, max_docs_per_span=64
+        ).collect()
+    }
+    want = pairs_ref(64)
+    assert got == want
+    # both planted groups produced pairs: (0,1) via the shared run,
+    # (2,3),(2,4),(3,4) via the boilerplate prefix
+    ids = {(a, b) for a, b, _ in got}
+    assert {(0, 1), (2, 3), (2, 4), (3, 4)} <= ids
+    # frequency cap: with cap=2 the 3-doc boilerplate spans are excluded
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in repeated_span_pairs(
+            df, span_tokens=w, winnow=W, max_docs_per_span=2
+        ).collect()
+    }
+    assert got2 == {(a, b) for a, b, _ in pairs_ref(2)}
+    assert (0, 1) in got2
+    # min_shared filters low-overlap pairs
+    hi = {
+        (r["id_a"], r["id_b"])
+        for r in repeated_span_pairs(
+            df, span_tokens=w, winnow=W, min_shared=10 ** 6
+        ).collect()
+    }
+    assert hi == set()
+
+
+def test_repeated_span_pairs_compose_with_dedup_near(spark):
+    """repeated_span_pairs plugs into dedup_near(pairs=...): the min-id
+    representative of each exact-substring cluster survives."""
+    from datatest_spark.operators.dedup import dedup_near, repeated_span_pairs
+
+    shared = "a long verbatim run of tokens that repeats across documents here"
+    docs = [
+        (10, f"intro {shared} outro one"),
+        (11, f"other opening {shared} closing words two"),
+        (12, "completely distinct content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = dedup_near(
+        df,
+        pairs=repeated_span_pairs(df, span_tokens=5, winnow=4).select(
+            "id_a", "id_b"
+        ),
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10, 12]
