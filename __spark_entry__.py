@@ -2649,6 +2649,86 @@ GROUP BY 1, 2
 """
 
 
+def q_remove_repeated_spans_documents(spark, sf_dir):
+    """The removal ACTION of exact-substring dedup (Lee et al.): cut
+    every selected occurrence of a cross-doc repeated span except the
+    corpus-wide (doc_id, pos)-minimum keeper, rebuilding touched docs
+    from their original-case tokens while untouched docs stay
+    byte-identical.  The oracle replays the identical winnowed
+    selection, keeper rule, interval union and token filtering in SQL;
+    the md5-of-rewritten-text compare covers the full rewrite."""
+    from datatest_spark.operators.dedup import remove_repeated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_repeated_spans(d, span_tokens=5, winnow=4, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        "n_removed_tokens",
+    )
+
+
+SQL_REMOVE_REPEATED_SPANS_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS ot
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n, t, unnest(range(0, len(t) - 4)) AS pos
+  FROM toks WHERE len(t) >= 8
+), enc AS (
+  SELECT doc_id, n, pos,
+         array_to_string(t[pos+1:pos+5], ' ') AS span,
+         md5(array_to_string(t[pos+1:pos+5], ' '))
+           || '|' || format('{:010d}', pos) AS k
+  FROM grams
+), wins AS (
+  SELECT doc_id, pos, n,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM enc
+), sel AS (
+  SELECT DISTINCT doc_id, sel FROM wins WHERE pos <= n - 8
+), occ AS (
+  SELECT p.doc_id, CAST(substr(p.sel, 34) AS INTEGER) AS pos, e.span
+  FROM sel p JOIN enc e
+    ON e.doc_id = p.doc_id AND e.pos = CAST(substr(p.sel, 34) AS INTEGER)
+), qual AS (
+  SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+), ranked AS (
+  SELECT o.doc_id, o.pos,
+         row_number() OVER (PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn
+  FROM occ o JOIN qual q USING (span)
+), rem AS (
+  SELECT DISTINCT doc_id, pos FROM ranked WHERE rn > 1
+), touched AS (SELECT DISTINCT doc_id FROM rem
+), idx AS (
+  SELECT tk.doc_id, tk.ot, unnest(range(0, len(tk.ot))) AS i
+  FROM toks tk JOIN touched USING (doc_id)
+), kept AS (
+  SELECT x.doc_id, x.i, x.ot[x.i+1] AS tok
+  FROM idx x
+  WHERE NOT EXISTS (SELECT 1 FROM rem s
+                    WHERE s.doc_id = x.doc_id
+                      AND s.pos <= x.i AND x.i < s.pos + 5)
+), rebuilt AS (
+  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS txt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       md5(CASE WHEN tc.doc_id IS NOT NULL THEN coalesce(r.txt, '')
+                ELSE tk.text END) AS clean_md5,
+       CAST(CASE WHEN tc.doc_id IS NOT NULL
+                 THEN len(tk.ot) - coalesce(r.n_kept, 0) ELSE 0 END AS INTEGER)
+         AS n_removed_tokens
+FROM toks tk
+LEFT JOIN touched tc USING (doc_id)
+LEFT JOIN rebuilt r ON tk.doc_id = r.doc_id
+"""
+
+
 def q_table_diff_orders(spark, sf_dir):
     """datacompy-style two-table reconciliation ("compare this load
     against yesterday's"): actual vs a deterministically perturbed
@@ -4144,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "repeated_spans_documents": q_repeated_spans_documents,
         "repeated_span_pairs_documents": q_repeated_span_pairs_documents,
+        "remove_repeated_spans_documents": q_remove_repeated_spans_documents,
         "suggest_referential_composite": q_suggest_referential_composite,
         "acceptance_instance_nation": q_acceptance_instance_nation,
         "acceptance_list_quantity": q_acceptance_list_quantity,
@@ -4310,6 +4391,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_documents": SQL_DEDUP_LINES_DOCUMENTS,
         "repeated_spans_documents": SQL_REPEATED_SPANS_DOCUMENTS,
         "repeated_span_pairs_documents": SQL_REPEATED_SPAN_PAIRS_DOCUMENTS,
+        "remove_repeated_spans_documents": SQL_REMOVE_REPEATED_SPANS_DOCUMENTS,
         "dedup_near_documents": SQL_DEDUP_NEAR,
         "rowcount_drift_events": SQL_ROWCOUNT_DRIFT,
         "freshness_events": SQL_FRESHNESS_EVENTS,

@@ -692,10 +692,14 @@ def repeated_span_pairs(
 
     Scale shape: selection is scan-local (no shuffle); the (doc, span)
     distinct + span-frequency filter shuffle compact fingerprint rows
-    (~2/(winnow+1) of windows); the self-join hash-partitions the
-    qualifying relation ONCE by span (ReuseExchange dedupes the two
-    identical sides), and per-span fan-out is bounded by the cap, so no
-    task can hotspot.  No UDF anywhere.
+    (~2/(winnow+1) of windows); the qualifying relation (repeated
+    spans only — tiny next to the corpus) is PERSISTED (lazy,
+    MEMORY_AND_DISK) before the self-join, because Spark's self-join
+    attribute re-aliasing defeats exchange-reuse canonical equality
+    (the round-4 `plans/distributed` finding, re-verified here: without
+    the persist BOTH sides re-scan and re-winnow the whole corpus), so
+    both sides read one materialization; per-span fan-out is bounded
+    by the cap, so no task can hotspot.  No UDF anywhere.
     """
     w, win = int(span_tokens), int(winnow)
     ms, cap = int(min_shared), int(max_docs_per_span)
@@ -715,9 +719,17 @@ def repeated_span_pairs(
     ok = freq.filter(
         (F.col("_nd") >= 2) & (F.col("_nd") <= cap)
     ).select("span")
-    # one explicit hash exchange by the join key, reused by both sides
-    # of the self-join (same pattern as the prefix-postings join above)
-    s = sel.join(ok, "span").repartition(n_tasks, "span")
+    # persist the compact qualifying relation: self-join re-aliasing
+    # defeats exchange reuse, so an unpersisted plan computes the full
+    # winnow per side (4 FileScans observed); lazy persist keeps plan
+    # construction job-free (same pattern as plans/distributed.py)
+    from pyspark import StorageLevel
+
+    s = (
+        sel.join(ok, "span")
+        .repartition(n_tasks, "span")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return (
         s.select("span", F.col("doc_id").alias("id_a"))
         .join(s.select("span", F.col("doc_id").alias("id_b")), "span")
@@ -725,6 +737,112 @@ def repeated_span_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
         .filter(F.col("n_shared_spans") >= ms)
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    winnow: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """The REMOVAL action of exact-substring dedup (Lee et al.): cut
+    every selected occurrence of a cross-doc-repeated span out of the
+    corpus, keeping (by default) ONE canonical occurrence corpus-wide —
+    the (doc_id, pos)-minimum — so the repeated boilerplate survives
+    exactly once.  Completes the family: ``repeated_spans`` reports the
+    repetition, ``repeated_span_pairs`` pairs the docs, this rewrites
+    the text.  ``keep_first=False`` removes every occurrence (the
+    license-header / template-prose strip).
+
+    Qualifying spans and their occurrences are the SAME winnowed
+    selection as ``repeated_spans`` (exact span text in ≥ ``min_docs``
+    distinct docs), so what gets cut is exactly what that operator
+    reports.  Removal drops the tokens covered by the union of the
+    ``span_tokens``-token intervals starting at each removed
+    occurrence; overlapping intervals union cleanly (a token is dropped
+    once).  Winnowing only SAMPLES ~2/(winnow+1) of windows, so a long
+    verbatim repeat is trimmed at its selected fingerprints, not
+    erased wall-to-wall — the guarantee is every ≥ span_tokens+winnow-1
+    repeat loses at least one span per extra occurrence, shrinking
+    verbatim memorization mass, not byte-perfect excision (for that,
+    feed the reported spans to a downstream exact pass).
+
+    Rewritten docs are rebuilt from the ORIGINAL-case whitespace tokens
+    (token boundaries are case-independent, so positions align with the
+    normalized selection) joined by single spaces; untouched docs keep
+    their text byte-identical — at 100 TB the overwhelmingly-common
+    clean doc is never re-serialized differently.  Output: the input
+    columns with ``text_col`` rewritten, plus ``n_removed_tokens``.
+
+    Scale shape: selection is scan-local; the only data shuffle is the
+    fingerprint groupBy (map-side partial, ~2/(winnow+1) of windows);
+    the per-doc removal-start lists are a compact relation (docs
+    touched × few starts) LEFT-joined back onto the corpus — AQE
+    broadcasts it when small, so the corpus itself never shuffles.
+    Token filtering is one codegen'd higher-order projection
+    (O(tokens × starts-per-doc), starts-per-doc is winnow-sampled
+    small).  The winnowed-occurrence relation feeds two consumers
+    (span qualification and the removal join) as recompute-not-cache —
+    two pushed-down column-pruned scans, deliberate: at corpus scale
+    the occurrence relation (span TEXTS per window) is corpus-sized,
+    so persisting it would spill more bytes than the extra scan reads
+    (persist the INPUT df upstream if scans dominate).  No UDF
+    anywhere.
+    """
+    w, win, k = int(span_tokens), int(winnow), int(min_docs)
+    if w < 1 or win < 1 or k < 1:
+        raise ValueError(
+            f"span_tokens, winnow and min_docs must be >= 1: "
+            f"{span_tokens}, {winnow}, {min_docs}"
+        )
+    occ = _winnowed_occurrences(df, id_col, text_col, w, win)
+    qual = (
+        occ.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        )
+        .filter(F.col("_nd") >= k)
+    )
+    rem = occ.join(qual, "span")
+    if keep_first:
+        rem = rem.filter(
+            ~(
+                (F.col("doc_id") == F.col("_keep.doc_id"))
+                & (F.col("pos") == F.col("_keep.pos"))
+            )
+        )
+    starts = rem.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("_starts")
+    )
+    joined = df.join(
+        starts, df[id_col] == starts["doc_id"], "left"
+    ).drop(starts["doc_id"])
+    # original-case tokens: same boundaries (and so the same positions)
+    # as the normalized selection — lowercasing never moves whitespace
+    otoks = tokens(F.col(text_col))
+    kept = F.filter(
+        F.transform(otoks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda z: ~F.exists(
+            F.col("_starts"),
+            lambda s: (s <= z["i"]) & (z["i"] < s + F.lit(w)),
+        ),
+    )
+    untouched = F.col("_starts").isNull()
+    return joined.select(
+        *[F.col(c) for c in df.columns if c != text_col],
+        F.when(untouched, F.col(text_col))
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda z: z["t"])))
+        .alias(text_col),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(otoks) - F.size(kept))
+        .cast("int")
+        .alias("n_removed_tokens"),
     )
 
 

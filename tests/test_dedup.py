@@ -748,3 +748,77 @@ def test_repeated_span_pairs_compose_with_dedup_near(spark):
         ),
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [10, 12]
+
+
+def _remove_ref(docs, w, W, k, keep_first=True):
+    """Literal python reference for remove_repeated_spans: winnow each
+    doc, pick qualifying spans, drop covered original-case tokens."""
+    from collections import defaultdict
+
+    by_span = defaultdict(list)
+    for i, t in docs:
+        for p, s in _winnow_literal(t or "", w, W):
+            by_span[s].append((i, p))
+    rem = defaultdict(set)
+    for _s, v in by_span.items():
+        if len({i for i, _ in v}) >= k:
+            keeper = min(v)
+            for i, p in v:
+                if keep_first and (i, p) == keeper:
+                    continue
+                rem[i].add(p)
+    out = {}
+    for i, t in docs:
+        if i not in rem:
+            out[i] = (t, 0)
+            continue
+        otoks = [x for x in (t or "").split() if x]
+        covered = {j for p in rem[i] for j in range(p, p + w)}
+        kept = [tok for j, tok in enumerate(otoks) if j not in covered]
+        out[i] = (" ".join(kept), len(otoks) - len(kept))
+    return out
+
+
+def test_remove_repeated_spans_matches_literal(spark):
+    """Rewrite output == the literal reference: keeper occurrence
+    survives, other selected occurrences' token intervals are cut,
+    original case preserved, untouched docs byte-identical."""
+    from datatest_spark.operators.dedup import remove_repeated_spans
+
+    shared = "The Quick brown fox JUMPS over the lazy dog tonight again ok"
+    docs = [
+        (0, f"alpha beta {shared} gamma delta epsilon"),
+        (1, f"one two three four five six {shared} seven eight"),
+        (2, f"{shared} leading occurrence in a third document body here"),
+        (3, "unrelated  words   with odd   spacing kept byte identical x"),
+        (4, "short doc"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w, W = 5, 4
+    for keep_first in (True, False):
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed_tokens"])
+            for r in remove_repeated_spans(
+                df, span_tokens=w, winnow=W, min_docs=2,
+                keep_first=keep_first,
+            ).collect()
+        }
+        want = _remove_ref(docs, w, W, 2, keep_first=keep_first)
+        assert got == want
+    # untouched docs keep their exact original bytes (odd spacing intact)
+    assert got[3][0] == docs[3][1] and got[4][0] == docs[4][1]
+    assert got[5][0] is None and got[5][1] == 0
+    # the shared run really shrank in the touched docs
+    final = _remove_ref(docs, w, W, 2, keep_first=True)
+    assert sum(n for _t, n in final.values()) > 0
+
+
+def test_remove_repeated_spans_validates_args(spark):
+    from datatest_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        remove_repeated_spans(df, span_tokens=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        remove_repeated_spans(df, min_docs=0)
