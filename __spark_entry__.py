@@ -1133,6 +1133,91 @@ FROM v
 """
 
 
+def q_code_quality_files(spark, sf_dir):
+    """The Stack / StarCoder code-quality gate (line-shape stats,
+    alnum/encoded fractions, autogen/vendored/binary screens) over the
+    dirty synthetic code table + crafted rows exercising every rule.
+    Shared-parquet full value oracle: both engines score the SAME
+    bytes; the SQL replays each published rule literally."""
+    from datatest_spark.operators.codequality import code_quality_stats
+    from datatest_spark.sources.fixtures import code_files
+
+    gen = code_files(spark, 20_000, variant="dirty", partitions=8)
+    crafted = spark.createDataFrame(
+        [
+            ("org0/r", "src/gen/pb.py", "c1", "python",
+             "# Code generated by protoc. DO NOT EDIT.\ndef f():\n    pass\n"),
+            ("org0/r", "vendor/lib/a.go", "c2", "go", "package a\n"),
+            ("org0/r", "web/app.min.js", "c3", "java", "var a=1;" * 300),
+            ("org0/r", "art/banner.txt", "c4", "markdown", "!!! ??? ;;;\n" * 30),
+            ("org0/r", "data/blob.py", "c5", "python",
+             'k = "' + "QUJD" * 64 + '"\n' + "x = 1\n" * 40),
+            ("org0/r", "bin/leak.py", "c6", "python", "abc\x00def\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    path = f"{ORACLE_SHARE_DIR}/code_quality_files"
+    gen.unionByName(crafted).write.mode("overwrite").parquet(path)
+    scored = code_quality_stats(spark.read.parquet(path), "content", "path")
+    return scored.select(
+        "repo", "path", "commit",
+        "n_lines", "max_line_len", "avg_line_len", "alnum_frac",
+        "encoded_frac", "autogen", "vendored", "binaryish",
+        F.array_join("cq_reasons", ",").alias("reasons"),
+        "cq_pass",
+    )
+
+
+SQL_CODE_QUALITY = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/code_quality_files/*.parquet')),
+m AS (
+  SELECT repo, path, commit, content,
+         string_split(content, chr(10)) AS ls,
+         length(content) AS nc
+  FROM code
+), s AS (
+  SELECT repo, path, commit, content, nc,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(list_aggregate(list_transform(ls, x -> length(x)), 'max') AS BIGINT)
+           AS max_line_len,
+         round((nc - (len(ls) - 1)) * 1.0 / len(ls), 4) AS avg_line_len,
+         CASE WHEN nc > 0 THEN round(length(regexp_replace(content,
+                '[^A-Za-z0-9]', '', 'g')) * 1.0 / nc, 4)
+              WHEN content IS NOT NULL THEN 0.0 END AS alnum_frac,
+         CASE WHEN nc > 0 THEN round(coalesce(list_aggregate(list_transform(
+                regexp_extract_all(content, '[A-Za-z0-9+/=]{{64,}}'),
+                x -> length(x)), 'sum'), 0) * 1.0 / nc, 4)
+              WHEN content IS NOT NULL THEN 0.0 END AS encoded_frac,
+         CASE WHEN content IS NOT NULL THEN regexp_matches(
+                array_to_string(list_slice(ls, 1, 5), chr(10)),
+                '(?i)auto[- ]?generated|automatically generated|do not edit|generated by|@generated')
+           END AS autogen,
+         coalesce(regexp_matches(path,
+                '(^|/)(vendor|vendors|node_modules|third_party|thirdparty|external|dist)/|\\.min\\.(js|css)'),
+                FALSE) AS vendored,
+         CASE WHEN content IS NOT NULL
+              THEN (contains(content, chr(0)) OR contains(content, '�'))
+           END AS binaryish
+  FROM m
+), r AS (
+  SELECT *, concat_ws(',',
+           CASE WHEN content IS NULL THEN 'null_content' END,
+           CASE WHEN binaryish THEN 'binary_content' END,
+           CASE WHEN autogen THEN 'autogenerated' END,
+           CASE WHEN vendored AND content IS NOT NULL THEN 'vendored_path' END,
+           CASE WHEN max_line_len > 1000 THEN 'long_lines' END,
+           CASE WHEN avg_line_len > 100.0 THEN 'high_avg_line' END,
+           CASE WHEN alnum_frac < 0.25 THEN 'low_alnum' END,
+           CASE WHEN encoded_frac > 0.5 THEN 'encoded_data' END) AS reasons
+  FROM s
+)
+SELECT repo, path, commit, n_lines, max_line_len, avg_line_len, alnum_frac,
+       encoded_frac, autogen, vendored, binaryish, reasons,
+       (reasons = '') AS cq_pass
+FROM r
+"""
+
+
 def q_quality_score_documents(spark, sf_dir):
     from datatest_spark.operators.textstats import quality_score
 
@@ -4222,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04.json: the driver's correctness board certifies the
     # first 50 entries, so never-certified queries go first.
     return {
+        "code_quality_files": q_code_quality_files,
         "repeated_spans_documents": q_repeated_spans_documents,
         "repeated_span_pairs_documents": q_repeated_span_pairs_documents,
         "remove_repeated_spans_documents": q_remove_repeated_spans_documents,
@@ -4329,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "code_quality_files": SQL_CODE_QUALITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "set_returnflag": SQL_SET_RETURNFLAG,
         "subset_mktsegment": SQL_SUBSET_MKTSEGMENT,
