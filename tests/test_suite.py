@@ -565,8 +565,12 @@ def test_spec_severity_roundtrip(spark):
 
 
 def _n_jobs(spark) -> int:
-    """Total jobs this application has run (AppStatusStore)."""
-    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+    """Total jobs this application has SUBMITTED (DAGScheduler job-id
+    counter).  Monotonic — unlike ``statusStore().jobsList()``, whose
+    size is capped by ``spark.ui.retainedJobs`` (default 1000) and
+    shrinks under async eviction once a long shared test session
+    crosses it, making size deltas go negative."""
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
 
 def test_observe_checks_counts_without_extra_jobs(spark):
