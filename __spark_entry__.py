@@ -1218,6 +1218,305 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Code-corpus curation family (round-5 continuation): lang consistency,
+# head-snapshot dedup, repo-level profile, formatting-invariant dedup
+# ---------------------------------------------------------------------------
+
+
+def _sql_infer_lang_expr() -> str:
+    """DuckDB CASE expression generated from the SAME constants the
+    Spark operator uses (EXT_LANG / BASENAME_LANG / SHEBANG_LANG in
+    operators/codequality.py) — zero transcription drift."""
+    from datatest_spark.operators.codequality import (
+        BASENAME_LANG,
+        EXT_LANG,
+        SHEBANG_LANG,
+    )
+
+    sheb = " ".join(
+        "WHEN content IS NOT NULL AND regexp_matches("
+        "string_split(content, chr(10))[1], '" + pat + "') THEN '" + lang + "'"
+        for lang, pat in SHEBANG_LANG
+    )
+    base = " ".join(
+        "WHEN string_split(lower(path), '/')[-1] = '%s' THEN '%s'" % (name, lang)
+        for name, lang in BASENAME_LANG.items()
+    )
+    ext = (
+        "CASE regexp_extract(lower(path), '\\.([a-z0-9]+)$', 1) "
+        + " ".join("WHEN '%s' THEN '%s'" % (e, l) for e, l in EXT_LANG.items())
+        + " ELSE NULL END"
+    )
+    return "CASE " + sheb + " " + base + " ELSE " + ext + " END"
+
+
+def q_lang_consistency_files(spark, sf_dir):
+    """Declared-vs-inferred language consistency over a clean code table
+    with a deterministic mislabeled slice (~1/11 of rows relabeled
+    'java') plus crafted rows covering every inference branch (shebang,
+    basename special, NULL declared, case-insensitive match,
+    uninferable extension).  Shared-parquet full value oracle; the SQL
+    CASE is generated from the operator's own constant tables."""
+    from datatest_spark.operators.codequality import check_lang_consistency
+    from datatest_spark.sources.fixtures import code_files
+
+    gen = code_files(spark, 20_000, variant="clean", partitions=8)
+    gen = gen.withColumn(
+        "lang",
+        F.when(
+            F.pmod(F.xxhash64("path", F.lit(5150)), F.lit(11)) == 0, F.lit("java")
+        ).otherwise(F.col("lang")),
+    )
+    crafted = spark.createDataFrame(
+        [
+            ("org0/r", "bin/run", "d1", "shell", "#!/bin/bash\necho hi\n"),
+            ("org0/r", "bin/tool", "d2", "ruby", "#!/usr/bin/env python\nx\n"),
+            ("org0/r", "Makefile", "d3", "makefile", "all:\n\techo ok\n"),
+            ("org0/r", "Dockerfile", "d4", "python", "FROM scratch\n"),
+            ("org0/r", "a.md", "d5", "Markdown", "# t\n"),
+            ("org0/r", "weird.zzz", "d6", "python", "???\n"),
+            ("org0/r", "null.ts", "d7", None, "let x = 1\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    path = f"{ORACLE_SHARE_DIR}/lang_consistency_files"
+    gen.unionByName(crafted).write.mode("overwrite").parquet(path)
+    diffs = check_lang_consistency(
+        spark.read.parquet(path), provenance={"repo": "repo", "path": "path"}
+    )
+    return diffs.select("check_id", "diff_kind", "key", "value", "expected", "repo")
+
+
+SQL_LANG_CONSISTENCY = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/lang_consistency_files/*.parquet')),
+i AS (SELECT *, {{infer}} AS inferred FROM code)
+SELECT 'lang_consistency' AS check_id, 'invalid' AS diff_kind,
+       path AS key, lang AS value, inferred AS expected, repo
+FROM i
+WHERE inferred IS NOT NULL AND lower(coalesce(lang, '')) <> inferred
+"""
+
+
+def q_latest_snapshot_files(spark, sf_dir):
+    """Head-snapshot selection over a versioned code table (~5 commits
+    per (repo, path), deterministic Column-math generation): one
+    max_by hash aggregate, no window sort.  Oracle = the textbook
+    row_number() window — two independent formulations of 'latest'."""
+    from datatest_spark.operators.snapshot import keep_latest
+
+    n = 40_000
+    df = spark.range(0, n, 1, 8)
+    rid = F.col("id")
+    fid = F.pmod(F.xxhash64(rid, F.lit(7001)), F.lit(8000))
+    repo = F.concat(
+        F.lit("org"), F.pmod(F.xxhash64(fid, F.lit(1)), F.lit(5)),
+        F.lit("/repo"), F.pmod(F.xxhash64(fid, F.lit(2)), F.lit(23)),
+    )
+    versioned = df.select(
+        repo.alias("repo"),
+        F.concat(F.lit("src/f"), fid, F.lit(".py")).alias("path"),
+        F.sha1(rid.cast("string")).alias("commit"),
+        (F.lit(1_600_000_000) + F.pmod(F.xxhash64(rid, F.lit(3)), F.lit(1_000_000)))
+        .cast("long").alias("commit_ts"),
+        F.pmod(F.xxhash64(rid, F.lit(4)), F.lit(10_000)).cast("long").alias("size"),
+    )
+    path = f"{ORACLE_SHARE_DIR}/latest_snapshot_files"
+    versioned.write.mode("overwrite").parquet(path)
+    head = keep_latest(
+        spark.read.parquet(path), ["repo", "path"], "commit_ts", tiebreak="commit"
+    )
+    return head.select("repo", "path", "commit", "commit_ts", "size")
+
+
+SQL_LATEST_SNAPSHOT = f"""
+SELECT repo, path, commit, commit_ts, size
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY commit_ts DESC, commit DESC) AS rn
+  FROM read_parquet('{ORACLE_SHARE_DIR}/latest_snapshot_files/*.parquet')
+)
+WHERE rn = 1
+"""
+
+#: Per-file quality metric CTE shared by the repo-profile oracle — the
+#: same literal rule replay as SQL_CODE_QUALITY, reduced to the columns
+#: the repo aggregate consumes.
+_SQL_CQ_FILE_METRICS = """
+m AS (
+  SELECT repo, path, lang, content,
+         string_split(content, chr(10)) AS ls,
+         length(content) AS nc
+  FROM code
+), s AS (
+  SELECT repo, path, lang, content, nc,
+         CAST(list_aggregate(list_transform(ls, x -> length(x)), 'max') AS BIGINT)
+           AS max_line_len,
+         round((nc - (len(ls) - 1)) * 1.0 / len(ls), 4) AS avg_line_len,
+         CASE WHEN nc > 0 THEN round(length(regexp_replace(content,
+                '[^A-Za-z0-9]', '', 'g')) * 1.0 / nc, 4)
+              WHEN content IS NOT NULL THEN 0.0 END AS alnum_frac,
+         CASE WHEN nc > 0 THEN round(coalesce(list_aggregate(list_transform(
+                regexp_extract_all(content, '[A-Za-z0-9+/=]{64,}'),
+                x -> length(x)), 'sum'), 0) * 1.0 / nc, 4)
+              WHEN content IS NOT NULL THEN 0.0 END AS encoded_frac,
+         CASE WHEN content IS NOT NULL THEN regexp_matches(
+                array_to_string(list_slice(ls, 1, 5), chr(10)),
+                '(?i)auto[- ]?generated|automatically generated|do not edit|generated by|@generated')
+           END AS autogen,
+         coalesce(regexp_matches(path,
+                '(^|/)(vendor|vendors|node_modules|third_party|thirdparty|external|dist)/|\\.min\\.(js|css)'),
+                FALSE) AS vendored,
+         CASE WHEN content IS NOT NULL
+              THEN (contains(content, chr(0)) OR contains(content, '�'))
+           END AS binaryish
+  FROM m
+), f AS (
+  SELECT repo, lang, length(content) AS flen,
+         CASE WHEN content IS NOT NULL
+                   AND NOT binaryish AND NOT autogen AND NOT vendored
+                   AND max_line_len <= 1000 AND avg_line_len <= 100.0
+                   AND alnum_frac >= 0.25 AND encoded_frac <= 0.5
+              THEN 1 ELSE 0 END AS pass_i,
+         CASE WHEN vendored THEN 1 ELSE 0 END AS vend_i,
+         CASE WHEN content IS NULL THEN NULL
+              WHEN autogen THEN 1 ELSE 0 END AS auto_i
+  FROM s
+)
+"""
+
+
+def q_repo_profile_code(spark, sf_dir):
+    """Repo-granularity quality profile (The Stack v2 shape) over the
+    dirty synthetic code table + crafted vendored/autogen repos.
+    Shared-parquet full value oracle: the SQL replays the per-file
+    rules, gates cq_pass as their conjunction, and aggregates per
+    repo."""
+    from datatest_spark.operators.codequality import repo_profile
+    from datatest_spark.sources.fixtures import code_files
+
+    gen = code_files(spark, 20_000, variant="dirty", partitions=8)
+    crafted = spark.createDataFrame(
+        [
+            ("craft/vend", "vendor/a.js", "e1", "javascript", "var a = 1;\n"),
+            ("craft/vend", "vendor/b.js", "e2", "javascript", "var b = 2;\n"),
+            ("craft/vend", "src/c.js", "e3", "javascript", "var c = 3;\n"),
+            ("craft/gen", "a.py", "e4", "python",
+             "# generated by protoc. do not edit\nx = 1\n"),
+            ("craft/gen", "b.py", "e5", "python", "def f():\n    return 1\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    path = f"{ORACLE_SHARE_DIR}/repo_profile_code"
+    gen.unionByName(crafted).write.mode("overwrite").parquet(path)
+    return repo_profile(spark.read.parquet(path))
+
+
+SQL_REPO_PROFILE = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/repo_profile_code/*.parquet')),
+{_SQL_CQ_FILE_METRICS}
+SELECT repo,
+       count(*) AS n_files,
+       CAST(coalesce(sum(flen), 0) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(flen), 4) AS avg_file_len,
+       round(avg(pass_i), 4) AS pass_frac,
+       round(avg(vend_i), 4) AS vendored_frac,
+       round(avg(auto_i), 4) AS autogen_frac
+FROM f GROUP BY repo
+"""
+
+
+def _sql_normalized_code_expr() -> str:
+    """DuckDB expression replaying normalized_code() — regex strings
+    and family lists imported from the operator module."""
+    from datatest_spark.operators.codequality import (
+        BLOCK_COMMENT_RE,
+        DASH_COMMENT_LANGS,
+        HASH_COMMENT_LANGS,
+        LINE_COMMENT_DASH_RE,
+        LINE_COMMENT_HASH_RE,
+        LINE_COMMENT_SLASH_RE,
+        SLASH_COMMENT_LANGS,
+    )
+
+    def inlist(langs):
+        return ", ".join("'%s'" % l for l in langs)
+
+    slash = (
+        "regexp_replace(regexp_replace(content, '" + BLOCK_COMMENT_RE
+        + "', '', 'g'), '" + LINE_COMMENT_SLASH_RE + "', '', 'g')"
+    )
+    hashy = "regexp_replace(content, '" + LINE_COMMENT_HASH_RE + "', '', 'g')"
+    dashy = "regexp_replace(content, '" + LINE_COMMENT_DASH_RE + "', '', 'g')"
+    stripped = (
+        "CASE WHEN lower(coalesce(lang, '')) IN (" + inlist(SLASH_COMMENT_LANGS)
+        + ") THEN " + slash
+        + " WHEN lower(coalesce(lang, '')) IN (" + inlist(HASH_COMMENT_LANGS)
+        + ") THEN " + hashy
+        + " WHEN lower(coalesce(lang, '')) IN (" + inlist(DASH_COMMENT_LANGS)
+        + ") THEN " + dashy + " ELSE content END"
+    )
+    squeezed = "regexp_replace(" + stripped + ", '[ \\t\\r]+', ' ', 'g')"
+    return (
+        "array_to_string(list_filter(list_transform(string_split("
+        + squeezed + ", chr(10)), x -> trim(x)), x -> x <> ''), chr(10))"
+    )
+
+
+def q_code_dup_groups(spark, sf_dir):
+    """Formatting-invariant exact dedup: 30k files across all three
+    comment families (python/c/sql); ids ≡ 0,1 (mod 3) are the same
+    code wearing different comments/whitespace, id ≡ 2 is unique.
+    Both engines normalize (strip family comments, squeeze whitespace,
+    drop blanks) and group by sha256 — fingerprints must agree
+    byte-for-byte."""
+    from datatest_spark.operators.codequality import code_duplicate_groups
+
+    n = 30_000
+    df = spark.range(0, n, 1, 8)
+    rid = F.col("id")
+    base_id = F.when(rid % 3 == 2, rid).otherwise((rid / 3).cast("long") * 3)
+    h = F.xxhash64(base_id, F.lit(9090))
+    fam = F.pmod(h, F.lit(3))
+    k = F.pmod(h, F.lit(13)).cast("string")
+    py_code = F.concat(F.lit("def f(x):\n    return x + "), k, F.lit("\n"))
+    c_code = F.concat(F.lit("int f(int x) { return x + "), k, F.lit("; }\n"))
+    sql_code = F.concat(F.lit("SELECT a + "), k, F.lit(" FROM t;\n"))
+    base = (
+        F.when(fam == 0, py_code).when(fam == 1, c_code).otherwise(sql_code)
+    )
+    variant = (
+        F.when(fam == 0, F.concat(F.lit("# extra header\n\n"),
+                                  F.replace(base, F.lit("\n"), F.lit("   \n"))))
+        .when(fam == 1, F.concat(F.lit("/* extra\nheader */\n"),
+                                 F.replace(base, F.lit("\n"), F.lit("\t\n"))))
+        .otherwise(F.concat(F.lit("-- extra\n"), base, F.lit("\n\n")))
+    )
+    content = F.when(rid % 3 == 1, variant).otherwise(base)
+    lang = F.when(fam == 0, F.lit("python")).when(fam == 1, F.lit("c")).otherwise(F.lit("sql"))
+    files = df.select(
+        F.concat(F.lit("org"), F.pmod(F.xxhash64(rid, F.lit(11)), F.lit(7))).alias("repo"),
+        F.concat(F.lit("src/f"), rid, F.lit(".x")).alias("path"),
+        F.sha1(rid.cast("string")).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    path = f"{ORACLE_SHARE_DIR}/code_dup_groups"
+    files.write.mode("overwrite").parquet(path)
+    return code_duplicate_groups(spark.read.parquet(path))
+
+
+SQL_CODE_DUP_GROUPS = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/code_dup_groups/*.parquet')),
+n AS (SELECT repo, path, commit, {{norm}} AS norm FROM code WHERE content IS NOT NULL)
+SELECT sha256(norm) AS fingerprint,
+       count(*) AS dup_count,
+       min(concat_ws('|', repo, path, commit)) AS keeper_id
+FROM n GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def q_quality_score_documents(spark, sf_dir):
     from datatest_spark.operators.textstats import quality_score
 
@@ -4307,6 +4606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04.json: the driver's correctness board certifies the
     # first 50 entries, so never-certified queries go first.
     return {
+        "lang_consistency_files": q_lang_consistency_files,
+        "latest_snapshot_files": q_latest_snapshot_files,
+        "repo_profile_code": q_repo_profile_code,
+        "code_dup_groups": q_code_dup_groups,
         "code_quality_files": q_code_quality_files,
         "repeated_spans_documents": q_repeated_spans_documents,
         "repeated_span_pairs_documents": q_repeated_span_pairs_documents,
@@ -4415,6 +4718,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_consistency_files": SQL_LANG_CONSISTENCY.format(
+            infer=_sql_infer_lang_expr()
+        ),
+        "latest_snapshot_files": SQL_LATEST_SNAPSHOT,
+        "repo_profile_code": SQL_REPO_PROFILE,
+        "code_dup_groups": SQL_CODE_DUP_GROUPS.format(
+            norm=_sql_normalized_code_expr()
+        ),
         "code_quality_files": SQL_CODE_QUALITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "set_returnflag": SQL_SET_RETURNFLAG,

@@ -1,0 +1,119 @@
+"""Head-snapshot selection — keep the latest version of every entity.
+
+A 10^12-file code corpus is an APPEND log: every push adds new
+(repo, path, commit) rows, and the table holds the full history.
+Training-data curation and most validation passes want the HEAD
+snapshot — exactly one row per (repo, path), the newest commit — the
+same "keep latest upsert" shape every CDC-fed warehouse table needs
+before analytics.
+
+Spark-first design: the textbook formulation is a row_number() window
+over (keys ORDER BY version DESC), but a window must SORT every group
+in full after the shuffle.  ``keep_latest`` instead aggregates with
+``max_by(struct(all columns), struct(order columns))`` — one hash
+aggregate with a map-side partial, so each input partition forwards at
+most ONE candidate row per key it holds and the exchange carries keys,
+not history.  On a table where files average dozens of commits this
+shrinks the shuffle by that same factor; no sort anywhere.
+
+The reference library (`datatest`, SURVEY.md §0) has no versioned-data
+surface; this extends the engine along the training-data-pipeline axis
+(north_rule input is the Iceberg-shaped code table).
+
+Determinism contract: the concatenated ``order_by`` + ``tiebreak``
+columns must totally order each key group (e.g. tiebreak on a unique
+commit id).  With ties left in, ``max_by`` picks an arbitrary maximal
+row and byte-identical output across cluster sizes is forfeit — so
+``keep_latest`` requires an explicit ``tiebreak`` unless the caller
+asserts ``unique_order=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["keep_latest", "stale_versions"]
+
+
+def _cols(spec: Union[str, Sequence[str]]) -> list[str]:
+    return [spec] if isinstance(spec, str) else list(spec)
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+    *,
+    tiebreak: Optional[Union[str, Sequence[str]]] = None,
+    unique_order: bool = False,
+) -> DataFrame:
+    """One row per ``keys`` group: the row maximal under ``order_by``
+    (+ ``tiebreak``), all original columns preserved.
+
+    One aggregate shuffle (``partial_max_by`` keeps it to ≤1 row per
+    key per input partition; Spark plans a SortAggregate because the
+    struct buffer is not hash-aggregable, but the sort is partition
+    local and PRE-shuffle — the exchange still carries heads, never
+    history, unlike a window which shuffles and sorts every row).  Struct
+    comparison is lexicographic over the order columns, matching SQL
+    ``ORDER BY a DESC, b DESC`` with NULLs FIRST under DESC (Spark
+    struct ordering places NULL smallest, as does the max aggregate).
+    """
+    key_cols = _cols(keys)
+    order_cols = _cols(order_by) + (_cols(tiebreak) if tiebreak else [])
+    if tiebreak is None and not unique_order:
+        raise ValueError(
+            "keep_latest needs a tiebreak (or unique_order=True when the "
+            "order_by columns are already unique per key) — max_by over a "
+            "tied ordering returns an arbitrary row, breaking the "
+            "byte-identical-across-cluster-sizes contract"
+        )
+    row = F.max_by(
+        F.struct(*[F.col(c) for c in df.columns]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    )
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(row.alias("_latest"))
+        .select("_latest.*")
+    )
+
+
+def stale_versions(
+    df: DataFrame,
+    keys: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+    *,
+    tiebreak: Optional[Union[str, Sequence[str]]] = None,
+    unique_order: bool = False,
+) -> DataFrame:
+    """The complement of :func:`keep_latest`: every SUPERSEDED row
+    (history minus head), same columns — the rows a snapshot-dedup
+    pass would drop, for auditing/quarantine.
+
+    Implemented as the same single aggregate producing the maximal
+    order tuple per key, broadcast/hash-joined back and filtered —
+    the wide content column never rides the aggregate here, only the
+    order tuple does, and the corpus itself never shuffles when AQE
+    turns the compact head relation into the build side.
+    """
+    key_cols = _cols(keys)
+    order_cols = _cols(order_by) + (_cols(tiebreak) if tiebreak else [])
+    if tiebreak is None and not unique_order:
+        raise ValueError(
+            "stale_versions needs a tiebreak (or unique_order=True) for a "
+            "deterministic head — see keep_latest"
+        )
+    tag = F.struct(*[F.col(c) for c in order_cols])
+    heads = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.max(tag).alias("_head_tag"))
+    )
+    return (
+        df.join(heads, on=key_cols, how="left")
+        .filter(tag < F.col("_head_tag"))
+        .drop("_head_tag")
+    )

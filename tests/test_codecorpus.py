@@ -1,0 +1,193 @@
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.codequality import (
+    BASENAME_LANG,
+    BLOCK_COMMENT_RE,
+    EXT_LANG,
+    SHEBANG_LANG,
+    check_lang_consistency,
+    check_repo_quality,
+    code_duplicate_groups,
+    code_fingerprint,
+    infer_lang,
+    normalized_code,
+    repo_profile,
+)
+
+CODE_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+# ---------------------------------------------------------------------------
+# infer_lang / check_lang_consistency
+# ---------------------------------------------------------------------------
+
+LANG_ROWS = [
+    ("o/r", "src/a.py", "c1", "python", "x = 1\n"),
+    ("o/r", "src/b.js", "c2", "java", "var a = 1;\n"),            # mismatch
+    ("o/r", "src/c.rs", "c3", "rust", "fn main() {}\n"),
+    ("o/r", "Makefile", "c4", "makefile", "all:\n\techo hi\n"),
+    ("o/r", "bin/run", "c5", "shell", "#!/bin/bash\necho hi\n"),   # shebang
+    ("o/r", "bin/tool", "c6", "python", "#!/usr/bin/env python3\nprint(1)\n"),
+    ("o/r", "weird.zzz", "c7", "python", "???\n"),                 # uninferable
+    ("o/r", "src/d.sql", "c8", None, "SELECT 1;\n"),               # NULL declared
+    ("o/r", "doc/e.md", "c9", "Markdown", "# t\n"),                # case-insensitive ok
+]
+
+
+def _literal_infer(path: str, content: str | None) -> str | None:
+    if content is not None:
+        first = content.split("\n", 1)[0]
+        for lang, pat in SHEBANG_LANG:
+            if re.search(pat, first):
+                return lang
+    base = path.lower().split("/")[-1]
+    if base in BASENAME_LANG:
+        return BASENAME_LANG[base]
+    m = re.search(r"\.([a-z0-9]+)$", path.lower())
+    return EXT_LANG.get(m.group(1)) if m else None
+
+
+def test_infer_lang_literal_parity(spark):
+    df = spark.createDataFrame(LANG_ROWS, CODE_SCHEMA)
+    got = {
+        r["path"]: r["il"]
+        for r in df.select(
+            "path", infer_lang(F.col("path"), F.col("content")).alias("il")
+        ).collect()
+    }
+    for repo, path, commit, lang, content in LANG_ROWS:
+        assert got[path] == _literal_infer(path, content), path
+
+
+def test_check_lang_consistency_flags_only_positive_evidence(spark):
+    df = spark.createDataFrame(LANG_ROWS, CODE_SCHEMA)
+    diffs = {r["key"]: r for r in check_lang_consistency(df).collect()}
+    # mismatch, shebang-vs-declared ok rows, NULL declared, uninferable
+    assert set(diffs) == {"src/b.js", "src/d.sql"}
+    assert diffs["src/b.js"]["value"] == "java"
+    assert diffs["src/b.js"]["expected"] == "javascript"
+    assert diffs["src/d.sql"]["value"] is None
+    assert all(r["diff_kind"] == "invalid" for r in diffs.values())
+
+
+def test_infer_lang_path_only(spark):
+    df = spark.createDataFrame(LANG_ROWS, CODE_SCHEMA)
+    got = {
+        r["path"]: r["il"]
+        for r in df.select("path", infer_lang(F.col("path")).alias("il")).collect()
+    }
+    assert got["bin/run"] is None  # no content → no shebang evidence
+    assert got["src/a.py"] == "python"
+
+
+# ---------------------------------------------------------------------------
+# normalized_code / code_fingerprint / code_duplicate_groups
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_code_families(spark):
+    rows = [
+        ("o/r", "a.py", "c1", "python", "# header\nx = 1   \n\n\nx=  1\n"),
+        ("o/r", "a.c", "c2", "c", "/* lic\n * v1 */\nint x; // t\n"),
+        ("o/r", "a.sql", "c3", "sql", "-- note\nSELECT 1;\n"),
+        ("o/r", "a.zzz", "c4", "unknownlang", "# not a comment lang\n"),
+    ]
+    df = spark.createDataFrame(rows, CODE_SCHEMA)
+    got = {
+        r["path"]: r["n"]
+        for r in df.select(
+            "path", normalized_code(F.col("content"), F.col("lang")).alias("n")
+        ).collect()
+    }
+    assert got["a.py"] == "x = 1\nx= 1"
+    assert got["a.c"] == "int x;"
+    assert got["a.sql"] == "SELECT 1;"
+    # unknown family: comments untouched, whitespace still normalized
+    assert got["a.zzz"] == "# not a comment lang"
+
+
+def test_block_comment_regex_is_re2_safe_and_correct():
+    pat = re.compile(BLOCK_COMMENT_RE)
+    assert pat.sub("", "a /* x */ b /* y\nz */ c") == "a  b  c"
+    assert pat.sub("", "/**doc**/code") == "code"
+    # unterminated block is left alone (no catastrophic match)
+    assert pat.sub("", "a /* open") == "a /* open"
+
+
+def test_code_duplicate_groups_formatting_invariant(spark):
+    rows = [
+        ("o/r1", "a.py", "c1", "python", "# v1\nx = 1\ny = 2\n"),
+        ("o/r2", "b.py", "c2", "python", "x = 1\n\n\ny = 2   # inline\n"),
+        ("o/r3", "c.py", "c3", "python", "x = 1\ny = 3\n"),  # different code
+        ("o/r4", "d.c", "c4", "c", "/* hdr */ int x;\n"),
+        ("o/r5", "e.c", "c5", "c", "int   x;\n"),
+        ("o/r6", "f.py", "c6", "python", None),  # NULL content ignored
+    ]
+    df = spark.createDataFrame(rows, CODE_SCHEMA)
+    groups = code_duplicate_groups(df).collect()
+    assert len(groups) == 2
+    by_keeper = {g["keeper_id"]: g["dup_count"] for g in groups}
+    assert by_keeper == {"o/r1|a.py|c1": 2, "o/r4|d.c|c4": 2}
+
+
+def test_code_fingerprint_deterministic_across_partitionings(spark):
+    rows = [("o/r", f"f{i}.py", f"c{i}", "python", f"# {i}\nx = {i % 3}\n") for i in range(20)]
+    df1 = spark.createDataFrame(rows, CODE_SCHEMA).repartition(1)
+    df8 = spark.createDataFrame(rows, CODE_SCHEMA).repartition(8)
+    fp = lambda d: sorted(
+        r["fp"]
+        for r in d.select(
+            code_fingerprint(F.col("content"), F.col("lang")).alias("fp")
+        ).collect()
+    )
+    assert fp(df1) == fp(df8)
+
+
+# ---------------------------------------------------------------------------
+# repo_profile / check_repo_quality
+# ---------------------------------------------------------------------------
+
+PROFILE_ROWS = [
+    ("o/good", "src/a.py", "c1", "python", "def f():\n    return 1\n"),
+    ("o/good", "src/b.py", "c2", "python", "def g():\n    return 2\n"),
+    ("o/good", "src/c.go", "c3", "go", "package main\n"),
+    ("o/vend", "vendor/x/a.js", "c4", "javascript", "var a = 1;\n"),
+    ("o/vend", "vendor/x/b.js", "c5", "javascript", "var b = 2;\n"),
+    ("o/vend", "src/ok.js", "c6", "javascript", "var c = 3;\n"),
+    ("o/gen", "a.py", "c7", "python", "# generated by protoc. do not edit\nx = 1\n"),
+]
+
+
+def test_repo_profile_values(spark):
+    df = spark.createDataFrame(PROFILE_ROWS, CODE_SCHEMA)
+    prof = {r["repo"]: r for r in repo_profile(df).collect()}
+    g = prof["o/good"]
+    assert g["n_files"] == 3 and g["n_langs"] == 2
+    assert g["total_bytes"] == sum(
+        len(c) for (repo, _, _, _, c) in PROFILE_ROWS if repo == "o/good"
+    )
+    assert g["pass_frac"] == 1.0 and g["vendored_frac"] == 0.0
+    v = prof["o/vend"]
+    assert v["vendored_frac"] == round(2 / 3, 4)
+    assert prof["o/gen"]["autogen_frac"] == 1.0
+
+
+def test_check_repo_quality_gate(spark):
+    df = spark.createDataFrame(PROFILE_ROWS, CODE_SCHEMA)
+    diffs = {r["key"]: r["value"] for r in check_repo_quality(df, min_files=2).collect()}
+    assert diffs == {
+        "o/vend": "mostly_vendored",
+        "o/gen": "too_few_files,low_pass_frac,mostly_autogen",
+    }
+
+
+def test_repo_profile_shuffles_narrow_columns(spark):
+    # the exchange must not carry the content column
+    df = spark.createDataFrame(PROFILE_ROWS, CODE_SCHEMA)
+    plan = repo_profile(df)._jdf.queryExecution().executedPlan().toString()
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex and all("content" not in l for l in ex)

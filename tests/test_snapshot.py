@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.snapshot import keep_latest, stale_versions
+
+SCHEMA = "repo string, path string, commit string, ts bigint, size int"
+ROWS = [
+    ("o/r1", "a.py", "c1", 100, 10),
+    ("o/r1", "a.py", "c2", 300, 12),   # head of (o/r1, a.py)
+    ("o/r1", "a.py", "c3", 200, 11),
+    ("o/r1", "b.py", "c4", 50, 5),     # sole version = head
+    ("o/r2", "a.py", "c5", 100, 7),
+    ("o/r2", "a.py", "c6", 100, 8),    # ts tie → commit 'c6' > 'c5' wins
+]
+
+
+def _literal_head(rows):
+    best = {}
+    for repo, path, commit, ts, size in rows:
+        k = (repo, path)
+        if k not in best or (ts, commit) > (best[k][3], best[k][2]):
+            best[k] = (repo, path, commit, ts, size)
+    return sorted(best.values())
+
+
+def test_keep_latest_matches_literal(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = keep_latest(df, ["repo", "path"], "ts", tiebreak="commit")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _literal_head(ROWS)
+
+
+def test_keep_latest_requires_tiebreak(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError):
+        keep_latest(df, ["repo", "path"], "ts")
+
+
+def test_keep_latest_unique_order_optout(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA).filter("commit <> 'c6'")
+    out = keep_latest(df, ["repo", "path"], "ts", unique_order=True)
+    assert out.count() == 3
+
+
+def test_stale_versions_is_complement(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    head = keep_latest(df, ["repo", "path"], "ts", tiebreak="commit")
+    stale = stale_versions(df, ["repo", "path"], "ts", tiebreak="commit")
+    assert stale.count() == df.count() - head.count()
+    got = sorted(r["commit"] for r in stale.collect())
+    assert got == ["c1", "c3", "c5"]
+    # no overlap, exact partition of the input
+    both = head.unionByName(stale)
+    assert sorted(tuple(r) for r in both.collect()) == sorted(ROWS)
+
+
+def test_keep_latest_null_order_values(spark):
+    # NULL ts sorts below any value under max_by's struct ordering
+    rows = [("o/r", "a", "c1", None, 1), ("o/r", "a", "c2", 5, 2)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = keep_latest(df, ["repo", "path"], "ts", tiebreak="commit")
+    assert [r["commit"] for r in out.collect()] == ["c2"]
+
+
+def test_keep_latest_shuffles_compact_aggregate(spark):
+    # plan shape: a hash aggregate with partial_max_by, no Window sort
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = keep_latest(
+        df, ["repo", "path"], "ts", tiebreak="commit"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    assert "Window" not in plan
