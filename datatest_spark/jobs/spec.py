@@ -133,6 +133,11 @@ from ..operators.consistency import (
     check_monotonic,
     check_table_diff,
 )
+from ..operators.codequality import (
+    check_code_quality,
+    check_lang_consistency,
+    check_repo_quality,
+)
 from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
 from ..operators.requirements import check_json
@@ -318,6 +323,52 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         cid = check_id or "no_pii"
         builder = lambda t, _c=column, _i=cid: check_no_pii(  # noqa: E731
             t[table], _c, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "code_quality":
+        column = e.pop("column", "content")
+        path_col = e.pop("path_col", "path")
+        thresholds = {
+            k: e.pop(k)
+            for k in (
+                "head_lines", "encoded_run", "max_line_len",
+                "max_avg_line_len", "min_alnum_frac", "max_encoded_frac",
+            )
+            if k in e
+        }
+        cid = check_id or "code_quality"
+        builder = lambda t, _c=column, _p=path_col, _th=thresholds, _i=cid: (  # noqa: E731
+            check_code_quality(
+                t[table], _c, _p, check_id=_i, partition_id=_pid(t), **_th
+            )
+        )
+    elif kind == "lang_consistency":
+        lang_col = e.pop("column", "lang")
+        path_col = e.pop("path_col", "path")
+        content_col = e.pop("content_col", "content")
+        cid = check_id or "lang_consistency"
+        builder = lambda t, _l=lang_col, _p=path_col, _c=content_col, _i=cid: (  # noqa: E731
+            check_lang_consistency(
+                t[table], _l, _p, _c, check_id=_i, partition_id=_pid(t)
+            )
+        )
+    elif kind == "repo_quality":
+        repo_col = e.pop("column", "repo")
+        content_col = e.pop("content_col", "content")
+        path_col = e.pop("path_col", "path")
+        lang_col = e.pop("lang_col", "lang")
+        gate = {
+            k: e.pop(k)
+            for k in (
+                "min_files", "min_pass_frac",
+                "max_vendored_frac", "max_autogen_frac",
+            )
+            if k in e
+        }
+        cid = check_id or "repo_quality"
+        builder = lambda t, _r=repo_col, _c=content_col, _p=path_col, _l=lang_col, _g=gate, _i=cid: (  # noqa: E731
+            check_repo_quality(
+                t[table], _r, _c, _p, _l, check_id=_i, **_g
+            )
         )
     elif kind == "row_count_drift":
         baseline = e.pop("baseline")

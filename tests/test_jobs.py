@@ -1022,3 +1022,64 @@ def test_cli_observe_check_counts(code_tables, tmp_path, capsys):
     assert len(counts) == len(SPEC_CHECKS) and "__other__" not in counts
     assert sum(counts.values()) == out["n_violations"] + out["n_warnings"]
     assert all(v >= 0 for v in counts.values())
+
+
+def test_spec_code_corpus_checks_match_python_api(spark):
+    """Round-5 spec kinds: code_quality / lang_consistency /
+    repo_quality compile and emit the same differences as the direct
+    operator calls."""
+    from datatest_spark.operators.codequality import (
+        check_code_quality,
+        check_lang_consistency,
+        check_repo_quality,
+    )
+
+    rows = [
+        ("o/good", "src/a.py", "c1", "python", "def f():\n    return 1\n", 0),
+        ("o/good", "src/b.js", "c2", "java", "var a = 1;\n", 0),   # lang mismatch
+        ("o/vend", "vendor/a.js", "c3", "javascript", "var a = 1;\n", 1),
+        ("o/vend", "vendor/b.js", "c4", "javascript", "var b = 2;\n", 1),
+        ("o/gen", "g.py", "c5", "python",
+         "# generated by protoc. do not edit\nx = 1\n", 1),
+    ]
+    code = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, partition_id int",
+    )
+    tables = {"code": code}
+    spec_checks = [
+        {"check": "code_quality"},
+        {"check": "lang_consistency"},
+        {"check": "repo_quality", "min_files": 2, "max_vendored_frac": 0.5},
+    ]
+    suite = compile_suite(
+        {"primary": "code", "partition_col": "partition_id", "checks": spec_checks}
+    )
+    got = sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"])
+        for r in suite.build_differences(tables).collect()
+    )
+    direct = (
+        check_code_quality(code, partition_id=F.col("partition_id"))
+        .unionByName(check_lang_consistency(code, partition_id=F.col("partition_id")))
+        .unionByName(
+            check_repo_quality(code, min_files=2, max_vendored_frac=0.5)
+        )
+    )
+    want = sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"])
+        for r in direct.collect()
+    )
+    assert got == want and len(got) >= 4
+    # threshold knobs reach the operator
+    strict = compile_check(
+        {"check": "code_quality", "max_avg_line_len": 1.0},
+        primary="code", partition_col="partition_id",
+    )
+    assert strict.builder(tables).count() == 5  # every file fails avg-line 1.0
+    # unknown keys still rejected
+    with pytest.raises(ValueError):
+        compile_check(
+            {"check": "repo_quality", "bogus": 1},
+            primary="code", partition_col="partition_id",
+        )
