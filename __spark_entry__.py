@@ -437,6 +437,43 @@ FROM doubled GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dup_rate_documents(spark, sf_dir):
+    """Duplicate-rate gate over documents ∪ shifted-id copy: the
+    doubled corpus has rate ≥ 0.5 > max_rate 0.1 → exactly one
+    Deviation row whose rate both engines compute from the SAME
+    normalize-then-sha256 identity (exact mode for oracle parity;
+    the default is the HLL scan-local path)."""
+    from datatest_spark.operators.dedup import check_dup_rate
+
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    diff = check_dup_rate(doubled, max_rate=0.1, exact=True)
+    return diff.select(
+        "check_id", "diff_kind", "key",
+        F.col("value").cast("double").alias("rate"),
+        F.col("expected").cast("double").alias("max_rate"),
+        "deviation",
+    )
+
+
+SQL_DUP_RATE = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), a AS (
+  SELECT count(*) AS n,
+         count(DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS d
+  FROM doubled WHERE text IS NOT NULL
+)
+SELECT 'dup_rate' AS check_id, 'deviation' AS diff_kind, 'dup_rate' AS key,
+       round(1.0 - d * 1.0 / n, 6) AS rate,
+       0.1 AS max_rate,
+       round(1.0 - d * 1.0 / n, 6) - 0.1 AS deviation
+FROM a WHERE round(1.0 - d * 1.0 / n, 6) > 0.1
+"""
+
+
 def q_token_jaccard_pairs(spark, sf_dir):
     from datatest_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -4606,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04.json: the driver's correctness board certifies the
     # first 50 entries, so never-certified queries go first.
     return {
+        "dup_rate_documents": q_dup_rate_documents,
         "lang_consistency_files": q_lang_consistency_files,
         "latest_snapshot_files": q_latest_snapshot_files,
         "repo_profile_code": q_repo_profile_code,
@@ -4718,6 +4756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_rate_documents": SQL_DUP_RATE,
         "lang_consistency_files": SQL_LANG_CONSISTENCY.format(
             infer=_sql_infer_lang_expr()
         ),

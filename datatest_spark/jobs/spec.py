@@ -133,6 +133,7 @@ from ..operators.consistency import (
     check_monotonic,
     check_table_diff,
 )
+from ..operators.dedup import check_dup_rate
 from ..operators.codequality import (
     check_code_quality,
     check_lang_consistency,
@@ -323,6 +324,17 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         cid = check_id or "no_pii"
         builder = lambda t, _c=column, _i=cid: check_no_pii(  # noqa: E731
             t[table], _c, check_id=_i, partition_id=_pid(t)
+        )
+    elif kind == "dup_rate":
+        column = e.pop("column", "text")
+        max_rate = e.pop("max_rate")
+        exact = bool(e.pop("exact", False))
+        rsd = float(e.pop("rsd", 0.01))
+        cid = check_id or "dup_rate"
+        builder = lambda t, _c=column, _mr=max_rate, _e=exact, _r=rsd, _i=cid: (  # noqa: E731
+            check_dup_rate(
+                t[table], _c, max_rate=float(_mr), exact=_e, rsd=_r, check_id=_i
+            )
         )
     elif kind == "code_quality":
         column = e.pop("column", "content")

@@ -50,6 +50,7 @@ def suggest_spec(
     distinct_headroom: float = 0.5,
     max_null_headroom: float = 0.05,
     mix_headroom: Optional[float] = 0.05,
+    code_gates: bool = True,
 ) -> dict:
     """Profile ``df`` and return a ready-to-run validation spec.
 
@@ -84,6 +85,13 @@ def suggest_spec(
       ``embedding`` check pinning the observed dimension (when fixed)
       and the round-6 L2-norm range (± ``interval_headroom`` per side),
       keyed on the confirmed unique key.
+
+    * the code-corpus shape (string ``content`` + ``path`` columns, the
+      north_rule input): advisory ``code_quality`` /
+      ``lang_consistency`` (with ``lang``) / ``repo_quality`` (with
+      ``repo``) gates at ``severity: warn`` — schema-detected, zero
+      extra scans, reported without gating verdicts (disable with
+      ``code_gates=False``).
 
     Timestamp/date/other-complex columns get only the completeness
     rule — an interval frozen at profile time would fail the first
@@ -361,6 +369,48 @@ def suggest_spec(
                             ),
                         }
                     )
+
+    # code-corpus shape (the north_rule input: repo/path/lang/content):
+    # purely schema-detected, zero extra scans.  The curation gates are
+    # suggested at severity=warn — they are judgement calls on a corpus
+    # (a dirty snapshot SHOULD fire them), so they must not break the
+    # suggester's pass-on-snapshot contract for verdicts; warn rows are
+    # reported but never gate (suite.py severity semantics)
+    if code_gates:
+        def _is_str(c: str) -> bool:
+            return isinstance(dtypes.get(c), T.StringType)
+
+        if _is_str("content") and _is_str("path"):
+            checks.append(
+                {
+                    "check": "code_quality",
+                    "severity": "warn",
+                    "id": "suggest_code_quality",
+                    "comment": (
+                        "advisory The Stack/StarCoder file gate on the "
+                        "detected code-table shape; review thresholds, "
+                        "then raise severity to error"
+                    ),
+                }
+            )
+            if _is_str("lang"):
+                checks.append(
+                    {
+                        "check": "lang_consistency",
+                        "severity": "warn",
+                        "id": "suggest_lang_consistency",
+                        "comment": "declared lang vs path/shebang inference",
+                    }
+                )
+            if _is_str("repo"):
+                checks.append(
+                    {
+                        "check": "repo_quality",
+                        "severity": "warn",
+                        "id": "suggest_repo_quality",
+                        "comment": "repo-granularity vendored/autogen/pass-rate gate",
+                    }
+                )
 
     spec: dict = {"primary": table, "checks": checks}
     if partition_col:

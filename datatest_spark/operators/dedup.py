@@ -1631,3 +1631,73 @@ def dedup_near(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-rate gate (the monitoring face of the dedup family)
+# ---------------------------------------------------------------------------
+
+
+def check_dup_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_rate: float,
+    fingerprint_col: Optional[Column] = None,
+    exact: bool = False,
+    rsd: float = 0.01,
+    check_id: str = "dup_rate",
+) -> DataFrame:
+    """Corpus duplicate-RATE requirement: emit ONE Deviation row when
+    ``1 − distinct(fingerprint)/count`` over non-NULL texts exceeds
+    ``max_rate``; empty otherwise.  The dedup family's monitoring
+    face — ``exact_duplicate_groups`` lists the dups, this GATES the
+    pipeline on "did today's load regress to 30% copies".
+
+    ``fingerprint_col`` overrides the identity (e.g.
+    ``code_fingerprint(content, lang)`` for formatting-invariant
+    code dedup); default is the whitespace/case-normalized sha256
+    used by ``dedup_exact``.
+
+    Scale: default ``exact=False`` counts distinct via HLL
+    (``approx_count_distinct``, rsd=1%) — ONE scan-local pass, a
+    mergeable per-partition sketch, no shuffle of fingerprints; the
+    10^12-row path.  ``exact=True`` (oracle/report mode) is one
+    count_distinct hash agg over the fingerprints.  An empty corpus
+    has rate 0 (no row) — rate is a property of rows present; absence
+    is ``check_row_count_drift``'s job.
+    """
+    if not (0.0 <= float(max_rate) < 1.0):
+        raise ValueError(f"max_rate must be in [0, 1): {max_rate}")
+    fp = (
+        fingerprint_col
+        if fingerprint_col is not None
+        else F.sha2(normalize_text(F.col(text_col)), 256)
+    )
+    nn = df.filter(F.col(text_col).isNotNull()).select(fp.alias("_fp"))
+    distinct = (
+        F.count_distinct(F.col("_fp"))
+        if exact
+        else F.approx_count_distinct(F.col("_fp"), float(rsd))
+    )
+    agg = nn.agg(
+        F.count(F.lit(1)).alias("_n"), distinct.alias("_d")
+    ).select(
+        "_n",
+        F.when(
+            F.col("_n") > 0,
+            F.round(F.lit(1.0) - F.col("_d") / F.col("_n"), 6),
+        ).otherwise(F.lit(0.0)).alias("_rate"),
+    )
+    bad = agg.filter(F.col("_rate") > F.lit(float(max_rate)))
+    from ..plans.differences import KIND_DEVIATION, make_differences
+
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_DEVIATION,
+        key=F.lit("dup_rate"),
+        value=F.col("_rate"),
+        expected=F.lit(float(max_rate)),
+        deviation=(F.col("_rate") - F.lit(float(max_rate))).cast("double"),
+    )

@@ -822,3 +822,68 @@ def test_remove_repeated_spans_validates_args(spark):
         remove_repeated_spans(df, span_tokens=0)
     with pytest.raises(ValueError, match="must be >= 1"):
         remove_repeated_spans(df, min_docs=0)
+
+
+def test_check_dup_rate_gate(spark):
+    from datatest_spark.operators.dedup import check_dup_rate
+    from datatest_spark.operators.codequality import code_fingerprint
+    from pyspark.sql import functions as F
+
+    rows = [(i, "same text" if i < 6 else f"uniq {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 10 rows, 5 distinct -> rate 0.5
+    fired = check_dup_rate(df, max_rate=0.4, exact=True).collect()
+    assert len(fired) == 1
+    r = fired[0]
+    assert r["diff_kind"] == "deviation" and float(r["value"]) == 0.5
+    assert abs(r["deviation"] - 0.1) < 1e-9
+    # under the threshold -> silent
+    assert check_dup_rate(df, max_rate=0.6, exact=True).count() == 0
+    # approx path close to exact on a tiny corpus
+    approx = check_dup_rate(df, max_rate=0.4).collect()
+    assert len(approx) == 1 and abs(float(approx[0]["value"]) - 0.5) < 0.05
+    # NULL texts excluded: 9 non-null rows, 4 distinct -> rate 5/9
+    with_null = df.withColumn(
+        "text", F.when(F.col("doc_id") < 9, F.col("text"))
+    )
+    fired = check_dup_rate(with_null, max_rate=0.5, exact=True).collect()
+    assert len(fired) == 1 and abs(float(fired[0]["value"]) - 5 / 9) < 1e-5
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert check_dup_rate(empty, max_rate=0.0, exact=True).count() == 0
+    # custom fingerprint: comment-invariant code identity
+    code = spark.createDataFrame(
+        [(1, "python", "# a\nx = 1\n"), (2, "python", "x = 1  # b\n"),
+         (3, "python", "y = 2\n")],
+        "id long, lang string, content string",
+    )
+    fired = check_dup_rate(
+        code, "content",
+        fingerprint_col=code_fingerprint(F.col("content"), F.col("lang")),
+        max_rate=0.2, exact=True,
+    ).collect()
+    assert len(fired) == 1 and abs(float(fired[0]["value"]) - 1 / 3) < 1e-6
+    # invalid threshold rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        check_dup_rate(df, max_rate=1.0)
+
+
+def test_spec_dup_rate_matches_python_api(spark):
+    from datatest_spark.jobs import compile_suite
+    from datatest_spark.operators.dedup import check_dup_rate
+
+    rows = [(i, "same" if i % 2 == 0 else f"u{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    suite = compile_suite(
+        {"primary": "t", "checks": [
+            {"check": "dup_rate", "max_rate": 0.2, "exact": True}]}
+    )
+    got = sorted(
+        (r["check_id"], r["value"], r["deviation"])
+        for r in suite.build_differences({"t": df}).collect()
+    )
+    want = sorted(
+        (r["check_id"], r["value"], r["deviation"])
+        for r in check_dup_rate(df, max_rate=0.2, exact=True).collect()
+    )
+    assert got == want and len(got) == 1

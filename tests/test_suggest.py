@@ -357,3 +357,37 @@ def test_suggest_mix_proportions(spark, profiled):
         profiled, table="t", max_set_cardinality=5, mix_headroom=None
     )
     assert "suggest_proportions_category" not in _by_id(no_mix)
+
+
+def test_suggest_code_gates_on_code_shape(spark):
+    """Round-5: the code-table shape (content+path strings) triggers
+    advisory severity=warn curation gates; non-code shapes do not;
+    code_gates=False opts out; the suggested spec still compiles and
+    its warn rows never gate verdicts."""
+    rows = [
+        ("o/r", "src/a.py", "c1", "python", "def f():\n    return 1\n", 0),
+        ("o/r", "src/b.js", "c2", "java", "var a = 1;\n", 0),  # lang mismatch
+    ]
+    code = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, partition_id int",
+    )
+    spec = suggest_spec(code, table="code", partition_col="partition_id")
+    byid = _by_id(spec)
+    for cid in ("suggest_code_quality", "suggest_lang_consistency",
+                "suggest_repo_quality"):
+        assert byid[cid]["severity"] == "warn"
+    # compiles and runs; the mismatch is REPORTED but verdicts stay ok
+    from datatest_spark.jobs import compile_suite
+
+    suite = compile_suite(spec)
+    res = suite.run({"code": code}, primary="code")
+    diffs = res.differences.collect()
+    assert any(r["check_id"] == "suggest_lang_consistency" for r in diffs)
+    assert all(r["status"] == "ok" for r in res.verdicts.collect())
+    # opt-out and non-code shapes suggest none of the gates
+    assert "suggest_code_quality" not in _by_id(
+        suggest_spec(code, table="code", code_gates=False)
+    )
+    plain = spark.createDataFrame([(1, "x")], "id long, name string")
+    assert "suggest_code_quality" not in _by_id(suggest_spec(plain, table="p"))
