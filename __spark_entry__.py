@@ -1554,6 +1554,79 @@ FROM n GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dup_rate_by_lang(spark, sf_dir):
+    """Grouped duplicate-rate gate with the formatting-invariant code
+    fingerprint: 30k files, per-lang dup density planted differently
+    (python ~0.99 via k mod 100, c 0.5 via k mod 5000, sql unique →
+    0.0), half the copies wearing extra comments/whitespace so only a
+    comment-stripping identity collapses them.  max_rate 0.3 → python
+    and c each emit one Deviation keyed on the lang; sql is silent.
+    Shared-parquet oracle replays normalized_code per lang."""
+    from datatest_spark.operators.codequality import code_fingerprint
+    from datatest_spark.operators.dedup import check_dup_rate
+
+    n = 30_000
+    df = spark.range(0, n, 1, 8)
+    rid = F.col("id")
+    fam = rid % 3
+    k = (rid / 3).cast("long")
+    py_k = F.pmod(k, F.lit(100)).cast("string")
+    c_k = F.pmod(k, F.lit(5000)).cast("string")
+    py_code = F.concat(F.lit("def f(x):\n    return x + "), py_k, F.lit("\n"))
+    py_var = F.concat(F.lit("# header\n"), py_code, F.lit("   \n"))
+    c_code = F.concat(
+        F.lit("int f(int x) { return x + "), c_k, F.lit("; }\n")
+    )
+    c_var = F.concat(F.lit("/* hdr\n block */\n"), c_code)
+    sql_code = F.concat(
+        F.lit("SELECT a + "), rid.cast("string"), F.lit(" FROM t;\n")
+    )
+    content = (
+        F.when(fam == 0, F.when(k % 2 == 1, py_var).otherwise(py_code))
+        .when(fam == 1, F.when(k % 2 == 0, c_var).otherwise(c_code))
+        .otherwise(sql_code)
+    )
+    lang = (
+        F.when(fam == 0, F.lit("python"))
+        .when(fam == 1, F.lit("c"))
+        .otherwise(F.lit("sql"))
+    )
+    files = df.select(
+        F.concat(F.lit("org"), F.pmod(F.xxhash64(rid, F.lit(17)), F.lit(7))).alias("repo"),
+        F.concat(F.lit("src/g"), rid, F.lit(".x")).alias("path"),
+        F.sha1(rid.cast("string")).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    path = f"{ORACLE_SHARE_DIR}/dup_rate_by_lang"
+    files.write.mode("overwrite").parquet(path)
+    code = spark.read.parquet(path)
+    diff = check_dup_rate(
+        code, "content", by="lang", max_rate=0.3, min_rows=100, exact=True,
+        fingerprint_col=code_fingerprint(F.col("content"), F.col("lang")),
+        check_id="dup_rate_lang",
+    )
+    return diff.select(
+        "check_id", "diff_kind",
+        F.col("key").alias("lang"),
+        F.col("value").cast("double").alias("rate"),
+        F.col("expected").cast("double").alias("max_rate"),
+        "deviation",
+    )
+
+
+SQL_DUP_RATE_BY_LANG = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/dup_rate_by_lang/*.parquet')),
+nrm AS (SELECT lang, {{norm}} AS norm FROM code WHERE content IS NOT NULL),
+a AS (SELECT lang, count(*) AS n, count(DISTINCT norm) AS d FROM nrm GROUP BY 1)
+SELECT 'dup_rate_lang' AS check_id, 'deviation' AS diff_kind, lang,
+       round(1.0 - d * 1.0 / n, 6) AS rate,
+       0.3 AS max_rate,
+       round(1.0 - d * 1.0 / n, 6) - 0.3 AS deviation
+FROM a WHERE round(1.0 - d * 1.0 / n, 6) > 0.3 AND n >= 100
+"""
+
+
 def q_quality_score_documents(spark, sf_dir):
     from datatest_spark.operators.textstats import quality_score
 
@@ -4644,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries, so never-certified queries go first.
     return {
         "dup_rate_documents": q_dup_rate_documents,
+        "dup_rate_by_lang": q_dup_rate_by_lang,
         "lang_consistency_files": q_lang_consistency_files,
         "latest_snapshot_files": q_latest_snapshot_files,
         "repo_profile_code": q_repo_profile_code,
@@ -4757,6 +4831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dup_rate_documents": SQL_DUP_RATE,
+        "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG.format(
+            norm=_sql_normalized_code_expr()
+        ),
         "lang_consistency_files": SQL_LANG_CONSISTENCY.format(
             infer=_sql_infer_lang_expr()
         ),

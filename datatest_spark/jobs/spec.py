@@ -328,12 +328,15 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
     elif kind == "dup_rate":
         column = e.pop("column", "text")
         max_rate = e.pop("max_rate")
+        by = e.pop("by", None)
+        min_rows = int(e.pop("min_rows", 1))
         exact = bool(e.pop("exact", False))
         rsd = float(e.pop("rsd", 0.01))
         cid = check_id or "dup_rate"
-        builder = lambda t, _c=column, _mr=max_rate, _e=exact, _r=rsd, _i=cid: (  # noqa: E731
+        builder = lambda t, _c=column, _mr=max_rate, _b=by, _m=min_rows, _e=exact, _r=rsd, _i=cid: (  # noqa: E731
             check_dup_rate(
-                t[table], _c, max_rate=float(_mr), exact=_e, rsd=_r, check_id=_i
+                t[table], _c, max_rate=float(_mr), by=_b, min_rows=_m,
+                exact=_e, rsd=_r, check_id=_i,
             )
         )
     elif kind == "code_quality":

@@ -1643,6 +1643,8 @@ def check_dup_rate(
     text_col: str = "text",
     *,
     max_rate: float,
+    by: Optional[str] = None,
+    min_rows: int = 1,
     fingerprint_col: Optional[Column] = None,
     exact: bool = False,
     rsd: float = 0.01,
@@ -1654,6 +1656,14 @@ def check_dup_rate(
     face — ``exact_duplicate_groups`` lists the dups, this GATES the
     pipeline on "did today's load regress to 30% copies".
 
+    ``by`` switches to per-GROUP rates (one Deviation row per
+    offending group, keyed on the group value) — the "python is 40%
+    copies while go is clean" defect a corpus-wide rate averages
+    away.  NULL group values count as their own bucket (groupBy
+    semantics, like everywhere in the engine); groups with fewer than
+    ``min_rows`` rows are skipped (a 2-row group's rate is 0 or 0.5
+    by arithmetic, not evidence).
+
     ``fingerprint_col`` overrides the identity (e.g.
     ``code_fingerprint(content, lang)`` for formatting-invariant
     code dedup); default is the whitespace/case-normalized sha256
@@ -1661,42 +1671,53 @@ def check_dup_rate(
 
     Scale: default ``exact=False`` counts distinct via HLL
     (``approx_count_distinct``, rsd=1%) — ONE scan-local pass, a
-    mergeable per-partition sketch, no shuffle of fingerprints; the
-    10^12-row path.  ``exact=True`` (oracle/report mode) is one
+    mergeable per-partition sketch; ungrouped it never shuffles a
+    fingerprint, grouped the shuffle carries one partial sketch per
+    (input partition, group), never rows — the 10^12-row path either
+    way (a hot group costs sketch merges, not a skewed value
+    shuffle).  ``exact=True`` (oracle/report mode) is one
     count_distinct hash agg over the fingerprints.  An empty corpus
     has rate 0 (no row) — rate is a property of rows present; absence
     is ``check_row_count_drift``'s job.
     """
     if not (0.0 <= float(max_rate) < 1.0):
         raise ValueError(f"max_rate must be in [0, 1): {max_rate}")
+    if int(min_rows) < 1:
+        raise ValueError(f"min_rows must be >= 1: {min_rows}")
     fp = (
         fingerprint_col
         if fingerprint_col is not None
         else F.sha2(normalize_text(F.col(text_col)), 256)
     )
-    nn = df.filter(F.col(text_col).isNotNull()).select(fp.alias("_fp"))
+    cols = [fp.alias("_fp")] + ([F.col(by).alias("_grp")] if by else [])
+    nn = df.filter(F.col(text_col).isNotNull()).select(*cols)
     distinct = (
         F.count_distinct(F.col("_fp"))
         if exact
         else F.approx_count_distinct(F.col("_fp"), float(rsd))
     )
-    agg = nn.agg(
+    grouped = nn.groupBy("_grp") if by else nn.groupBy()
+    agg = grouped.agg(
         F.count(F.lit(1)).alias("_n"), distinct.alias("_d")
     ).select(
+        *(["_grp"] if by else []),
         "_n",
         F.when(
             F.col("_n") > 0,
             F.round(F.lit(1.0) - F.col("_d") / F.col("_n"), 6),
         ).otherwise(F.lit(0.0)).alias("_rate"),
     )
-    bad = agg.filter(F.col("_rate") > F.lit(float(max_rate)))
+    bad = agg.filter(
+        (F.col("_rate") > F.lit(float(max_rate)))
+        & (F.col("_n") >= F.lit(int(min_rows)))
+    )
     from ..plans.differences import KIND_DEVIATION, make_differences
 
     return make_differences(
         bad,
         check_id=check_id,
         kind=KIND_DEVIATION,
-        key=F.lit("dup_rate"),
+        key=F.col("_grp") if by else F.lit("dup_rate"),
         value=F.col("_rate"),
         expected=F.lit(float(max_rate)),
         deviation=(F.col("_rate") - F.lit(float(max_rate))).cast("double"),

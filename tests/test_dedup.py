@@ -887,3 +887,66 @@ def test_spec_dup_rate_matches_python_api(spark):
         for r in check_dup_rate(df, max_rate=0.2, exact=True).collect()
     )
     assert got == want and len(got) == 1
+
+
+def test_check_dup_rate_grouped(spark):
+    from datatest_spark.operators.dedup import check_dup_rate
+    from pyspark.sql import functions as F
+
+    # python: 6 rows 2 distinct (rate 2/3); go: 4 rows 4 distinct (0.0);
+    # NULL lang: 4 rows 1 distinct (0.75) — its own bucket
+    rows = (
+        [(i, "python", "same py" if i < 5 else f"py {i}") for i in range(6)]
+        + [(10 + i, "go", f"go {i}") for i in range(4)]
+        + [(20 + i, None, "same null") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    fired = {
+        r["key"]: float(r["value"])
+        for r in check_dup_rate(
+            df, by="lang", max_rate=0.5, exact=True
+        ).collect()
+    }
+    assert abs(fired["python"] - 2 / 3) < 1e-5
+    assert None in fired and abs(fired[None] - 0.75) < 1e-9
+    assert "go" not in fired and len(fired) == 2
+    # min_rows skips small groups (NULL bucket has 4 rows)
+    fired = check_dup_rate(
+        df, by="lang", max_rate=0.5, min_rows=5, exact=True
+    ).collect()
+    assert [r["key"] for r in fired] == ["python"]
+    # grouped HLL path agrees on these tiny cardinalities
+    approx = {
+        r["key"]: float(r["value"])
+        for r in check_dup_rate(df, by="lang", max_rate=0.5).collect()
+    }
+    assert set(approx) == {"python", None}
+    with pytest.raises(ValueError, match="min_rows"):
+        check_dup_rate(df, by="lang", max_rate=0.5, min_rows=0)
+
+
+def test_spec_dup_rate_grouped_matches_python_api(spark):
+    from datatest_spark.jobs import compile_suite
+    from datatest_spark.operators.dedup import check_dup_rate
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", "dup" if i % 4 < 3 else f"u{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    suite = compile_suite(
+        {"primary": "t", "checks": [
+            {"check": "dup_rate", "by": "lang", "max_rate": 0.3,
+             "min_rows": 10, "exact": True}]}
+    )
+    got = sorted(
+        (r["check_id"], r["key"], r["value"], r["deviation"])
+        for r in suite.build_differences({"t": df}).collect()
+    )
+    want = sorted(
+        (r["check_id"], r["key"], r["value"], r["deviation"])
+        for r in check_dup_rate(
+            df, by="lang", max_rate=0.3, min_rows=10, exact=True
+        ).collect()
+    )
+    assert got == want and len(got) >= 1
