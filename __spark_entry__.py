@@ -1554,6 +1554,169 @@ FROM n GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_comment_ratio_files(spark, sf_dir):
+    """Comment-density signal (the comment-to-code ratio screen of the
+    published code-corpus pipelines — SantaCoder §4 ablates the
+    comments-fraction signal, The Stack v2 / StarCoder2 applies
+    comment-ratio filters): comment_frac over the dirty synthetic code
+    table + crafted rows covering every branch (hash/slash+block/dash
+    families, unknown family → NULL, empty → 0.0, NULL content →
+    NULL).  Shared-parquet FULL value oracle — the SQL replays the
+    same family dispatch with the same regexes (imported from the
+    operator module, zero transcription drift)."""
+    from datatest_spark.operators.codequality import comment_stats
+    from datatest_spark.sources.fixtures import code_files
+
+    gen = code_files(spark, 20_000, variant="dirty", partitions=8)
+    crafted = spark.createDataFrame(
+        [
+            ("org0/r", "wall.py", "m1", "python",
+             "# license line\n" * 40 + "x = 1\n"),
+            ("org0/r", "blk.c", "m2", "c",
+             "/* big\nblock\ncomment */\nint x; // tail\n"),
+            ("org0/r", "q.sql", "m3", "sql", "-- note\nSELECT 1;\n"),
+            ("org0/r", "u.json", "m4", "json", '{"a": 1}'),
+            ("org0/r", "empty.py", "m5", "python", ""),
+            ("org0/r", "n.py", "m6", "python", None),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    path = f"{ORACLE_SHARE_DIR}/comment_ratio_files"
+    gen.unionByName(crafted).write.mode("overwrite").parquet(path)
+    scored = comment_stats(spark.read.parquet(path))
+    return scored.select(
+        "repo", "path", "commit", "lang", "comment_frac",
+        F.coalesce(F.col("comment_frac") <= 0.8, F.lit(True)).alias("cr_pass"),
+    )
+
+
+def _sql_comment_ratio() -> str:
+    """DuckDB query replaying comment_stats — family lists and regexes
+    imported from the operator module."""
+    from datatest_spark.operators.codequality import (
+        BLOCK_COMMENT_RE,
+        DASH_COMMENT_LANGS,
+        HASH_COMMENT_LANGS,
+        LINE_COMMENT_DASH_RE,
+        LINE_COMMENT_HASH_RE,
+        LINE_COMMENT_SLASH_RE,
+        SLASH_COMMENT_LANGS,
+    )
+
+    def inlist(langs):
+        return ", ".join("'%s'" % l for l in langs)
+
+    slash = (
+        "regexp_replace(regexp_replace(content, '" + BLOCK_COMMENT_RE
+        + "', '', 'g'), '" + LINE_COMMENT_SLASH_RE + "', '', 'g')"
+    )
+    hashy = "regexp_replace(content, '" + LINE_COMMENT_HASH_RE + "', '', 'g')"
+    dashy = "regexp_replace(content, '" + LINE_COMMENT_DASH_RE + "', '', 'g')"
+    stripped = (
+        "CASE WHEN lower(coalesce(lang, '')) IN (" + inlist(SLASH_COMMENT_LANGS)
+        + ") THEN " + slash
+        + " WHEN lower(coalesce(lang, '')) IN (" + inlist(HASH_COMMENT_LANGS)
+        + ") THEN " + hashy
+        + " WHEN lower(coalesce(lang, '')) IN (" + inlist(DASH_COMMENT_LANGS)
+        + ") THEN " + dashy + " END"
+    )
+    return f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/comment_ratio_files/*.parquet')),
+s AS (SELECT repo, path, commit, lang, content, {stripped} AS stripped FROM code),
+f AS (SELECT repo, path, commit, lang,
+        CASE WHEN stripped IS NOT NULL AND length(content) > 0
+             THEN round((length(content) - length(stripped)) * 1.0 / length(content), 6)
+             WHEN stripped IS NOT NULL AND content IS NOT NULL THEN 0.0
+        END AS comment_frac
+      FROM s)
+SELECT repo, path, commit, lang, comment_frac,
+       coalesce(comment_frac <= 0.8, TRUE) AS cr_pass
+FROM f
+"""
+
+
+def q_code_near_dup_pairs(spark, sf_dir):
+    """Formatting-invariant NEAR dedup (normalize → exact unigram
+    Jaccard, the post-exact-dedup stage of The Stack): 1200 planted
+    groups of 3 over all three comment families — member 1 is member 0
+    reformatted under comments/whitespace (must score EXACTLY 1.0 —
+    only a normalizing identity collapses it), member 2 replaces 2 of
+    20 group-unique tokens (18/22 ≈ 0.818, just above the 0.8
+    threshold) in even groups and 6 of 20 (14/26 ≈ 0.538, excluded) in
+    odd groups.  Token vocabularies are group-scoped so the truth set
+    is closed-form; shared-parquet oracle replays normalization +
+    tokenization + posting-join Jaccard."""
+    from datatest_spark.operators.codequality import code_jaccard_pairs
+
+    n_groups = 1200
+    df = spark.range(0, 3 * n_groups, 1, 8)
+    gid = (F.col("id") / 3).cast("long")
+    m = F.pmod(F.col("id"), F.lit(3))
+    fam = F.pmod(gid, F.lit(3))
+    gs = gid.cast("string")
+
+    def tok(prefix, j):
+        return F.concat_ws("", F.lit(prefix), gs, F.lit("x"), j.cast("string"))
+
+    idx = F.sequence(F.lit(0), F.lit(19))
+    toks = F.transform(idx, lambda j: tok("tok", j))
+    base = F.array_join(toks, "\n")
+    hdr = (
+        F.when(fam == 0, F.lit("# header note"))
+        .when(fam == 1, F.lit("/* header\nnote */\n// tail"))
+        .otherwise(F.lit("-- header note"))
+    )
+    spaced = F.array_join(
+        F.transform(toks, lambda t: F.concat(t, F.lit("  "))), "\n\n"
+    )
+    variant = F.concat(hdr, F.lit("\n"), spaced, F.lit("\n"))
+    r = F.when(F.pmod(gid, F.lit(2)) == 0, F.lit(2)).otherwise(F.lit(6))
+    near = F.array_join(
+        F.transform(
+            idx, lambda j: F.when(j < r, tok("alt", j)).otherwise(tok("tok", j))
+        ),
+        "\n",
+    )
+    content = F.when(m == 0, base).when(m == 1, variant).otherwise(near)
+    lang = (
+        F.when(fam == 0, F.lit("python"))
+        .when(fam == 1, F.lit("c"))
+        .otherwise(F.lit("sql"))
+    )
+    files = df.select(
+        F.concat(F.lit("r"), gs).alias("repo"),
+        F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".x")).alias("path"),
+        F.sha1(F.col("id").cast("string")).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    path = f"{ORACLE_SHARE_DIR}/code_near_dup_pairs"
+    files.write.mode("overwrite").parquet(path)
+    return code_jaccard_pairs(spark.read.parquet(path), threshold=0.8)
+
+
+SQL_CODE_NEAR_DUP = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/code_near_dup_pairs/*.parquet')),
+n AS (SELECT concat_ws('|', repo, path, commit) AS cid, {{norm}} AS norm
+      FROM code WHERE content IS NOT NULL),
+toks AS (
+  SELECT cid,
+         unnest(list_distinct(regexp_split_to_array(trim(regexp_replace(lower(norm), '\\s+', ' ', 'g')), ' '))) AS tok
+  FROM n
+), counts AS (SELECT cid, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.cid AS id_a, b.cid AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.cid < b.cid
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON id_a = ca.cid
+JOIN counts cb ON id_b = cb.cid
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+"""
+
+
 def q_dup_rate_by_lang(spark, sf_dir):
     """Grouped duplicate-rate gate with the formatting-invariant code
     fingerprint: 30k files, per-lang dup density planted differently
@@ -4716,6 +4879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04.json: the driver's correctness board certifies the
     # first 50 entries, so never-certified queries go first.
     return {
+        "comment_ratio_files": q_comment_ratio_files,
+        "code_near_dup_pairs": q_code_near_dup_pairs,
         "dup_rate_documents": q_dup_rate_documents,
         "dup_rate_by_lang": q_dup_rate_by_lang,
         "lang_consistency_files": q_lang_consistency_files,
@@ -4830,6 +4995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "comment_ratio_files": _sql_comment_ratio(),
+        "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
+            norm=_sql_normalized_code_expr()
+        ),
         "dup_rate_documents": SQL_DUP_RATE,
         "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG.format(
             norm=_sql_normalized_code_expr()

@@ -136,6 +136,7 @@ from ..operators.consistency import (
 from ..operators.dedup import check_dup_rate
 from ..operators.codequality import (
     check_code_quality,
+    check_comment_ratio,
     check_lang_consistency,
     check_repo_quality,
 )
@@ -354,6 +355,21 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         builder = lambda t, _c=column, _p=path_col, _th=thresholds, _i=cid: (  # noqa: E731
             check_code_quality(
                 t[table], _c, _p, check_id=_i, partition_id=_pid(t), **_th
+            )
+        )
+    elif kind == "comment_ratio":
+        column = e.pop("column", "content")
+        lang_col = e.pop("lang_col", "lang")
+        path_col = e.pop("path_col", "path")
+        max_frac = float(e.pop("max_frac", 0.8))
+        min_frac = e.pop("min_frac", None)
+        min_len = int(e.pop("min_len", 1))
+        cid = check_id or "comment_ratio"
+        builder = lambda t, _c=column, _l=lang_col, _p=path_col, _mx=max_frac, _mn=min_frac, _ml=min_len, _i=cid: (  # noqa: E731
+            check_comment_ratio(
+                t[table], _c, _l, _p, max_frac=_mx,
+                min_frac=(None if _mn is None else float(_mn)),
+                min_len=_ml, check_id=_i, partition_id=_pid(t),
             )
         )
     elif kind == "lang_consistency":

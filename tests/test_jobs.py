@@ -1083,3 +1083,48 @@ def test_spec_code_corpus_checks_match_python_api(spark):
             {"check": "repo_quality", "bogus": 1},
             primary="code", partition_col="partition_id",
         )
+
+
+def test_spec_comment_ratio_matches_python_api(spark):
+    """Spec kind comment_ratio compiles and matches the direct call,
+    knobs pass through, unknown keys rejected."""
+    from datatest_spark.operators.codequality import check_comment_ratio
+
+    rows = [
+        ("o/r", "wall.py", "c1", "python", "# license\n" * 50 + "x = 1\n", 0),
+        ("o/r", "bare.py", "c2", "python", "x = 1\n" * 50, 0),
+        ("o/r", "ok.py", "c3", "python", "# doc\n" + "x = 1\n" * 20, 1),
+        ("o/r", "u.json", "c4", "json", "// n/a\n" * 100, 1),
+    ]
+    code = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, partition_id int",
+    )
+    tables = {"code": code}
+    suite = compile_suite(
+        {
+            "primary": "code",
+            "partition_col": "partition_id",
+            "checks": [
+                {"check": "comment_ratio", "min_frac": 0.01, "min_len": 10}
+            ],
+        }
+    )
+    got = sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"])
+        for r in suite.build_differences(tables).collect()
+    )
+    want = sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"])
+        for r in check_comment_ratio(
+            code, min_frac=0.01, min_len=10,
+            partition_id=F.col("partition_id"),
+        ).collect()
+    )
+    assert got == want
+    assert {k for k, *_ in got} == {"comment_ratio"} and len(got) == 2
+    with pytest.raises(ValueError):
+        compile_check(
+            {"check": "comment_ratio", "bogus": 1},
+            primary="code", partition_col="partition_id",
+        )
