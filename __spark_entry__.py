@@ -1635,20 +1635,13 @@ FROM f
 """
 
 
-def q_code_near_dup_pairs(spark, sf_dir):
-    """Formatting-invariant NEAR dedup (normalize → exact unigram
-    Jaccard, the post-exact-dedup stage of The Stack): 1200 planted
-    groups of 3 over all three comment families — member 1 is member 0
-    reformatted under comments/whitespace (must score EXACTLY 1.0 —
-    only a normalizing identity collapses it), member 2 replaces 2 of
-    20 group-unique tokens (18/22 ≈ 0.818, just above the 0.8
-    threshold) in even groups and 6 of 20 (14/26 ≈ 0.538, excluded) in
-    odd groups.  Token vocabularies are group-scoped so the truth set
-    is closed-form; shared-parquet oracle replays normalization +
-    tokenization + posting-join Jaccard."""
-    from datatest_spark.operators.codequality import code_jaccard_pairs
-
-    n_groups = 1200
+def _code_near_dup_files(spark, n_groups=1200):
+    """Planted near-dup code fixture shared by the code_near_dup_pairs
+    and code_dedup_near contracts: groups of 3 over all three comment
+    families — member 1 reformats member 0 under comments/whitespace
+    (normalized Jaccard EXACTLY 1.0), member 2 replaces 2 of 20
+    group-unique tokens (18/22 ≈ 0.818, in) in even groups and 6 of 20
+    (14/26 ≈ 0.538, out) in odd groups."""
     df = spark.range(0, 3 * n_groups, 1, 8)
     gid = (F.col("id") / 3).cast("long")
     m = F.pmod(F.col("id"), F.lit(3))
@@ -1683,15 +1676,26 @@ def q_code_near_dup_pairs(spark, sf_dir):
         .when(fam == 1, F.lit("c"))
         .otherwise(F.lit("sql"))
     )
-    files = df.select(
+    return df.select(
         F.concat(F.lit("r"), gs).alias("repo"),
         F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".x")).alias("path"),
         F.sha1(F.col("id").cast("string")).alias("commit"),
         lang.alias("lang"),
         content.alias("content"),
     )
+
+
+def q_code_near_dup_pairs(spark, sf_dir):
+    """Formatting-invariant NEAR dedup pairs (normalize → exact
+    unigram Jaccard, the post-exact-dedup stage of The Stack) over the
+    planted fixture (see _code_near_dup_files).  Token vocabularies
+    are group-scoped so the truth set is closed-form; shared-parquet
+    oracle replays normalization → tokenization → posting-join
+    Jaccard."""
+    from datatest_spark.operators.codequality import code_jaccard_pairs
+
     path = f"{ORACLE_SHARE_DIR}/code_near_dup_pairs"
-    files.write.mode("overwrite").parquet(path)
+    _code_near_dup_files(spark).write.mode("overwrite").parquet(path)
     return code_jaccard_pairs(spark.read.parquet(path), threshold=0.8)
 
 
@@ -1714,6 +1718,52 @@ FROM inter
 JOIN counts ca ON id_a = ca.cid
 JOIN counts cb ON id_b = cb.cid
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+"""
+
+
+def q_code_dedup_near(spark, sf_dir):
+    """One-call near-dedup of the code corpus (`dedup_near_code`):
+    normalize → exact Jaccard edges → connected components → keep the
+    LEXICOGRAPHIC-min '|'-joined (repo,path,commit) id per cluster —
+    a rule both engines can replay exactly (the hash-representative of
+    ids="hash" could not be).  Oracle = the recursive-CTE closure over
+    the same pairs with the keep rule in SQL — full value oracle of
+    the whole pipeline on the planted fixture."""
+    from datatest_spark.operators.codequality import dedup_near_code
+
+    path = f"{ORACLE_SHARE_DIR}/code_dedup_near"
+    _code_near_dup_files(spark, n_groups=400).write.mode("overwrite").parquet(path)
+    out = dedup_near_code(spark.read.parquet(path), threshold=0.8)
+    return out.select("repo", "path", "commit", "lang")
+
+
+SQL_CODE_DEDUP_NEAR = f"""
+WITH RECURSIVE code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/code_dedup_near/*.parquet')),
+n AS (SELECT concat_ws('|', repo, path, commit) AS cid, {{norm}} AS norm
+      FROM code WHERE content IS NOT NULL),
+toks AS (
+  SELECT cid,
+         unnest(list_distinct(regexp_split_to_array(trim(regexp_replace(lower(norm), '\\s+', ' ', 'g')), ' '))) AS tok
+  FROM n
+), counts AS (SELECT cid, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.cid AS id_a, b.cid AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.cid < b.cid
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN counts ca ON id_a = ca.cid
+  JOIN counts cb ON id_b = cb.cid
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+), edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), cc AS (SELECT id AS cid, min(r) AS keep FROM reach GROUP BY 1)
+SELECT c.repo, c.path, c.commit, c.lang FROM code c
+WHERE concat_ws('|', c.repo, c.path, c.commit) NOT IN
+      (SELECT cid FROM cc WHERE cid != keep)
 """
 
 
@@ -4881,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
+        "code_dedup_near": q_code_dedup_near,
         "dup_rate_documents": q_dup_rate_documents,
         "dup_rate_by_lang": q_dup_rate_by_lang,
         "lang_consistency_files": q_lang_consistency_files,
@@ -4997,6 +5048,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
+            norm=_sql_normalized_code_expr()
+        ),
+        "code_dedup_near": SQL_CODE_DEDUP_NEAR.format(
             norm=_sql_normalized_code_expr()
         ),
         "dup_rate_documents": SQL_DUP_RATE,
