@@ -1767,6 +1767,142 @@ WHERE concat_ws('|', c.repo, c.path, c.commit) NOT IN
 """
 
 
+def _repo_fork_files(spark, n_groups=150):
+    """Planted fork-structured code corpus shared by the
+    repo_fork_pairs / repo_fork_dedup contracts: groups of 4 repos with
+    40 files each — repo 1 is a FORK of repo 0 (36/40 files shared, the
+    shared copies wearing a comment header + trailing whitespace so only
+    the formatting-invariant fingerprint equates them → Jaccard 36/44 ≈
+    0.818), repo 2 overlaps repo 0 on 20/40 (J = 20/60 ≈ 0.333, below
+    threshold), repo 3 is unique.  Every repo also carries an identical
+    boilerplate ``pkg/__init__.py`` (df = all repos) to exercise the
+    hot-fingerprint cap."""
+    n = int(n_groups)
+    df = spark.range(0, n * 160, 1, 8)
+    g = (F.col("id") / 160).cast("long")
+    rr = F.pmod((F.col("id") / 40).cast("long"), F.lit(4))
+    slot = F.pmod(F.col("id"), F.lit(40))
+    owner = (
+        F.when(rr == 0, F.lit(0))
+        .when((rr == 1) & (slot < 36), F.lit(0))
+        .when((rr == 2) & (slot < 20), F.lit(0))
+        .otherwise(rr)
+    )
+    key = ((g * 40 + slot) * 4 + owner).cast("string")
+    base = F.concat(
+        F.lit("def fn_"), key, F.lit("(x):\n    return x + "), key, F.lit("\n")
+    )
+    variant = F.concat(
+        F.lit("# fork header\n"), F.replace(base, F.lit("\n"), F.lit("  \n"))
+    )
+    content = F.when((rr == 1) & (slot < 36), variant).otherwise(base)
+    repo = F.concat(F.lit("r"), F.lpad((g * 4 + rr).cast("string"), 5, "0"))
+    files = df.select(
+        repo.alias("repo"),
+        F.concat(F.lit("src/f"), slot.cast("string"), F.lit(".py")).alias("path"),
+        F.sha1(repo).alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+    boiler_repo = F.concat(
+        F.lit("r"), F.lpad(F.col("id").cast("string"), 5, "0")
+    )
+    boiler = spark.range(0, n * 4, 1, 4).select(
+        boiler_repo.alias("repo"),
+        F.lit("pkg/__init__.py").alias("path"),
+        F.sha1(boiler_repo).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("# boilerplate\n").alias("content"),
+    )
+    return files.unionByName(boiler)
+
+
+def q_repo_fork_pairs(spark, sf_dir):
+    """REPO-granularity near-dedup pairs (fork/mirror detection — the
+    stage The Stack v2 runs before file-level dedup): Jaccard over each
+    repo's set of formatting-invariant file fingerprints, boilerplate
+    capped out of the universe (cap 50 ≪ the 600 repos sharing
+    pkg/__init__.py).  Shared-parquet FULL value oracle: DuckDB replays
+    normalize → sha256 → distinct (repo, fp) → df cap → counting
+    self-join → Jaccard."""
+    from datatest_spark.operators.codequality import repo_jaccard_pairs
+
+    path = f"{ORACLE_SHARE_DIR}/repo_fork_pairs"
+    _repo_fork_files(spark).write.mode("overwrite").parquet(path)
+    return repo_jaccard_pairs(
+        spark.read.parquet(path), threshold=0.5, max_repos_per_fingerprint=50
+    )
+
+
+SQL_REPO_FORK_PAIRS = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/repo_fork_pairs/*.parquet')),
+fps AS (SELECT DISTINCT repo, sha256({{norm}}) AS fp
+        FROM code WHERE content IS NOT NULL),
+freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+capped AS (SELECT fps.repo, fps.fp, freq.df
+           FROM fps JOIN freq USING (fp) WHERE df <= 50),
+sizes AS (SELECT repo, count(*) AS n FROM capped GROUP BY 1),
+post AS (SELECT repo, fp FROM capped WHERE df >= 2),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+  FROM post a JOIN post b ON a.fp = b.fp AND a.repo < b.repo
+  GROUP BY 1, 2)
+SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.repo = repo_a
+JOIN sizes sb ON sb.repo = repo_b
+WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
+def q_repo_fork_dedup(spark, sf_dir):
+    """One-call repo-granularity dedup (`dedup_forked_repos`): fork
+    pairs → connected components → keep every file of the
+    LEXICOGRAPHIC-min repo per cluster, drop the other repos' trees
+    whole.  Output is the KEPT corpus keyed by (repo, path) with
+    md5(content) — survivors must be byte-identical, the per-row
+    invariant.  Oracle = recursive-CTE closure over the same pairs with
+    the keep rule in SQL."""
+    from datatest_spark.operators.codequality import dedup_forked_repos
+
+    path = f"{ORACLE_SHARE_DIR}/repo_fork_dedup"
+    _repo_fork_files(spark, n_groups=60).write.mode("overwrite").parquet(path)
+    out = dedup_forked_repos(
+        spark.read.parquet(path), threshold=0.5, max_repos_per_fingerprint=50
+    )
+    return out.select("repo", "path", F.md5("content").alias("content_md5"))
+
+
+SQL_REPO_FORK_DEDUP = f"""
+WITH RECURSIVE code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/repo_fork_dedup/*.parquet')),
+fps AS (SELECT DISTINCT repo, sha256({{norm}}) AS fp
+        FROM code WHERE content IS NOT NULL),
+freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+capped AS (SELECT fps.repo, fps.fp, freq.df
+           FROM fps JOIN freq USING (fp) WHERE df <= 50),
+sizes AS (SELECT repo, count(*) AS n FROM capped GROUP BY 1),
+post AS (SELECT repo, fp FROM capped WHERE df >= 2),
+pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+  FROM post a JOIN post b ON a.fp = b.fp AND a.repo < b.repo
+  GROUP BY 1, 2
+  HAVING count(*) * 1.0 /
+         ((SELECT n FROM sizes WHERE repo = a.repo)
+          + (SELECT n FROM sizes WHERE repo = b.repo) - count(*)) >= 0.5),
+edges AS (SELECT repo_a AS s, repo_b AS d FROM pairs
+          UNION ALL SELECT repo_b, repo_a FROM pairs),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), cc AS (SELECT id, min(r) AS keep FROM reach GROUP BY 1)
+SELECT c.repo, c.path, md5(c.content) AS content_md5
+FROM code c
+WHERE c.repo NOT IN (SELECT id FROM cc WHERE id != keep)
+"""
+
+
 def q_dup_rate_by_lang(spark, sf_dir):
     """Grouped duplicate-rate gate with the formatting-invariant code
     fingerprint: 30k files, per-lang dup density planted differently
@@ -4929,6 +5065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04.json: the driver's correctness board certifies the
     # first 50 entries, so never-certified queries go first.
     return {
+        "repo_fork_pairs": q_repo_fork_pairs,
+        "repo_fork_dedup": q_repo_fork_dedup,
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
         "code_dedup_near": q_code_dedup_near,
@@ -5046,6 +5184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "repo_fork_pairs": SQL_REPO_FORK_PAIRS.format(
+            norm=_sql_normalized_code_expr()
+        ),
+        "repo_fork_dedup": SQL_REPO_FORK_DEDUP.format(
+            norm=_sql_normalized_code_expr()
+        ),
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
             norm=_sql_normalized_code_expr()
