@@ -3159,6 +3159,66 @@ FROM hits
 """
 
 
+def q_pii_redact_documents(spark, sf_dir):
+    """PII redaction ACTION (redact_pii — the rewrite face of the scan:
+    every match replaced by its [KIND] token, the release step of the
+    published pipelines): same deterministic planting as pii_documents,
+    compared as md5 of the redacted text so untouched rows prove
+    byte-identity and touched rows prove both engines rewrote
+    identically.  The oracle's nested regexp_replace chain is GENERATED
+    from PII_PATTERNS in dict order — the same priority the operator
+    applies — so there is zero transcription drift."""
+    from datatest_spark.operators.quality import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\ncontact: user"), F.substring(h, 1, 6), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\ncall 415-555-"), four),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("\nssn 219-09-"), four),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    red = redact_pii(planted, "content", out_col="redacted")
+    return red.select("doc_id", F.md5("redacted").alias("redacted_md5"))
+
+
+def _sql_pii_redact() -> str:
+    """DuckDB query replaying redact_pii: the nested global
+    regexp_replace chain is built from the operator's own PII_PATTERNS
+    (dict order = redaction priority)."""
+    from datatest_spark.operators.quality import PII_PATTERNS
+
+    expr = "content"
+    for kind, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'contact: user' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'ssn 219-09-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS content
+  FROM documents
+)
+SELECT doc_id, md5({expr}) AS redacted_md5
+FROM planted
+"""
+
+
 def q_gopher_documents(spark, sf_dir):
     """Gopher quality rules over the multi-line reshaped corpus, with
     bullet / ellipsis lines planted deterministically so every metric
@@ -5067,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "repo_fork_pairs": q_repo_fork_pairs,
         "repo_fork_dedup": q_repo_fork_dedup,
+        "pii_redact_documents": q_pii_redact_documents,
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
         "code_dedup_near": q_code_dedup_near,
@@ -5190,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_fork_dedup": SQL_REPO_FORK_DEDUP.format(
             norm=_sql_normalized_code_expr()
         ),
+        "pii_redact_documents": _sql_pii_redact(),
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
             norm=_sql_normalized_code_expr()
