@@ -93,6 +93,8 @@ Spec shape::
         {"check": "embedding_drift", "table": "vectors",
          "column": "embedding", "baseline": "vectors_prev",
          "threshold": 0.05},
+        {"check": "repo_fork", "column": "repo", "threshold": 0.7,
+         "max_repos_per_fingerprint": 256},
         {"check": "outliers", "column": "amount", "method": "mad",
          "k": 3.5, "severity": "warn"}   # warn: reported, never gates
       ],
@@ -137,6 +139,7 @@ from ..operators.dedup import check_dup_rate
 from ..operators.codequality import (
     check_code_quality,
     check_comment_ratio,
+    check_forked_repos,
     check_lang_consistency,
     check_repo_quality,
 )
@@ -399,6 +402,22 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
         builder = lambda t, _r=repo_col, _c=content_col, _p=path_col, _l=lang_col, _g=gate, _i=cid: (  # noqa: E731
             check_repo_quality(
                 t[table], _r, _c, _p, _l, check_id=_i, **_g
+            )
+        )
+    elif kind == "repo_fork":
+        repo_col = e.pop("column", "repo")
+        content_col = e.pop("content_col", "content")
+        lang_col = e.pop("lang_col", "lang")
+        threshold = float(e.pop("threshold", 0.7))
+        cap = int(e.pop("max_repos_per_fingerprint", 256))
+        min_files = int(e.pop("min_files", 1))
+        fingerprint_col = e.pop("fingerprint_col", None)
+        cid = check_id or "repo_fork"
+        builder = lambda t, _r=repo_col, _c=content_col, _l=lang_col, _t=threshold, _cp=cap, _mf=min_files, _fp=fingerprint_col, _i=cid: (  # noqa: E731
+            check_forked_repos(
+                t[table], repo_col=_r, content_col=_c, lang_col=_l,
+                threshold=_t, max_repos_per_fingerprint=_cp,
+                min_files=_mf, fingerprint_col=_fp, check_id=_i,
             )
         )
     elif kind == "row_count_drift":

@@ -1128,3 +1128,45 @@ def test_spec_comment_ratio_matches_python_api(spark):
             {"check": "comment_ratio", "bogus": 1},
             primary="code", partition_col="partition_id",
         )
+
+
+def test_spec_repo_fork_matches_python_api(spark):
+    """Spec kind repo_fork compiles and matches the direct
+    check_forked_repos call; knobs pass through; unknown keys
+    rejected."""
+    from datatest_spark.operators.codequality import check_forked_repos
+
+    rows = []
+    for rep, com in (("ra", "c1"), ("rb", "c2")):
+        for i in range(4):
+            rows.append(
+                (rep, f"s/f{i}.py", com, "python",
+                 f"def f{i}(x):\n    return x+{i}\n", 0)
+            )
+    rows.append(("ra", "s/x.py", "c1", "python", "def x():\n    return 1\n", 0))
+    rows.append(("rb", "s/y.py", "c2", "python", "def y():\n    return 2\n", 1))
+    code = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, partition_id int",
+    )
+    tables = {"code": code}
+    got = sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"])
+        for r in compile_check(
+            {"check": "repo_fork", "threshold": 0.5},
+            primary="code", partition_col="partition_id",
+        ).builder(tables).collect()
+    )
+    want = sorted(
+        (r["check_id"], r["diff_kind"], r["key"], r["value"])
+        for r in check_forked_repos(
+            code, threshold=0.5, check_id="repo_fork"
+        ).collect()
+    )
+    assert got == want and len(got) == 1
+    assert got[0][2] == "rb" and got[0][3] == "fork-of:ra"
+    with pytest.raises(ValueError):
+        compile_check(
+            {"check": "repo_fork", "bogus": 1},
+            primary="code", partition_col="partition_id",
+        )
