@@ -88,8 +88,9 @@ def suggest_spec(
 
     * the code-corpus shape (string ``content`` + ``path`` columns, the
       north_rule input): advisory ``code_quality`` /
-      ``lang_consistency`` (with ``lang``) / ``repo_quality`` (with
-      ``repo``) gates at ``severity: warn`` — schema-detected, zero
+      ``lang_consistency`` (with ``lang``) / ``repo_quality`` +
+      ``repo_fork`` (with ``repo``) gates at ``severity: warn`` —
+      schema-detected, zero
       extra scans, reported without gating verdicts (disable with
       ``code_gates=False``).
 
@@ -409,6 +410,17 @@ def suggest_spec(
                         "severity": "warn",
                         "id": "suggest_repo_quality",
                         "comment": "repo-granularity vendored/autogen/pass-rate gate",
+                    }
+                )
+                checks.append(
+                    {
+                        "check": "repo_fork",
+                        "severity": "warn",
+                        "id": "suggest_repo_fork",
+                        "comment": (
+                            "repo-granularity fork/mirror detection over "
+                            "formatting-invariant file-fingerprint sets"
+                        ),
                     }
                 )
 
