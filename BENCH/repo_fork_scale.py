@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Scale ladder for repo-granularity fork detection.
+
+Runs ``repo_jaccard_pairs`` (threshold 0.5, fingerprint cap 50) over the
+planted fork-structured corpus at 1x and 10x repo counts (600 → 6,000
+repos; 24,600 → 246,000 files) and reports the scaling exponent
+``log(t_10x / t_1x) / log(10)`` — the same superlinearity detector as
+``BENCH/heavy_ops.py``.  Fork structure is per 4-repo group, so the
+TRUE pair count grows exactly linearly with groups (150 → 1,500 pairs)
+and the per-fingerprint fan-out is architecture-bounded by the cap:
+any superlinear runtime would be the operator's plan, not the fixture.
+
+Usage: python BENCH/repo_fork_scale.py  →  writes BENCH/repo_fork_scale.md
+Honors $SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_HEAVY_REPEATS", "3"))
+SCALES = (1, 10)
+BASE_GROUPS = 150
+WORK_DIR = "/tmp/dts_repo_fork_scale"
+
+
+def main() -> None:
+    from bench import build_session
+    from __spark_entry__ import _repo_fork_files
+    from datatest_spark.operators.codequality import repo_jaccard_pairs
+
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    paths, rows = {}, {}
+    for m in SCALES:
+        p = f"{WORK_DIR}/m{m}"
+        _repo_fork_files(spark, n_groups=BASE_GROUPS * m).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths[m] = p
+        rows[m] = spark.read.parquet(p).count()
+
+    times = {m: [] for m in SCALES}
+    pairs = {}
+    for _ in range(REPEATS):
+        for m in SCALES:
+            df = spark.read.parquet(paths[m])
+            t0 = time.monotonic()
+            n = repo_jaccard_pairs(
+                df, threshold=0.5, max_repos_per_fingerprint=50
+            ).count()
+            times[m].append(time.monotonic() - t0)
+            pairs[m] = n
+            spark.catalog.clearCache()
+
+    med = {m: statistics.median(times[m]) for m in SCALES}
+    expo = math.log(med[10] / med[1]) / math.log(10)
+    lines = [
+        "# repo_jaccard_pairs scale ladder",
+        "",
+        f"local[{CPUS}], median of {REPEATS} interleaved runs, fresh",
+        "cache per run (the persist inside the operator is re-materialized",
+        "every time — the measured wall includes the one corpus scan+hash).",
+        "",
+        "| scale | files | repos | true pairs | wall (s, median) |",
+        "|---|---|---|---|---|",
+    ]
+    for m in SCALES:
+        lines.append(
+            f"| {m}x | {rows[m]:,} | {BASE_GROUPS * m * 4:,} | {pairs[m]:,} "
+            f"| {med[m]:.2f} ({' / '.join(f'{t:.2f}' for t in times[m])}) |"
+        )
+    lines += [
+        "",
+        f"Scaling exponent log(t_10x/t_1x)/log(10) = **{expo:.2f}**",
+        "(~1 linear; > ~1.2 superlinear).",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "repo_fork_scale.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1903,6 +1903,101 @@ WHERE c.repo NOT IN (SELECT id FROM cc WHERE id != keep)
 """
 
 
+def _repo_vendored_files(spark, n_groups=150):
+    """Planted vendored-subtree corpus for the repo_containment_pairs
+    contract: per group, a HOST repo (40 files), a small repo vendored
+    WHOLE into it (10 files = the host's first 10, wearing different
+    comments → containment 1.0 while Jaccard is only 10/40 = 0.25), and
+    a control repo sharing 4 of its 10 files (containment 0.4, out).
+    Every repo carries the common boilerplate file to exercise the
+    cap."""
+    n = int(n_groups)
+
+    def body(key):
+        k = key.cast("string")
+        return F.concat(
+            F.lit("def fn_"), k, F.lit("(x):\n    return x + "), k, F.lit("\n")
+        )
+
+    def rows(prefix, files_per_repo, key_fn, variant=False):
+        d = spark.range(0, n * files_per_repo, 1, 8)
+        g = (F.col("id") / files_per_repo).cast("long")
+        slot = F.pmod(F.col("id"), F.lit(files_per_repo))
+        repo = F.concat(F.lit(prefix), F.lpad(g.cast("string"), 5, "0"))
+        content = body(key_fn(g, slot))
+        if variant:
+            content = F.concat(
+                F.lit("# vendored copy\n"),
+                F.replace(content, F.lit("\n"), F.lit("  \n")),
+            )
+        return d.select(
+            repo.alias("repo"),
+            F.concat(F.lit("src/f"), slot.cast("string"), F.lit(".py")).alias("path"),
+            F.sha1(repo).alias("commit"),
+            F.lit("python").alias("lang"),
+            content.alias("content"),
+        )
+
+    host = rows("h", 40, lambda g, s: g * 1000 + s)
+    vendored = rows("v", 10, lambda g, s: g * 1000 + s, variant=True)
+    control = rows(
+        "w", 10,
+        lambda g, s: F.when(s < 4, g * 1000 + s).otherwise(g * 1000 + 500 + s),
+    )
+    boiler = spark.range(0, n * 3, 1, 4).select(
+        F.concat(
+            F.element_at(
+                F.array(F.lit("h"), F.lit("v"), F.lit("w")),
+                (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+            ),
+            F.lpad((F.col("id") / 3).cast("long").cast("string"), 5, "0"),
+        ).alias("repo"),
+        F.lit("pkg/__init__.py").alias("path"),
+        F.lit("b0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("# boilerplate\n").alias("content"),
+    )
+    return host.unionByName(vendored).unionByName(control).unionByName(boiler)
+
+
+def q_repo_containment_pairs(spark, sf_dir):
+    """Vendored-subtree detection (repo_containment_pairs — overlap
+    coefficient over capped file-fingerprint sets): the asymmetric
+    near-dup Jaccard misses — a repo absorbed whole into a monorepo has
+    containment 1.0 but Jaccard 0.25 on the planted structure, so only
+    the containment metric fires.  Shared-parquet FULL value oracle
+    (same replay as repo_fork_pairs with a least() denominator)."""
+    from datatest_spark.operators.codequality import repo_containment_pairs
+
+    path = f"{ORACLE_SHARE_DIR}/repo_containment_pairs"
+    _repo_vendored_files(spark).write.mode("overwrite").parquet(path)
+    return repo_containment_pairs(
+        spark.read.parquet(path), threshold=0.8, max_repos_per_fingerprint=50
+    )
+
+
+SQL_REPO_CONTAINMENT_PAIRS = f"""
+WITH code AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/repo_containment_pairs/*.parquet')),
+fps AS (SELECT DISTINCT repo, sha256({{norm}}) AS fp
+        FROM code WHERE content IS NOT NULL),
+freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+capped AS (SELECT fps.repo, fps.fp, freq.df
+           FROM fps JOIN freq USING (fp) WHERE df <= 50),
+sizes AS (SELECT repo, count(*) AS n FROM capped GROUP BY 1),
+post AS (SELECT repo, fp FROM capped WHERE df >= 2),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+  FROM post a JOIN post b ON a.fp = b.fp AND a.repo < b.repo
+  GROUP BY 1, 2)
+SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       round(n_shared * 1.0 / least(sa.n, sb.n), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.repo = repo_a
+JOIN sizes sb ON sb.repo = repo_b
+WHERE n_shared * 1.0 / least(sa.n, sb.n) >= 0.8
+"""
+
+
 def q_dup_rate_by_lang(spark, sf_dir):
     """Grouped duplicate-rate gate with the formatting-invariant code
     fingerprint: 30k files, per-lang dup density planted differently
@@ -5128,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_pairs": q_repo_fork_pairs,
         "repo_fork_dedup": q_repo_fork_dedup,
         "pii_redact_documents": q_pii_redact_documents,
+        "repo_containment_pairs": q_repo_containment_pairs,
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
         "code_dedup_near": q_code_dedup_near,
@@ -5252,6 +5348,9 @@ def oracle_sql() -> dict[str, str]:
             norm=_sql_normalized_code_expr()
         ),
         "pii_redact_documents": _sql_pii_redact(),
+        "repo_containment_pairs": SQL_REPO_CONTAINMENT_PAIRS.format(
+            norm=_sql_normalized_code_expr()
+        ),
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
             norm=_sql_normalized_code_expr()
