@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_HEAVY_REPEATS", "3"))
-SCALES = (1, 10)
+SCALES = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_FORK_SCALES", "1,10").split(",")
+)
 BASE_GROUPS = 150
 WORK_DIR = "/tmp/dts_repo_fork_scale"
 
@@ -62,7 +64,8 @@ def main() -> None:
             spark.catalog.clearCache()
 
     med = {m: statistics.median(times[m]) for m in SCALES}
-    expo = math.log(med[10] / med[1]) / math.log(10)
+    lo, hi = SCALES[0], SCALES[-1]
+    expo = math.log(med[hi] / med[lo]) / math.log(hi / lo)
     lines = [
         "# repo_jaccard_pairs scale ladder",
         "",
@@ -80,7 +83,7 @@ def main() -> None:
         )
     lines += [
         "",
-        f"Scaling exponent log(t_10x/t_1x)/log(10) = **{expo:.2f}**",
+        f"Scaling exponent log(t_{hi}x/t_{lo}x)/log({hi}/{lo}) = **{expo:.2f}**",
         "(~1 linear; > ~1.2 superlinear).",
         "",
     ]
