@@ -1998,6 +1998,75 @@ WHERE n_shared * 1.0 / least(sa.n, sb.n) >= 0.8
 """
 
 
+def q_notebook_code_files(spark, sf_dir):
+    """Notebook → script conversion (The Stack's .ipynb stage): 20k
+    synthetic nbformat documents built with to_json (markdown + two
+    code cells + raw cell; every 4th has no code cells → empty string;
+    every 5th is broken JSON → NULL).  Spark extracts via VARIANT
+    (try_parse_json / try_variant_get); the DuckDB oracle replays with
+    json_valid + json_transform over the SAME parquet — full value
+    oracle including the NULL/empty edge semantics."""
+    from datatest_spark.operators.notebooks import notebook_code
+
+    n = 20_000
+    df = spark.range(0, n, 1, 8)
+    rid = F.col("id")
+    k = rid.cast("string")
+    code_cell = lambda body: F.struct(  # noqa: E731
+        F.lit("code").alias("cell_type"), body.alias("source")
+    )
+    md_cell = F.struct(
+        F.lit("markdown").alias("cell_type"),
+        F.array(F.concat(F.lit("# doc "), k, F.lit("\n"))).alias("source"),
+    )
+    raw_cell = F.struct(
+        F.lit("raw").alias("cell_type"),
+        F.array(F.lit("ignored\n")).alias("source"),
+    )
+    full = F.array(
+        md_cell,
+        code_cell(F.array(
+            F.concat(F.lit("x_"), k, F.lit(" = "), k, F.lit("\n")),
+            F.concat(F.lit("print(x_"), k, F.lit(")\n")),
+        )),
+        raw_cell,
+        code_cell(F.array(F.concat(F.lit("y = "), k, F.lit(" * 2\n")))),
+    )
+    prose_only = F.array(md_cell, raw_cell)
+    cells = F.when(rid % 4 == 3, prose_only).otherwise(full)
+    nb_json = F.to_json(F.struct(cells.alias("cells"), F.lit(4).alias("nbformat")))
+    content = F.when(rid % 5 == 4, F.concat(F.lit("{broken"), k)).otherwise(nb_json)
+    files = df.select(
+        rid.alias("doc_id"),
+        F.concat(F.lit("nb/d"), k, F.lit(".ipynb")).alias("path"),
+        content.alias("content"),
+    )
+    path = f"{ORACLE_SHARE_DIR}/notebook_code_files"
+    files.write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path)
+    return d.select("doc_id", notebook_code(F.col("content")).alias("nb_code"))
+
+
+SQL_NOTEBOOK_CODE = f"""
+WITH nb AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/notebook_code_files/*.parquet'))
+SELECT doc_id,
+  CASE WHEN json_valid(content)
+       AND json_extract(content, '$.cells') IS NOT NULL THEN
+    coalesce(
+      list_aggr(
+        list_transform(
+          list_filter(
+            json_transform(content,
+              '{{"cells":[{{"cell_type":"VARCHAR","source":["VARCHAR"]}}]}}').cells,
+            x -> x.cell_type = 'code'),
+          x -> array_to_string(x.source, '')),
+        'string_agg', chr(10) || chr(10)),
+      '')
+  END AS nb_code
+FROM nb
+"""
+
+
 def q_dup_rate_by_lang(spark, sf_dir):
     """Grouped duplicate-rate gate with the formatting-invariant code
     fingerprint: 30k files, per-lang dup density planted differently
@@ -5224,6 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_fork_dedup": q_repo_fork_dedup,
         "pii_redact_documents": q_pii_redact_documents,
         "repo_containment_pairs": q_repo_containment_pairs,
+        "notebook_code_files": q_notebook_code_files,
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
         "code_dedup_near": q_code_dedup_near,
@@ -5351,6 +5421,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_containment_pairs": SQL_REPO_CONTAINMENT_PAIRS.format(
             norm=_sql_normalized_code_expr()
         ),
+        "notebook_code_files": SQL_NOTEBOOK_CODE,
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
             norm=_sql_normalized_code_expr()

@@ -95,6 +95,7 @@ Spec shape::
          "threshold": 0.05},
         {"check": "repo_fork", "column": "repo", "threshold": 0.7,
          "max_repos_per_fingerprint": 256},
+        {"check": "notebook_json", "column": "content"},
         {"check": "outliers", "column": "amount", "method": "mad",
          "k": 3.5, "severity": "warn"}   # warn: reported, never gates
       ],
@@ -143,6 +144,7 @@ from ..operators.codequality import (
     check_lang_consistency,
     check_repo_quality,
 )
+from ..operators.notebooks import check_notebook_json
 from ..operators.quality import check_no_pii
 from ..operators.referential import check_referential
 from ..operators.requirements import check_json
@@ -418,6 +420,17 @@ def compile_check(entry: dict, *, primary: str, partition_col: str) -> Check:
                 t[table], repo_col=_r, content_col=_c, lang_col=_l,
                 threshold=_t, max_repos_per_fingerprint=_cp,
                 min_files=_mf, fingerprint_col=_fp, check_id=_i,
+            )
+        )
+    elif kind == "notebook_json":
+        content_col = e.pop("column", "content")
+        path_col = e.pop("path_col", "path")
+        suffix = e.pop("suffix", ".ipynb")
+        cid = check_id or "notebook_json"
+        builder = lambda t, _c=content_col, _p=path_col, _s=suffix, _i=cid: (  # noqa: E731
+            check_notebook_json(
+                t[table], content_col=_c, path_col=_p, suffix=_s,
+                check_id=_i, partition_id=_pid(t),
             )
         )
     elif kind == "row_count_drift":

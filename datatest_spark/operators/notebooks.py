@@ -1,0 +1,144 @@
+"""Jupyter-notebook → script conversion for code corpora.
+
+A real source-code corpus is full of ``.ipynb`` files: JSON documents
+whose code lives inside ``cells[].source``, drowned in markdown cells,
+execution counts, and base64 image outputs.  The published code-corpus
+pipelines convert notebooks to plain scripts before training (The
+Stack, arXiv:2211.15533 §2, via Jupytext; StarCoder keeps
+notebook-derived scripts as their own subset) — training on raw
+notebook JSON teaches the serialization format, not the code, and the
+embedded outputs blow the encoded-data screens.
+
+Everything here is ONE scan-local projection over Spark's VARIANT
+functions (``try_parse_json`` / ``try_variant_get``) — no UDF, no
+shuffle, malformed JSON degrades to NULL instead of failing the job
+(``try_`` semantics), which is exactly the quarantine-friendly
+behavior a 10^12-file corpus needs.
+
+nbformat facts used (all public, nbformat.readthedocs.io): cells live
+at ``$.cells``; each cell has ``cell_type`` (``code`` / ``markdown`` /
+``raw``); ``source`` is EITHER a list of line strings (the on-disk
+convention, each retaining its trailing ``\n``) OR a single string —
+both legal, both handled (list tried first, string fallback).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.differences import KIND_INVALID, make_differences
+
+#: cell separator in the extracted script (two newlines reads as a
+#: paragraph break; deterministic, no cell markers to un-learn)
+CELL_SEP = "\n\n"
+
+
+def notebook_code(content_col: Column) -> Column:
+    """Extracted script: the concatenation of every ``code`` cell's
+    source (list-form lines joined as-is, string-form taken verbatim),
+    cells joined by :data:`CELL_SEP`.
+
+    NULL when the JSON does not parse, has no ``cells`` array, or the
+    input is NULL — never an error.  A notebook with zero code cells
+    yields the empty string (it parsed fine; there is just no code).
+    Pure Column expression: scan-local, zero shuffle, no UDF.
+    """
+    v = F.try_parse_json(content_col)
+    cells = F.try_variant_get(v, "$.cells", "array<variant>")
+    code = F.filter(
+        cells,
+        lambda c: F.try_variant_get(c, "$.cell_type", "string") == "code",
+    )
+    texts = F.transform(
+        code,
+        lambda c: F.coalesce(
+            F.array_join(F.try_variant_get(c, "$.source", "array<string>"), ""),
+            F.try_variant_get(c, "$.source", "string"),
+            F.lit(""),  # a code cell with null/absent source contributes nothing
+        ),
+    )
+    return F.array_join(texts, CELL_SEP)
+
+
+def notebook_stats(content_col: Column) -> Column:
+    """``struct(n_cells, n_code_cells, parsed)`` for observability —
+    same parse, no extraction."""
+    v = F.try_parse_json(content_col)
+    cells = F.try_variant_get(v, "$.cells", "array<variant>")
+    n_code = F.size(
+        F.filter(
+            cells,
+            lambda c: F.try_variant_get(c, "$.cell_type", "string") == "code",
+        )
+    )
+    return F.struct(
+        F.size(cells).alias("n_cells"),
+        n_code.alias("n_code_cells"),
+        cells.isNotNull().alias("parsed"),
+    )
+
+
+def convert_notebooks(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    lang_col: Optional[str] = "lang",
+    suffix: str = ".ipynb",
+) -> DataFrame:
+    """The Stack's conversion stage as a corpus REWRITE: rows whose
+    path ends in ``suffix`` and whose JSON parses get their content
+    replaced by the extracted script (and ``lang_col``, if present, set
+    to ``python`` — the overwhelming nbformat default); every other row
+    — including unparseable notebooks, left for
+    :func:`check_notebook_json` to report — passes through
+    byte-identical.  Scan-local projection; at 100 TB the common
+    non-notebook row is never re-serialized.
+    """
+    is_nb = F.col(path_col).endswith(suffix)
+    code = notebook_code(F.col(content_col))
+    hit = is_nb & code.isNotNull()
+    # one projection computing every rewritten column against the
+    # ORIGINAL content (a second withColumn would re-evaluate `hit`
+    # against the already-rewritten content and never fire)
+    updates = {content_col: F.when(hit, code).otherwise(F.col(content_col))}
+    if lang_col is not None and lang_col in df.columns:
+        updates[lang_col] = F.when(hit, F.lit("python")).otherwise(F.col(lang_col))
+    return df.withColumns(updates)
+
+
+def check_notebook_json(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    path_col: str = "path",
+    suffix: str = ".ipynb",
+    check_id: str = "notebook_json",
+    provenance: Optional[dict] = None,
+    partition_id: Optional[Column] = None,
+) -> DataFrame:
+    """One Invalid difference row per ``.ipynb`` file that cannot be
+    converted: JSON fails to parse or exposes no ``cells`` array
+    (key = the path, value = ``unparseable-notebook``).  These are
+    exactly the rows :func:`convert_notebooks` leaves untouched, so the
+    gate and the rewrite agree by construction."""
+    bad = df.filter(
+        F.col(path_col).endswith(suffix)
+        & notebook_code(F.col(content_col)).isNull()
+    )
+    prov = provenance if provenance is not None else {
+        c: c for c in ("repo", "path", "commit") if c in df.columns
+    }
+    return make_differences(
+        bad,
+        check_id=check_id,
+        kind=KIND_INVALID,
+        key=F.col(path_col),
+        value=F.lit("unparseable-notebook"),
+        expected=F.lit("nbformat-json"),
+        provenance=prov,
+        partition_id=partition_id,
+    )

@@ -1170,3 +1170,42 @@ def test_spec_repo_fork_matches_python_api(spark):
             {"check": "repo_fork", "bogus": 1},
             primary="code", partition_col="partition_id",
         )
+
+
+def test_spec_notebook_json_matches_python_api(spark):
+    """Spec kind notebook_json compiles and matches check_notebook_json;
+    unknown keys rejected."""
+    import json as _json
+
+    from datatest_spark.operators.notebooks import check_notebook_json
+
+    good = _json.dumps({"cells": [{"cell_type": "code", "source": ["x=1\n"]}]})
+    rows = [
+        ("r", "a/ok.ipynb", "c1", "jupyter", good, 0),
+        ("r", "a/bad.ipynb", "c2", "jupyter", "{nope", 1),
+        ("r", "a/plain.py", "c3", "python", "{nope", 1),
+    ]
+    code = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, partition_id int",
+    )
+    tables = {"code": code}
+    got = sorted(
+        (r["check_id"], r["key"], r["partition_id"])
+        for r in compile_check(
+            {"check": "notebook_json"},
+            primary="code", partition_col="partition_id",
+        ).builder(tables).collect()
+    )
+    want = sorted(
+        (r["check_id"], r["key"], r["partition_id"])
+        for r in check_notebook_json(
+            code, check_id="notebook_json", partition_id=F.col("partition_id")
+        ).collect()
+    )
+    assert got == want and len(got) == 1 and got[0][1] == "a/bad.ipynb"
+    with pytest.raises(ValueError):
+        compile_check(
+            {"check": "notebook_json", "bogus": 1},
+            primary="code", partition_col="partition_id",
+        )

@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from datatest_spark.operators.notebooks import (
+    check_notebook_json,
+    convert_notebooks,
+    notebook_code,
+    notebook_stats,
+)
+
+
+def _nb(cells):
+    return json.dumps({"cells": cells, "nbformat": 4})
+
+
+GOOD = _nb(
+    [
+        {"cell_type": "markdown", "source": ["# title\n"]},
+        {"cell_type": "code", "source": ["x = 1\n", "y = 2\n"]},
+        {"cell_type": "code", "source": "z = 3\n"},  # string-form source
+        {"cell_type": "raw", "source": ["ignored\n"]},
+    ]
+)
+NO_CODE = _nb([{"cell_type": "markdown", "source": ["# only prose\n"]}])
+NO_CELLS = json.dumps({"nbformat": 4})
+BAD = "{not valid json"
+
+
+def _extract(spark, content):
+    df = spark.createDataFrame([(content,)], "content string")
+    return df.select(notebook_code(F.col("content")).alias("c")).collect()[0].c
+
+
+def test_notebook_code_extraction(spark):
+    assert _extract(spark, GOOD) == "x = 1\ny = 2\n\n\nz = 3\n"
+    assert _extract(spark, NO_CODE) == ""
+    assert _extract(spark, NO_CELLS) is None
+    assert _extract(spark, BAD) is None
+    assert _extract(spark, None) is None
+
+
+def test_notebook_stats(spark):
+    df = spark.createDataFrame([(GOOD,), (BAD,)], "content string")
+    rows = df.select(notebook_stats(F.col("content")).alias("s")).collect()
+    assert (rows[0].s.n_cells, rows[0].s.n_code_cells, rows[0].s.parsed) == (4, 2, True)
+    assert rows[1].s.parsed is False and rows[1].s.n_cells is None
+
+
+def test_convert_notebooks_rewrite(spark):
+    rows = [
+        ("r", "a/nb.ipynb", "c1", "jupyter", GOOD),
+        ("r", "a/bad.ipynb", "c2", "jupyter", BAD),
+        ("r", "a/plain.py", "c3", "python", "v = 9\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = {r.path: (r.content, r.lang) for r in convert_notebooks(df).collect()}
+    assert got["a/nb.ipynb"] == ("x = 1\ny = 2\n\n\nz = 3\n", "python")
+    assert got["a/bad.ipynb"] == (BAD, "jupyter")  # untouched, gate reports it
+    assert got["a/plain.py"] == ("v = 9\n", "python")
+    # no lang column: rewrite still works
+    got2 = convert_notebooks(df.drop("lang")).filter(
+        F.col("path") == "a/nb.ipynb"
+    ).collect()[0]
+    assert got2.content.startswith("x = 1")
+
+
+def test_check_notebook_json_gate(spark):
+    rows = [
+        ("r", "a/nb.ipynb", "c1", "jupyter", GOOD),
+        ("r", "a/bad.ipynb", "c2", "jupyter", BAD),
+        ("r", "a/nocells.ipynb", "c3", "jupyter", NO_CELLS),
+        ("r", "a/plain.py", "c4", "python", "{not valid json"),  # not a notebook
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = sorted(r.key for r in check_notebook_json(df).collect())
+    assert got == ["a/bad.ipynb", "a/nocells.ipynb"]
+    r0 = check_notebook_json(df).collect()[0]
+    assert r0.diff_kind == "invalid" and r0.expected == "nbformat-json"
