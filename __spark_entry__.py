@@ -5308,7 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_pairs_documents": q_repeated_span_pairs_documents,
         "remove_repeated_spans_documents": q_remove_repeated_spans_documents,
         "suggest_referential_composite": q_suggest_referential_composite,
-        "acceptance_instance_nation": q_acceptance_instance_nation,
+        "ks_drift_quantity": q_ks_drift_quantity,
         "acceptance_list_quantity": q_acceptance_list_quantity,
         "acceptance_keys_mapping": q_acceptance_keys_mapping,
         "acceptance_args_psize": q_acceptance_args_psize,
@@ -5344,7 +5344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_lineitem": q_quarantine_lineitem,
         "format_emails_documents": q_format_emails_documents,
         "psi_drift_lineitem": q_psi_drift_lineitem,
-        "ks_drift_quantity": q_ks_drift_quantity,
+        "acceptance_instance_nation": q_acceptance_instance_nation,
         "wasserstein_quantity": q_wasserstein_quantity,
         "benford_extprice": q_benford_extprice,
         "outliers_extprice": q_outliers_extprice,
