@@ -437,6 +437,48 @@ FROM doubled GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_incremental_documents(spark, sf_dir):
+    """Incremental exact dedup (dedup_against_index — the daily-load
+    mode): the doubled corpus is the 'new batch' (planted in-batch
+    dups), the fingerprints of doc_id % 3 == 0 are 'yesterday's index';
+    novel = one min-id keeper per fingerprint not already indexed.
+    Full value oracle: both engines derive batch, index, keeper rule
+    and anti-join from the same tables."""
+    from datatest_spark.operators.dedup import dedup_against_index
+    from datatest_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    index = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(fingerprint(F.col("text")).alias("fingerprint"))
+    )
+    novel = dedup_against_index(batch, index)
+    return novel.select("doc_id", "fingerprint")
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM doubled
+),
+keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1)
+SELECT doc_id, fingerprint FROM keep
+WHERE fingerprint NOT IN (
+  SELECT DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+
 def q_dup_rate_documents(spark, sf_dir):
     """Duplicate-rate gate over documents ∪ shifted-id copy: the
     doubled corpus has rate ≥ 0.5 > max_rate 0.1 → exactly one
@@ -5294,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_documents": q_pii_redact_documents,
         "repo_containment_pairs": q_repo_containment_pairs,
         "notebook_code_files": q_notebook_code_files,
+        "dedup_incremental_documents": q_dedup_incremental_documents,
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
         "code_dedup_near": q_code_dedup_near,
@@ -5422,6 +5465,7 @@ def oracle_sql() -> dict[str, str]:
             norm=_sql_normalized_code_expr()
         ),
         "notebook_code_files": SQL_NOTEBOOK_CODE,
+        "dedup_incremental_documents": SQL_DEDUP_INCREMENTAL,
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
             norm=_sql_normalized_code_expr()

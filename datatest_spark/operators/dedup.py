@@ -1722,3 +1722,53 @@ def check_dup_rate(
         expected=F.lit(float(max_rate)),
         deviation=(F.col("_rate") - F.lit(float(max_rate))).cast("double"),
     )
+
+
+def dedup_against_index(
+    df: DataFrame,
+    index: Optional[DataFrame] = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: Optional[Column] = None,
+) -> DataFrame:
+    """Incremental exact dedup — the daily-load operating mode: the
+    NOVEL rows of a new batch, i.e. one keeper (min ``id_col``) per
+    fingerprint WITHIN the batch, minus every fingerprint already in
+    ``index`` (the accumulated identity set of the corpus so far; a
+    DataFrame with a ``fingerprint`` column, or None on day zero).
+    Output = the batch's columns + ``fingerprint``, so the two-line
+    daily loop never recomputes a hash::
+
+        novel = dedup_against_index(batch, spark.read.parquet(IDX))
+        novel.drop("fingerprint").write.mode("append").parquet(CORPUS)
+        novel.select("fingerprint").write.mode("append").parquet(IDX)
+
+    ``fingerprint`` defaults to the engine's exact-dedup identity
+    (sha256 of the normalized text); pass e.g. ``code_fingerprint(...)``
+    for the formatting-invariant code identity — the batch then joins
+    the same index ``code_duplicate_groups`` agrees with.
+
+    Scale shape: the hash is scan-local; the in-batch keeper is one
+    fingerprint-partitioned window over the BATCH (daily increment,
+    not the corpus); the LEFT ANTI join against the index shuffles the
+    batch by fingerprint — at a 10^12-row index, write the index
+    bucketed/partitioned by a fingerprint prefix so the big side joins
+    without a full re-shuffle.  The index never carries content: 32
+    bytes per distinct document ever seen.
+    """
+    fp = fingerprint if fingerprint is not None else F.sha2(
+        normalize_text(F.col(text_col)), 256
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    kept = (
+        df.withColumn("fingerprint", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if index is None:
+        return kept
+    return kept.join(
+        index.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    )

@@ -950,3 +950,45 @@ def test_spec_dup_rate_grouped_matches_python_api(spark):
         ).collect()
     )
     assert got == want and len(got) >= 1
+
+
+def test_dedup_against_index(spark):
+    from datatest_spark.operators.dedup import dedup_against_index
+    from datatest_spark.operators.textstats import fingerprint
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "Alpha  "), (3, "beta"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    # day zero: in-batch keeper only (normalized 'alpha' collapses 1,2)
+    day0 = dedup_against_index(batch)
+    assert sorted(r.doc_id for r in day0.collect()) == [1, 3, 4]
+    assert "fingerprint" in day0.columns
+    # an index holding beta's identity excludes it from the novel set
+    idx = spark.createDataFrame([("beta",)], "text string").select(
+        fingerprint(F.col("text")).alias("fingerprint")
+    )
+    novel = dedup_against_index(batch, idx)
+    assert sorted(r.doc_id for r in novel.collect()) == [1, 4]
+    # two-day loop: yesterday's novel fingerprints suppress today's rerun
+    idx2 = idx.select("fingerprint").unionByName(novel.select("fingerprint"))
+    assert dedup_against_index(batch, idx2).count() == 0
+
+
+def test_dedup_against_index_custom_fingerprint(spark):
+    from datatest_spark.operators.codequality import code_fingerprint
+    from datatest_spark.operators.dedup import dedup_against_index
+
+    batch = spark.createDataFrame(
+        [
+            (1, "python", "x = 1\n"),
+            (2, "python", "# comment\nx = 1\n"),  # same after normalization
+            (3, "python", "y = 2\n"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    novel = dedup_against_index(
+        batch, fingerprint=code_fingerprint(F.col("content"), F.col("lang")),
+        id_col="doc_id",
+    )
+    assert sorted(r.doc_id for r in novel.collect()) == [1, 3]
