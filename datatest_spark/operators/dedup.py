@@ -1760,12 +1760,19 @@ def dedup_against_index(
     fp = fingerprint if fingerprint is not None else F.sha2(
         normalize_text(F.col(text_col)), 256
     )
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    # min_by(struct(row), id), not a row_number window: partial_min_by
+    # collapses each input partition to one candidate per fingerprint
+    # BEFORE the exchange and never sorts the batch (the keep_latest
+    # plan shape).  Requires id_col to order rows totally within a
+    # fingerprint — dup rows with EQUAL ids are identical for keeping
+    # purposes anyway.
+    cols = df.columns
     kept = (
         df.withColumn("fingerprint", fp)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy("fingerprint")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select("fingerprint", "_row.*")
+        .select(*cols, "fingerprint")
     )
     if index is None:
         return kept

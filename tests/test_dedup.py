@@ -992,3 +992,13 @@ def test_dedup_against_index_custom_fingerprint(spark):
         id_col="doc_id",
     )
     assert sorted(r.doc_id for r in novel.collect()) == [1, 3]
+
+
+def test_dedup_against_index_plan_no_window(spark):
+    """Keeper is a min_by aggregate (map-side partial, no sort), not a
+    row_number window."""
+    from datatest_spark.operators.dedup import dedup_against_index
+
+    b = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    plan = dedup_against_index(b)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "min_by" in plan
