@@ -437,6 +437,74 @@ FROM doubled GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_convert_notebooks_files(spark, sf_dir):
+    """Notebook conversion as a corpus REWRITE (convert_notebooks):
+    .ipynb rows with parseable JSON get extracted script + lang→python;
+    unparseable notebooks and plain files pass through byte-identical
+    (md5-of-content compare proves both).  Same fixture generator as
+    notebook_code_files plus plain .py rows and a lang column."""
+    from datatest_spark.operators.notebooks import convert_notebooks
+
+    n = 20_000
+    df = spark.range(0, n, 1, 8)
+    rid = F.col("id")
+    k = rid.cast("string")
+    cells = F.array(
+        F.struct(
+            F.lit("markdown").alias("cell_type"),
+            F.array(F.concat(F.lit("# d"), k, F.lit("\n"))).alias("source"),
+        ),
+        F.struct(
+            F.lit("code").alias("cell_type"),
+            F.array(F.concat(F.lit("v_"), k, F.lit(" = "), k, F.lit("\n"))).alias("source"),
+        ),
+    )
+    nb_json = F.to_json(F.struct(cells.alias("cells"), F.lit(4).alias("nbformat")))
+    is_plain = rid % 3 == 2
+    is_broken = (rid % 3 == 1) & (rid % 5 == 1)
+    content = (
+        F.when(is_plain, F.concat(F.lit("w = "), k, F.lit("\n")))
+        .when(is_broken, F.concat(F.lit("{oops"), k))
+        .otherwise(nb_json)
+    )
+    files = df.select(
+        rid.alias("doc_id"),
+        F.when(is_plain, F.concat(F.lit("src/p"), k, F.lit(".py")))
+        .otherwise(F.concat(F.lit("nb/d"), k, F.lit(".ipynb"))).alias("path"),
+        F.when(is_plain, F.lit("python")).otherwise(F.lit("jupyter")).alias("lang"),
+        content.alias("content"),
+    )
+    path = f"{ORACLE_SHARE_DIR}/convert_notebooks_files"
+    files.write.mode("overwrite").parquet(path)
+    out = convert_notebooks(spark.read.parquet(path))
+    return out.select("doc_id", "lang", F.md5("content").alias("content_md5"))
+
+
+def _sql_convert_notebooks() -> str:
+    nb_code = """
+    CASE WHEN json_valid(content)
+         AND json_extract(content, '$.cells') IS NOT NULL THEN
+      coalesce(
+        list_aggr(
+          list_transform(
+            list_filter(
+              json_transform(content,
+                '{"cells":[{"cell_type":"VARCHAR","source":["VARCHAR"]}]}').cells,
+              x -> x.cell_type = 'code'),
+            x -> array_to_string(x.source, '')),
+          'string_agg', chr(10) || chr(10)),
+        '')
+    END"""
+    hit = f"ends_with(path, '.ipynb') AND ({nb_code}) IS NOT NULL"
+    return f"""
+WITH nb AS (SELECT * FROM read_parquet('{ORACLE_SHARE_DIR}/convert_notebooks_files/*.parquet'))
+SELECT doc_id,
+       CASE WHEN {hit} THEN 'python' ELSE lang END AS lang,
+       md5(CASE WHEN {hit} THEN ({nb_code}) ELSE content END) AS content_md5
+FROM nb
+"""
+
+
 def q_dedup_incremental_documents(spark, sf_dir):
     """Incremental exact dedup (dedup_against_index — the daily-load
     mode): the doubled corpus is the 'new batch' (planted in-batch
@@ -5337,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_containment_pairs": q_repo_containment_pairs,
         "notebook_code_files": q_notebook_code_files,
         "dedup_incremental_documents": q_dedup_incremental_documents,
+        "convert_notebooks_files": q_convert_notebooks_files,
         "comment_ratio_files": q_comment_ratio_files,
         "code_near_dup_pairs": q_code_near_dup_pairs,
         "code_dedup_near": q_code_dedup_near,
@@ -5466,6 +5535,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "notebook_code_files": SQL_NOTEBOOK_CODE,
         "dedup_incremental_documents": SQL_DEDUP_INCREMENTAL,
+        "convert_notebooks_files": _sql_convert_notebooks(),
         "comment_ratio_files": _sql_comment_ratio(),
         "code_near_dup_pairs": SQL_CODE_NEAR_DUP.format(
             norm=_sql_normalized_code_expr()
