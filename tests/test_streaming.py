@@ -479,3 +479,48 @@ def test_embedding_check_is_streaming_safe(spark, tmp_path):
     assert ("invalid", "3", "3") in got       # wrong dim
     assert ("invalid", "4", "zero_vector") in got
     assert ("deviation", "5", "50.0") in got  # norm 50 > 10
+
+
+def test_code_quality_and_notebook_gates_work_on_streams(spark, tmp_path):
+    """The code-corpus gates are stateless scan-local projections, so
+    they compose with readStream unchanged — streaming code-quality /
+    notebook-JSON gates over a code-file stream match the batch
+    result."""
+    import json as _json
+
+    from datatest_spark.operators.codequality import check_code_quality
+    from datatest_spark.operators.notebooks import check_notebook_json
+
+    good_nb = _json.dumps(
+        {"cells": [{"cell_type": "code", "source": ["x = 1\n"]}]}
+    )
+    p = str(tmp_path / "code_src2")
+    rows = [
+        ("r1", "a.py", "c1", "def f():\n    return 1\n"),
+        ("r1", "vendor/b.js", "c2", "var a = 1;\n"),
+        ("r1", "nb/ok.ipynb", "c3", good_nb),
+        ("r1", "nb/bad.ipynb", "c4", "{broken"),
+    ]
+    schema = "repo string, path string, commit string, content string"
+    bdf = spark.createDataFrame(rows, schema)
+    bdf.coalesce(1).write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(bdf.schema).parquet(p)
+
+    for i, (check, table) in enumerate(
+        [
+            (lambda d: check_code_quality(d), "cq_stream"),
+            (lambda d: check_notebook_json(d), "nb_stream"),
+        ]
+    ):
+        q = (
+            check(sdf)
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", str(tmp_path / f"cnq{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table(table).collect()
+        want = check(bdf).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and want
