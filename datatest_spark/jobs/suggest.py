@@ -88,9 +88,9 @@ def suggest_spec(
 
     * the code-corpus shape (string ``content`` + ``path`` columns, the
       north_rule input): advisory ``code_quality`` /
-      ``lang_consistency`` (with ``lang``) / ``repo_quality`` +
-      ``repo_fork`` (with ``repo``) gates at ``severity: warn`` —
-      schema-detected, zero
+      ``notebook_json`` / ``lang_consistency`` (with ``lang``) /
+      ``repo_quality`` + ``repo_fork`` (with ``repo``) gates at
+      ``severity: warn`` — schema-detected, zero
       extra scans, reported without gating verdicts (disable with
       ``code_gates=False``).
 
@@ -391,6 +391,17 @@ def suggest_spec(
                         "advisory The Stack/StarCoder file gate on the "
                         "detected code-table shape; review thresholds, "
                         "then raise severity to error"
+                    ),
+                }
+            )
+            checks.append(
+                {
+                    "check": "notebook_json",
+                    "severity": "warn",
+                    "id": "suggest_notebook_json",
+                    "comment": (
+                        "unconvertible .ipynb files (notebook->script "
+                        "stage); no-op on corpora without notebooks"
                     ),
                 }
             )

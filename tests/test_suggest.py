@@ -375,7 +375,8 @@ def test_suggest_code_gates_on_code_shape(spark):
     spec = suggest_spec(code, table="code", partition_col="partition_id")
     byid = _by_id(spec)
     for cid in ("suggest_code_quality", "suggest_lang_consistency",
-                "suggest_repo_quality", "suggest_repo_fork"):
+                "suggest_repo_quality", "suggest_repo_fork",
+                "suggest_notebook_json"):
         assert byid[cid]["severity"] == "warn"
     # compiles and runs; the mismatch is REPORTED but verdicts stay ok
     from datatest_spark.jobs import compile_suite
