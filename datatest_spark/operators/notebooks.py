@@ -99,8 +99,11 @@ def convert_notebooks(
     non-notebook row is never re-serialized.
     """
     is_nb = F.col(path_col).endswith(suffix)
-    code = notebook_code(F.col(content_col))
-    hit = is_nb & code.isNotNull()
+    # the parse is guarded under the path test (when() evaluates its
+    # branch conditionally) so non-notebook rows never pay a JSON
+    # parse attempt — at 100 TB almost every row is a plain file
+    code = F.when(is_nb, notebook_code(F.col(content_col)))
+    hit = code.isNotNull()
     # one projection computing every rewritten column against the
     # ORIGINAL content (a second withColumn would re-evaluate `hit`
     # against the already-rewritten content and never fire)
@@ -126,8 +129,10 @@ def check_notebook_json(
     exactly the rows :func:`convert_notebooks` leaves untouched, so the
     gate and the rewrite agree by construction."""
     bad = df.filter(
-        F.col(path_col).endswith(suffix)
-        & notebook_code(F.col(content_col)).isNull()
+        F.when(
+            F.col(path_col).endswith(suffix),
+            notebook_code(F.col(content_col)).isNull(),
+        ).otherwise(F.lit(False))
     )
     prov = provenance if provenance is not None else {
         c: c for c in ("repo", "path", "commit") if c in df.columns
