@@ -1962,7 +1962,7 @@ SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
 FROM shared
 JOIN sizes sa ON sa.repo = repo_a
 JOIN sizes sb ON sb.repo = repo_b
-WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+WHERE round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) >= 0.5
 """
 
 
@@ -1997,9 +1997,9 @@ pairs AS (
   SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
   FROM post a JOIN post b ON a.fp = b.fp AND a.repo < b.repo
   GROUP BY 1, 2
-  HAVING count(*) * 1.0 /
+  HAVING round(count(*) * 1.0 /
          ((SELECT n FROM sizes WHERE repo = a.repo)
-          + (SELECT n FROM sizes WHERE repo = b.repo) - count(*)) >= 0.5),
+          + (SELECT n FROM sizes WHERE repo = b.repo) - count(*)), 6) >= 0.5),
 edges AS (SELECT repo_a AS s, repo_b AS d FROM pairs
           UNION ALL SELECT repo_b, repo_a FROM pairs),
 reach AS (
@@ -2104,7 +2104,7 @@ SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
 FROM shared
 JOIN sizes sa ON sa.repo = repo_a
 JOIN sizes sb ON sb.repo = repo_b
-WHERE n_shared * 1.0 / least(sa.n, sb.n) >= 0.8
+WHERE round(n_shared * 1.0 / least(sa.n, sb.n), 6) >= 0.8
 """
 
 

@@ -415,14 +415,15 @@ def suggest_spec(
                     }
                 )
             if _is_str("repo"):
-                checks.append(
-                    {
-                        "check": "repo_quality",
-                        "severity": "warn",
-                        "id": "suggest_repo_quality",
-                        "comment": "repo-granularity vendored/autogen/pass-rate gate",
-                    }
-                )
+                rq = {
+                    "check": "repo_quality",
+                    "severity": "warn",
+                    "id": "suggest_repo_quality",
+                    "comment": "repo-granularity vendored/autogen/pass-rate gate",
+                }
+                if not _is_str("lang"):
+                    rq["lang_col"] = None  # no lang column to profile
+                checks.append(rq)
                 checks.append(
                     {
                         "check": "repo_fork",

@@ -1757,16 +1757,21 @@ def dedup_against_index(
     without a full re-shuffle.  The index never carries content: 32
     bytes per distinct document ever seen.
     """
-    fp = fingerprint if fingerprint is not None else F.sha2(
-        normalize_text(F.col(text_col)), 256
-    )
+    if fingerprint is not None:
+        fp = fingerprint
+    elif "fingerprint" in df.columns:
+        # the batch already carries an identity column (e.g. this
+        # function's own documented output fed back in): use it verbatim
+        fp = F.col("fingerprint")
+    else:
+        fp = F.sha2(normalize_text(F.col(text_col)), 256)
     # min_by(struct(row), id), not a row_number window: partial_min_by
     # collapses each input partition to one candidate per fingerprint
     # BEFORE the exchange and never sorts the batch (the keep_latest
     # plan shape).  Requires id_col to order rows totally within a
     # fingerprint — dup rows with EQUAL ids are identical for keeping
     # purposes anyway.
-    cols = df.columns
+    cols = [c for c in df.columns if c != "fingerprint"]
     kept = (
         df.withColumn("fingerprint", fp)
         .groupBy("fingerprint")

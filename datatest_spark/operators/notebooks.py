@@ -128,10 +128,16 @@ def check_notebook_json(
     (key = the path, value = ``unparseable-notebook``).  These are
     exactly the rows :func:`convert_notebooks` leaves untouched, so the
     gate and the rewrite agree by construction."""
+    # notebook_code is NULL exactly when the cells array is (every
+    # per-cell element coalesces to non-NULL), so the gate tests the
+    # parse alone and never builds the script text — large notebooks
+    # carry megabytes of base64 outputs this scan can skip
+    cells = F.try_variant_get(
+        F.try_parse_json(F.col(content_col)), "$.cells", "array<variant>"
+    )
     bad = df.filter(
         F.when(
-            F.col(path_col).endswith(suffix),
-            notebook_code(F.col(content_col)).isNull(),
+            F.col(path_col).endswith(suffix), cells.isNull()
         ).otherwise(F.lit(False))
     )
     prov = provenance if provenance is not None else {

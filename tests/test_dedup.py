@@ -1002,3 +1002,25 @@ def test_dedup_against_index_plan_no_window(spark):
     b = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     plan = dedup_against_index(b)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "min_by" in plan
+
+
+def test_dedup_against_index_batch_with_fingerprint_column(spark):
+    """A batch already carrying a fingerprint column (this function's
+    own output fed back in) uses it verbatim — no recompute, no
+    ambiguous-column error."""
+    from datatest_spark.operators.dedup import dedup_against_index
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    day0 = dedup_against_index(batch)
+    again = dedup_against_index(day0)  # output schema includes fingerprint
+    assert sorted(r.doc_id for r in again.collect()) == [1, 2]
+    assert again.columns.count("fingerprint") == 1
+    # precomputed identity is honored verbatim
+    pre = spark.createDataFrame(
+        [(1, "x", "FPA"), (2, "y", "FPA"), (3, "z", "FPB")],
+        "doc_id long, text string, fingerprint string",
+    )
+    got = dedup_against_index(pre)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3]
