@@ -1,0 +1,287 @@
+"""Interop: import Great-Expectations-style suites onto the spec vocabulary.
+
+Many warehouses already carry constraint suites in the Great
+Expectations JSON shape (public docs:
+docs.greatexpectations.io — an ``expectation_suite`` is a list of
+``{"expectation_type": ..., "kwargs": {...}}`` entries).  This module
+maps the common, well-documented expectation types onto this engine's
+declarative spec (``jobs/spec.py``) so such a suite runs here as ONE
+compiled :class:`ValidationSuite` — same difference rows, acceptances,
+ledger and sinks as a native spec.
+
+Deliberately a TRANSLATOR, not an emulator: each supported expectation
+maps onto the engine check with the same semantics; anything outside
+the supported set is surfaced explicitly (``strict=True`` raises,
+otherwise the result records it under ``skipped``) — silent drops
+would turn a gating suite into a weaker one without anyone noticing.
+
+Mapping (expectation type → spec kind):
+
+- ``expect_column_values_to_not_be_null``          → ``completeness`` ceiling (0.0, or 1-``mostly``)
+- ``expect_column_values_to_be_between``           → ``interval``
+- ``expect_column_values_to_be_in_set``            → ``subset``
+- ``expect_column_values_to_match_regex``          → ``regex``
+- ``expect_column_values_to_be_unique``            → ``unique``
+- ``expect_compound_columns_to_be_unique``         → ``unique`` (multi-column)
+- ``expect_column_mean_to_be_between``             → ``agg_bounds`` (mean)
+- ``expect_column_min_to_be_between``              → ``agg_bounds`` (min)
+- ``expect_column_max_to_be_between``              → ``agg_bounds`` (max)
+- ``expect_column_sum_to_be_between``              → ``agg_bounds`` (sum)
+- ``expect_column_quantile_values_to_be_between``  → ``quantile_bounds`` (one per quantile)
+- ``expect_column_unique_value_count_to_be_between`` → ``distinct_count``
+- ``expect_column_proportion_of_unique_values_to_be_between`` → ``uniqueness`` (distinctness floor)
+
+``mostly`` (the GE partial-compliance knob) is honored where the
+target check has the same notion (completeness ceiling = 1 - mostly);
+for the element-wise checks (set/regex/interval) a ``mostly`` < 1
+translates the whole expectation to the engine's ``compliance`` gate
+(SQL condition + ``min_ratio = mostly``) — the exact element-fraction
+semantics GE documents, which a set-level difference count cannot
+express.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+#: expectation types this translator understands
+SUPPORTED = frozenset(
+    {
+        "expect_column_values_to_not_be_null",
+        "expect_column_values_to_be_between",
+        "expect_column_values_to_be_in_set",
+        "expect_column_values_to_match_regex",
+        "expect_column_values_to_be_unique",
+        "expect_compound_columns_to_be_unique",
+        "expect_column_mean_to_be_between",
+        "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between",
+        "expect_column_sum_to_be_between",
+        "expect_column_quantile_values_to_be_between",
+        "expect_column_unique_value_count_to_be_between",
+        "expect_column_proportion_of_unique_values_to_be_between",
+    }
+)
+
+_AGG_OF = {
+    "expect_column_mean_to_be_between": "mean",
+    "expect_column_min_to_be_between": "min",
+    "expect_column_max_to_be_between": "max",
+    "expect_column_sum_to_be_between": "sum",
+}
+
+
+def _mostly(kwargs: dict) -> Optional[float]:
+    m = kwargs.get("mostly")
+    if m is None or float(m) >= 1.0:
+        return None
+    return float(m)
+
+
+def _sql_lit(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def from_great_expectations(
+    suite: dict,
+    *,
+    table: str = "table",
+    partition_col: Optional[str] = None,
+    strict: bool = True,
+) -> dict:
+    """Translate a GE-style ``expectation_suite`` dict into a spec dict
+    ``compile_suite`` accepts.
+
+    Returns the spec; unsupported or malformed expectations raise when
+    ``strict`` (default), else are recorded in the returned spec's
+    ``"skipped"`` key (a list of ``{expectation_type, reason}``) which
+    ``compile_suite`` ignores but reviewers can diff.
+    """
+    exps = suite.get("expectations")
+    if not isinstance(exps, list):
+        raise ValueError("suite['expectations'] must be a list")
+    name = suite.get("expectation_suite_name", "ge_suite")
+    checks: list[dict] = []
+    skipped: list[dict] = []
+    completeness: dict[str, float] = {}
+
+    def skip(etype: str, reason: str) -> None:
+        if strict:
+            raise ValueError(f"{etype}: {reason}")
+        skipped.append({"expectation_type": etype, "reason": reason})
+
+    for i, e in enumerate(exps):
+        etype = e.get("expectation_type")
+        kw = dict(e.get("kwargs") or {})
+        if etype not in SUPPORTED:
+            skip(str(etype), "unsupported expectation type")
+            continue
+        cid = f"ge_{i}_{etype.removeprefix('expect_')}"
+        acc = _mostly(kw)
+
+        if etype == "expect_column_values_to_not_be_null":
+            mostly = float(kw.get("mostly", 1.0))
+            completeness[kw["column"]] = round(1.0 - mostly, 9)
+        elif etype == "expect_column_values_to_be_between":
+            lo, hi = kw.get("min_value"), kw.get("max_value")
+            if lo is None and hi is None:
+                skip(etype, "needs min_value or max_value")
+                continue
+            if acc is not None:
+                conds = []
+                if lo is not None:
+                    conds.append(f"`{kw['column']}` >= {_sql_lit(lo)}")
+                if hi is not None:
+                    conds.append(f"`{kw['column']}` <= {_sql_lit(hi)}")
+                checks.append(
+                    {
+                        "check": "compliance",
+                        "condition": " AND ".join(conds),
+                        "min_ratio": acc,
+                        "name": cid,
+                        "id": cid,
+                    }
+                )
+                continue
+            entry = {"check": "interval", "column": kw["column"], "id": cid}
+            if lo is not None:
+                entry["min"] = lo
+            if hi is not None:
+                entry["max"] = hi
+            checks.append(entry)
+        elif etype == "expect_column_values_to_be_in_set":
+            if acc is not None:
+                vals = ", ".join(_sql_lit(v) for v in kw["value_set"])
+                checks.append(
+                    {
+                        "check": "compliance",
+                        "condition": f"`{kw['column']}` IN ({vals})",
+                        "min_ratio": acc,
+                        "name": cid,
+                        "id": cid,
+                    }
+                )
+                continue
+            checks.append(
+                {
+                    "check": "subset",
+                    "column": kw["column"],
+                    "required": list(kw["value_set"]),
+                    "id": cid,
+                }
+            )
+        elif etype == "expect_column_values_to_match_regex":
+            if acc is not None:
+                checks.append(
+                    {
+                        "check": "compliance",
+                        "condition": (
+                            f"`{kw['column']}` RLIKE {_sql_lit(kw['regex'])}"
+                        ),
+                        "min_ratio": acc,
+                        "name": cid,
+                        "id": cid,
+                    }
+                )
+                continue
+            checks.append(
+                {
+                    "check": "regex",
+                    "column": kw["column"],
+                    "pattern": kw["regex"],
+                    "id": cid,
+                }
+            )
+        elif etype == "expect_column_values_to_be_unique":
+            checks.append(
+                {"check": "unique", "columns": [kw["column"]], "id": cid}
+            )
+        elif etype == "expect_compound_columns_to_be_unique":
+            checks.append(
+                {
+                    "check": "unique",
+                    "columns": list(kw["column_list"]),
+                    "id": cid,
+                }
+            )
+        elif etype in _AGG_OF:
+            entry = {
+                "check": "agg_bounds",
+                "column": kw["column"],
+                "agg": _AGG_OF[etype],
+                "id": cid,
+            }
+            if kw.get("min_value") is not None:
+                entry["min_value"] = float(kw["min_value"])
+            if kw.get("max_value") is not None:
+                entry["max_value"] = float(kw["max_value"])
+            if "min_value" not in entry and "max_value" not in entry:
+                skip(etype, "needs min_value or max_value")
+                continue
+            checks.append(entry)
+        elif etype == "expect_column_quantile_values_to_be_between":
+            qr = kw.get("quantile_ranges") or {}
+            qs = qr.get("quantiles") or []
+            ranges = qr.get("value_ranges") or []
+            if len(qs) != len(ranges) or not qs:
+                skip(etype, "quantiles and value_ranges must align")
+                continue
+            for j, (q, (lo, hi)) in enumerate(zip(qs, ranges)):
+                entry = {
+                    "check": "quantile_bounds",
+                    "column": kw["column"],
+                    "q": float(q),
+                    "id": f"{cid}_q{j}",
+                }
+                if lo is not None:
+                    entry["min_value"] = float(lo)
+                if hi is not None:
+                    entry["max_value"] = float(hi)
+                checks.append(entry)
+        elif etype == "expect_column_unique_value_count_to_be_between":
+            entry = {
+                "check": "distinct_count",
+                "column": kw["column"],
+                "id": cid,
+            }
+            if kw.get("min_value") is not None:
+                entry["min_count"] = int(kw["min_value"])
+            if kw.get("max_value") is not None:
+                entry["max_count"] = int(kw["max_value"])
+            checks.append(entry)
+        elif etype == "expect_column_proportion_of_unique_values_to_be_between":
+            if kw.get("min_value") is None:
+                skip(etype, "needs min_value (the engine gates a floor)")
+                continue
+            checks.append(
+                {
+                    "check": "uniqueness",
+                    "columns": [kw["column"]],
+                    "min_ratio": float(kw["min_value"]),
+                    "metric": "distinctness",
+                    "id": cid,
+                }
+            )
+
+    if completeness:
+        checks.insert(
+            0,
+            {
+                "check": "completeness",
+                "columns": completeness,
+                "id": "ge_completeness",
+                "comment": f"fused not-null ceilings from {name}",
+            },
+        )
+    spec: dict[str, Any] = {"primary": table, "checks": checks}
+    if partition_col:
+        spec["partition_col"] = partition_col
+    if skipped:
+        spec["skipped"] = skipped
+    return spec

@@ -1,0 +1,124 @@
+"""GE-suite interop: translate → compile → run, unknowns surfaced."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.jobs import compile_suite, from_great_expectations
+
+
+GE_SUITE = {
+    "expectation_suite_name": "warehouse_orders",
+    "expectations": [
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "status"}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "note", "mostly": 0.8}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "amount", "min_value": 0, "max_value": 100}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "status", "value_set": ["open", "closed"]}},
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "code", "regex": "^[a-z]{3}$"}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "oid"}},
+        {"expectation_type": "expect_compound_columns_to_be_unique",
+         "kwargs": {"column_list": ["oid", "line"]}},
+        {"expectation_type": "expect_column_mean_to_be_between",
+         "kwargs": {"column": "amount", "min_value": 1.0, "max_value": 99.0}},
+        {"expectation_type": "expect_column_quantile_values_to_be_between",
+         "kwargs": {"column": "amount",
+                    "quantile_ranges": {"quantiles": [0.5, 0.9],
+                                        "value_ranges": [[0, 80], [0, 100]]}}},
+        {"expectation_type": "expect_column_unique_value_count_to_be_between",
+         "kwargs": {"column": "status", "min_value": 1, "max_value": 5}},
+        {"expectation_type":
+         "expect_column_proportion_of_unique_values_to_be_between",
+         "kwargs": {"column": "oid", "min_value": 0.9}},
+    ],
+}
+
+
+def _orders(spark):
+    rows = [
+        (1, 1, "open", "abc", 10.0, "n1", 0),
+        (2, 1, "closed", "def", 50.0, None, 0),
+        (3, 1, "open", "ghi", 90.0, "n3", 1),
+        (4, 1, "closed", "jkl", 40.0, "n4", 1),
+        (5, 1, "open", "mno", 60.0, "n5", 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "oid long, line long, status string, code string, amount double, "
+        "note string, partition_id int",
+    )
+
+
+def test_ge_suite_translates_compiles_and_passes(spark):
+    spec = from_great_expectations(
+        GE_SUITE, table="orders", partition_col="partition_id"
+    )
+    # one fused completeness check + every mapped entry
+    kinds = sorted(c["check"] for c in spec["checks"])
+    assert kinds == sorted(
+        ["completeness", "interval", "subset", "regex", "unique", "unique",
+         "agg_bounds", "quantile_bounds", "quantile_bounds",
+         "distinct_count", "uniqueness"]
+    )
+    comp = next(c for c in spec["checks"] if c["check"] == "completeness")
+    assert comp["columns"]["status"] == 0.0
+    assert abs(comp["columns"]["note"] - 0.2) < 1e-9
+    suite = compile_suite(spec)
+    assert suite.build_differences({"orders": _orders(spark)}).count() == 0
+
+
+def test_ge_suite_fires_on_bad_load(spark):
+    spec = from_great_expectations(
+        GE_SUITE, table="orders", partition_col="partition_id"
+    )
+    suite = compile_suite(spec)
+    bad = _orders(spark).unionByName(
+        _orders(spark).limit(1)  # duplicate oid 1 -> unique + proportion fire
+    )
+    ids = {r["check_id"] for r in suite.build_differences({"orders": bad}).collect()}
+    assert any("values_to_be_unique" in i for i in ids)
+
+
+def test_ge_mostly_maps_to_percent_acceptance(spark):
+    suite_json = {
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "status", "value_set": ["open"],
+                        "mostly": 0.5}},
+        ]
+    }
+    spec = from_great_expectations(suite_json, table="orders",
+                                   partition_col="partition_id")
+    # element-fraction semantics -> the compliance gate, not a
+    # set-level acceptance
+    assert spec["checks"][0]["check"] == "compliance"
+    assert spec["checks"][0]["min_ratio"] == 0.5
+    suite = compile_suite(spec)
+    # 3/5 open >= mostly 0.5 -> compliant
+    assert suite.build_differences({"orders": _orders(spark)}).count() == 0
+    # drop to 1/6 open -> gate fires
+    bad = _orders(spark).withColumn(
+        "status", F.when(F.col("oid") == 1, "open").otherwise("weird")
+    )
+    assert suite.build_differences({"orders": bad}).count() == 1
+
+
+def test_ge_unknown_expectation_strict_and_lenient():
+    suite_json = {
+        "expectations": [
+            {"expectation_type": "expect_table_columns_to_match_ordered_list",
+             "kwargs": {"column_list": ["a"]}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "oid"}},
+        ]
+    }
+    with pytest.raises(ValueError, match="unsupported"):
+        from_great_expectations(suite_json)
+    spec = from_great_expectations(suite_json, strict=False)
+    assert len(spec["checks"]) == 1 and len(spec["skipped"]) == 1
