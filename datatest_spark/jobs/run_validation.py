@@ -57,7 +57,16 @@ def _session() -> SparkSession:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="datatest_spark validation job")
-    ap.add_argument("--spec", required=True, help="spec file path or inline JSON")
+    ap.add_argument("--spec", default=None, help="spec file path or inline JSON")
+    ap.add_argument("--ge-suite", default=None,
+                    help="Great-Expectations-style suite (file path or "
+                         "inline JSON) translated via "
+                         "from_great_expectations; needs --ge-table")
+    ap.add_argument("--ge-table", default=None, metavar="NAME=PATH",
+                    help="subject table for --ge-suite: logical name + "
+                         "parquet path")
+    ap.add_argument("--ge-partition-col", default=None,
+                    help="partition column for --ge-suite verdicts")
     ap.add_argument("--sink", default=None, help="violation sink directory")
     ap.add_argument("--ledger", default=None, help="ledger directory (resume)")
     ap.add_argument("--run-id", default=None)
@@ -117,8 +126,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ap.error("--fail-on-anomaly needs --history")
     if args.fail_on_regression and not args.previous_report:
         ap.error("--fail-on-regression needs --previous-report")
+    if bool(args.spec) == bool(args.ge_suite):
+        ap.error("exactly one of --spec / --ge-suite is required")
 
-    spec = load_spec(args.spec)
+    if args.ge_suite:
+        if not args.ge_table or "=" not in args.ge_table:
+            ap.error("--ge-suite needs --ge-table NAME=PATH")
+        from .interop import from_great_expectations
+
+        name, path = args.ge_table.split("=", 1)
+        spec = from_great_expectations(
+            load_spec(args.ge_suite),
+            table=name,
+            partition_col=args.ge_partition_col,
+        )
+        spec["tables"] = {name: {"path": path}}
+    else:
+        spec = load_spec(args.spec)
     spark = _session()
     suite = compile_suite(spec)
     tables = load_tables(spark, spec)

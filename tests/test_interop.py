@@ -122,3 +122,24 @@ def test_ge_unknown_expectation_strict_and_lenient():
         from_great_expectations(suite_json)
     spec = from_great_expectations(suite_json, strict=False)
     assert len(spec["checks"]) == 1 and len(spec["skipped"]) == 1
+
+
+def test_ge_suite_cli_roundtrip(spark, tmp_path):
+    """spark-submit face: --ge-suite + --ge-table runs the translated
+    suite end-to-end and exits 0 on a clean table."""
+    import json as _json
+
+    from datatest_spark.jobs.run_validation import main as run_main
+
+    src = str(tmp_path / "t.parquet")
+    _orders(spark).write.parquet(src)
+    ge = str(tmp_path / "ge.json")
+    with open(ge, "w") as fh:
+        _json.dump(GE_SUITE, fh)
+    rc = run_main([
+        "--ge-suite", ge,
+        "--ge-table", f"orders={src}",
+        "--ge-partition-col", "partition_id",
+        "--strict",
+    ])
+    assert rc == 0
