@@ -1,11 +1,12 @@
 """Cluster job entrypoints: declarative specs + spark-submit runner."""
 
-from .interop import from_great_expectations
+from .interop import from_dbt_schema, from_great_expectations
 from .spec import compile_check, compile_suite, load_spec, load_tables
 from .suggest import suggest_spec
 
 __all__ = [
     "compile_check",
+    "from_dbt_schema",
     "from_great_expectations",
     "compile_suite",
     "load_spec",

@@ -285,3 +285,145 @@ def from_great_expectations(
     if skipped:
         spec["skipped"] = skipped
     return spec
+
+
+# ---------------------------------------------------------------------------
+# dbt schema tests
+# ---------------------------------------------------------------------------
+
+#: dbt's four built-in generic tests (docs.getdbt.com — public)
+DBT_SUPPORTED = frozenset(
+    {"not_null", "unique", "accepted_values", "relationships"}
+)
+
+
+def _dbt_ref(to: str) -> str:
+    """``ref('orders')`` / ``source('raw', 'orders')`` → the referenced
+    logical table name (last argument)."""
+    inner = to.strip()
+    if "(" in inner and inner.endswith(")"):
+        args = inner[inner.index("(") + 1 : -1]
+        last = args.split(",")[-1].strip()
+        return last.strip("'\"")
+    return inner
+
+
+def from_dbt_schema(
+    schema: Any,
+    *,
+    model: Optional[str] = None,
+    partition_col: Optional[str] = None,
+    strict: bool = True,
+) -> dict:
+    """Translate a dbt ``schema.yml`` (dict, or YAML string when PyYAML
+    is available) into a spec dict for ONE model.
+
+    dbt's built-in generic tests map exactly:
+
+    - ``not_null``                   → fused ``completeness`` ceiling 0.0
+    - ``unique``                     → ``unique`` (single column)
+    - ``accepted_values: {values}``  → ``subset``
+    - ``relationships: {to, field}`` → ``referential`` (child keys ⊆
+      parent keys; the parent table name comes from ``ref()`` /
+      ``source()`` and must be provided in the spec's ``tables``
+      section — or via ``load_tables`` — under that name)
+
+    ``model`` picks one entry of ``models:`` (required when the file
+    holds several).  Custom/generic tests outside the four built-ins
+    raise under ``strict`` or land in ``spec['skipped']``.
+    """
+    if isinstance(schema, str):
+        import yaml  # PyYAML; parse only when given a string
+
+        schema = yaml.safe_load(schema)
+    models = schema.get("models") or []
+    if not models:
+        raise ValueError("schema has no models")
+    if model is None:
+        if len(models) > 1:
+            raise ValueError(
+                "schema holds several models; pass model=<name>: "
+                + ", ".join(str(m.get("name")) for m in models)
+            )
+        m = models[0]
+    else:
+        try:
+            m = next(x for x in models if x.get("name") == model)
+        except StopIteration:
+            raise ValueError(f"model {model!r} not in schema") from None
+
+    table = m["name"]
+    checks: list[dict] = []
+    skipped: list[dict] = []
+    completeness: dict[str, float] = {}
+
+    def skip(test: Any, reason: str) -> None:
+        if strict:
+            raise ValueError(f"{test}: {reason}")
+        skipped.append({"test": test, "reason": reason})
+
+    for col in m.get("columns") or []:
+        cname = col["name"]
+        for t in col.get("tests") or []:
+            if isinstance(t, str):
+                tname, targs = t, {}
+            elif isinstance(t, dict) and len(t) == 1:
+                tname, targs = next(iter(t.items()))
+                targs = dict(targs or {})
+            else:
+                skip(t, "unrecognized test entry shape")
+                continue
+            if tname not in DBT_SUPPORTED:
+                skip(tname, "unsupported dbt test")
+                continue
+            cid = f"dbt_{table}_{cname}_{tname}"
+            if tname == "not_null":
+                completeness[cname] = 0.0
+            elif tname == "unique":
+                checks.append(
+                    {"check": "unique", "columns": [cname], "id": cid}
+                )
+            elif tname == "accepted_values":
+                vals = targs.get("values")
+                if not vals:
+                    skip(tname, "accepted_values needs values")
+                    continue
+                checks.append(
+                    {
+                        "check": "subset",
+                        "column": cname,
+                        "required": list(vals),
+                        "id": cid,
+                    }
+                )
+            elif tname == "relationships":
+                to, field = targs.get("to"), targs.get("field")
+                if not to or not field:
+                    skip(tname, "relationships needs to + field")
+                    continue
+                checks.append(
+                    {
+                        "check": "referential",
+                        "keys": [cname],
+                        "parent": _dbt_ref(str(to)),
+                        "parent_keys": [field],
+                        "id": cid,
+                    }
+                )
+
+    if completeness:
+        checks.insert(
+            0,
+            {
+                "check": "completeness",
+                "columns": completeness,
+                "id": "dbt_not_null",
+                "comment": f"fused not_null tests of model {table}",
+            },
+        )
+    spec: dict[str, Any] = {"primary": table, "checks": checks}
+    if partition_col:
+        spec["partition_col"] = partition_col
+    if skipped:
+        spec["skipped"] = skipped
+    return spec

@@ -143,3 +143,78 @@ def test_ge_suite_cli_roundtrip(spark, tmp_path):
         "--strict",
     ])
     assert rc == 0
+
+
+DBT_YAML = """
+version: 2
+models:
+  - name: orders
+    columns:
+      - name: oid
+        tests:
+          - unique
+          - not_null
+      - name: status
+        tests:
+          - accepted_values:
+              values: ['open', 'closed']
+      - name: cust
+        tests:
+          - relationships:
+              to: ref('customers')
+              field: cid
+"""
+
+
+def _dbt_tables(spark):
+    orders = spark.createDataFrame(
+        [(1, "open", 10, 0), (2, "closed", 20, 0), (3, "open", 10, 1)],
+        "oid long, status string, cust long, partition_id int",
+    )
+    customers = spark.createDataFrame(
+        [(10,), (20,)], "cid long"
+    )
+    return {"orders": orders, "customers": customers}
+
+
+def test_dbt_schema_translates_and_runs(spark):
+    from datatest_spark.jobs import from_dbt_schema
+
+    spec = from_dbt_schema(DBT_YAML, partition_col="partition_id")
+    kinds = sorted(c["check"] for c in spec["checks"])
+    assert kinds == ["completeness", "referential", "subset", "unique"]
+    ref = next(c for c in spec["checks"] if c["check"] == "referential")
+    assert ref["parent"] == "customers" and ref["parent_keys"] == ["cid"]
+    suite = compile_suite(spec)
+    tables = _dbt_tables(spark)
+    assert suite.build_differences(tables).count() == 0
+    # orphan FK + bad status fire the right checks
+    bad = tables["orders"].unionByName(
+        spark.createDataFrame(
+            [(4, "weird", 99, 1)],
+            "oid long, status string, cust long, partition_id int",
+        )
+    )
+    ids = {r["check_id"]
+           for r in suite.build_differences({**tables, "orders": bad}).collect()}
+    assert "dbt_orders_status_accepted_values" in ids
+    assert "dbt_orders_cust_relationships" in ids
+
+
+def test_dbt_schema_strictness_and_model_pick():
+    from datatest_spark.jobs import from_dbt_schema
+
+    multi = {
+        "models": [
+            {"name": "a", "columns": [{"name": "x", "tests": ["not_null"]}]},
+            {"name": "b", "columns": [{"name": "y", "tests": ["custom_thing"]}]},
+        ]
+    }
+    with pytest.raises(ValueError, match="several models"):
+        from_dbt_schema(multi)
+    spec = from_dbt_schema(multi, model="a")
+    assert spec["primary"] == "a" and spec["checks"][0]["check"] == "completeness"
+    with pytest.raises(ValueError, match="unsupported"):
+        from_dbt_schema(multi, model="b")
+    lenient = from_dbt_schema(multi, model="b", strict=False)
+    assert lenient["checks"] == [] and len(lenient["skipped"]) == 1
